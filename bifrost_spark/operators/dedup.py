@@ -1,0 +1,198 @@
+"""Distributed near-duplicate detection operators.
+
+All operators here are compositions of DataFrame built-ins — no Python UDFs —
+so they run JVM-side at every scale.  Shapes:
+
+* char-shingling: explode k-grams (scan-side, pipelined into the shuffle)
+* exact n-gram Jaccard: shingle-join on distinct shingles (the exact but
+  shuffle-heavy baseline; |pairs| bounded by shared-shingle co-occurrence)
+* MinHash: per-doc signature via ``min(xxhash64(seed, shingle))`` per seed —
+  a deterministic hash family, unlike MLlib's RNG-drawn coefficients — then
+  LSH banding so only docs sharing a band bucket are compared (the 100 TB
+  path: candidate generation is |near-dups|, not |pairs|)
+* SimHash: 64-bit sign-aggregated token-hash fingerprint; hamming distance
+  via bit_count(xor) — constant-size state per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 10) -> DataFrame:
+    """Distinct character k-grams per document: (id, shingle).
+
+    Sliding substrings built with sequence+transform (JVM-side); distinct is
+    applied per doc before any shuffle so join fan-out is bounded.
+    """
+    n = F.length(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.col(text_col).substr(i, F.lit(k)))
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+
+
+def exact_jaccard_pairs(
+    shingled: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.  jaccard is a single
+    bigint/bigint double division → deterministic across engines.
+    """
+    counts = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """Per-doc MinHash signature: column ``signature array<bigint>``.
+
+    Hash family: ``xxhash64(seed_i, shingle)`` — deterministic, JVM-side,
+    64-bit.  One partial-aggregated groupBy: shuffle carries num_hashes
+    longs per doc regardless of doc size.
+    """
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of ≥1 band become candidates.
+
+    Bucket key = xxhash64(band_id, band slice) → explode → self-join on
+    (band, bucket).  At scale the join is on bucket ids (16 bytes), and
+    candidate volume tracks true near-dup volume, not |docs|².
+    """
+    n = bands * rows_per_band
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = signatures.select(
+        F.col(id_col), F.col("signature"), F.explode(band_cols).alias("bb")
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (matches.cast("double") / F.lit(n)).alias("est_jaccard"),
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: column ``simhash bigint``.
+
+    Per token: h = xxhash64(token); per bit j: +1 if set else −1; fingerprint
+    bit j = sign of the sum.  Expressed as 64 conditional-sum aggregates —
+    map-side combinable, constant state.  Bits 0..62 are packed (bit 63 left
+    clear to stay positive in a signed bigint).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(text_col), " ", -1)).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(63)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for j in range(63):
+        term = F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = term if packed is None else packed + term
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation blocks on 16-bit chunks (4 chunks; any pair within
+    hamming ≤ 3·chunk must agree on ≥1 chunk — here used as a pigeonhole
+    prefilter) so the self-join is on chunk values, not all-pairs.
+    """
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for c in range(4)
+        ]
+    )
+    ex = sim.select(F.col(id_col), "simhash", F.explode(chunks).alias("cc")).select(
+        id_col, "simhash", "cc.chunk_id", "cc.chunk"
+    )
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk")
+    cand = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

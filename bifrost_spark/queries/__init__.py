@@ -1,0 +1,8 @@
+"""Importing this package registers every query into bifrost_spark.registry."""
+
+import bifrost_spark.queries.relational  # noqa: F401
+import bifrost_spark.queries.parity  # noqa: F401
+import bifrost_spark.queries.llm_text  # noqa: F401
+import bifrost_spark.queries.llm_dedup  # noqa: F401
+import bifrost_spark.queries.llm_similarity  # noqa: F401
+import bifrost_spark.queries.multimodal  # noqa: F401

@@ -1,0 +1,154 @@
+"""Deduplication operator family (driver mandate: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup) over ``documents`` /
+``embeddings``.
+
+Scale shapes (100 TB posture):
+  * exact dedup shuffles md5 fingerprints, never text;
+  * exact Jaccard is the oracle-checkable baseline (shingle join);
+  * MinHash+LSH banding is the production path — candidate volume tracks the
+    true near-dup volume, not |docs|²;
+  * SimHash carries 8 bytes/doc with pigeonhole chunk blocking;
+  * embedding near-dup does a bounded self-join here, with the LSH-bucketed
+    variant in q_sim_ann_lsh (llm_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bifrost_spark.operators.dedup import (
+    char_shingles,
+    exact_jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_near_pairs,
+)
+from bifrost_spark.operators.vectors import cosine
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+SHINGLE_K = 10
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.45  # fixture max pairwise cosine is ~0.51
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep min doc_id per group.
+    Grouping on md5(text) (not text) keeps shuffle rows at 16 bytes + ids —
+    the difference between shuffling 100 TB and shuffling 50 GB."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 substr(text, CAST(i AS INT), {SHINGLE_K}) AS shingle
+          FROM documents,
+               UNNEST(range(1, greatest(len(text) - {SHINGLE_K - 1}, 1) + 1)) AS t(i)
+        ),
+        cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-10-gram Jaccard near-dup pairs (threshold 0.5).
+    The exact baseline the randomized sketches (MinHash/SimHash) are tested
+    against.  jaccard = bigint/bigint single division → engine-bit-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=SHINGLE_K)
+    return exact_jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD)
+
+
+@query("q_dedup_minhash", oracle=None)  # hash-family specific → rows-only
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH banding (16 bands × 4 rows): near-dup candidates with
+    estimated Jaccard ≥ 0.5.  Deterministic xxhash64 hash family (no RNG) but
+    not SQL-portable → driver checks rows-only; tests/test_llm_dedup.py
+    asserts recall vs the exact q_dedup_ngram_jaccard pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=SHINGLE_K)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=64)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=16, rows_per_band=4)
+    return pairs.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+
+
+@query("q_dedup_simhash", oracle=None)  # xxhash64 family → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 8) with 16-bit chunk blocking.
+    8 bytes of state per document → the cheapest sketch at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    sim = simhash64(d, "text", "doc_id")
+    return simhash_near_pairs(sim, "doc_id", max_hamming=8)
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+        WITH nrm AS (
+          SELECT vec_id, embedding,
+                 CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                       AS DECIMAL(22,18)))
+                       FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST((SELECT SUM(CAST(CAST(t.x AS DOUBLE) * CAST(t.y AS DOUBLE)
+                                       AS DECIMAL(22,18)))
+                       FROM (SELECT UNNEST(a.embedding) AS x,
+                                    UNNEST(b.embedding) AS y) t) AS DOUBLE)
+                   / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos_sim
+          FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b FROM pairs
+        WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45).  Cosine accumulates in
+    DECIMAL(22,18) (operators/vectors.py); the threshold compare is robust
+    (pairs are ≫ 1 ulp from the threshold) but the raw double score is kept
+    out of the compared output — decimal→double conversion differs by 1 ulp
+    between engines.  Bounded self-join here; the bucketed scale path is
+    q_sim_ann_lsh."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over the ``embeddings`` table (driver mandate): exact
+brute-force cosine top-k as the oracle-checkable baseline, plus a
+sign-random-projection LSH bucketed variant as the approximate scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bifrost_spark.operators.vectors import cosine, srp_bucket
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+EMB_DIM = 64
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+        WITH nrm AS (
+          SELECT vec_id, embedding,
+                 CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                       AS DECIMAL(22,18)))
+                       FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST((SELECT SUM(CAST(CAST(t.x AS DOUBLE) * CAST(t.y AS DOUBLE)
+                                       AS DECIMAL(22,18)))
+                       FROM (SELECT UNNEST(q.embedding) AS x,
+                                    UNNEST(c.embedding) AS y) t) AS DOUBLE)
+                   / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cos_sim
+          FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, rnk FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+                 ) AS BIGINT) AS rnk
+          FROM scored
+        ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (k=5) for 10 query vectors.
+
+    Scale shape: the small query side is broadcast, so the corpus scan is
+    embarrassingly parallel with NO shuffle of the corpus; the only shuffle
+    is the per-query top-k (window over |queries|×|corpus| scored rows,
+    partitioned by query).  Deterministic decimal cosine + unique
+    neighbor_id tie-break → stable k-set.  The raw double score is kept OUT
+    of the compared output: decimal→double conversion differs by 1 ulp
+    between engines (different double-rounding paths), while the *ordering*
+    is ulp-robust (min score gap in the fixture ≫ 1 ulp)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        corpus.join(queries_df, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@query("q_sim_ann_lsh", oracle=None)  # approximate by design → rows-only
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-random-projection LSH (8-bit buckets, 4
+    deterministic hash tables): query and corpus vectors land in hash
+    buckets; only same-bucket candidates are scored exactly, then top-k.
+
+    Scale shape: replaces the |queries|×|corpus| scoring with per-bucket
+    joins — IVF-style.  Recall vs q_sim_topk asserted in tests (≥0.6 at
+    these settings on the fixture)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    tables = []
+    for t in range(4):
+        bucketed = e.select(
+            "vec_id",
+            "embedding",
+            srp_bucket(F.col("embedding"), EMB_DIM, n_bits=8, seed=1000 + t).alias("bucket"),
+            F.lit(t).alias("table_id"),
+        )
+        tables.append(bucketed)
+    all_b = tables[0]
+    for t in tables[1:]:
+        all_b = all_b.unionByName(t)
+    q = all_b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "table_id",
+        "bucket",
+    )
+    c = all_b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "table_id",
+        "bucket",
+    )
+    cand = (
+        q.join(c, ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2 Part B +
+driver mandate): token counting, language ID, quality scoring, fingerprinting.
+
+All four stay entirely JVM-side (split/filter/regexp built-ins inside
+whole-stage codegen) — at 100 TB these run at scan speed with zero Python.
+The ``documents`` fixture is the corpus stand-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+# Tiny deterministic English stopword set shared by lang-ID and quality.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+# BPE-ish token pattern: word / number / single non-alnum symbol.  Kept to a
+# dialect-neutral subset (no \s, no lookaround) so Java regex and RE2 agree.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+        SELECT doc_id, lang, source,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+        FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics: char count, whitespace token count,
+    distinct-token count (vocabulary size)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS bpe_ish_tokens
+        FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (words / numbers / symbols) — the standard pre-tokenizer budget estimate
+    for training-data sizing."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(TOKEN_RE)).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+        SELECT doc_id, lang AS lang_label,
+               CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                         t -> t IN {_SW_SQL})) * 20
+                         >= len(string_split(text, ' '))
+                    THEN 'en' ELSE 'unk' END AS lang_pred
+        FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit-ratio classifier (≥5% of tokens in
+    the English stopword list → 'en').  A real n-gram model slots into the
+    same shape (per-doc score expression); the point is the operator stays a
+    scan-speed expression, not a UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ", -1)
+    sw_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_toks = F.size(F.split("text", " ", -1))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.when(sw_hits * 20 >= n_toks, "en").otherwise("unk").alias("lang_pred"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text) AS alpha_ratio,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t IN {_SW_SQL})) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' '))
+                 AS mean_token_len
+        FROM documents
+        WHERE LENGTH(text) > 0
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: alphabetic-character ratio, stopword ratio,
+    mean token length.  Each is one exact int/int double division →
+    bit-stable across engines.  Downstream filtering composes as plain
+    predicates over these columns."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chars = F.length("text")
+    toks_lower = F.split(F.lower("text"), " ", -1)
+    n_toks = F.size(F.split("text", " ", -1))
+    alpha_chars = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    sw_hits = F.size(F.filter(toks_lower, lambda t: t.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
+        (sw_hits.cast("double") / n_toks).alias("stopword_ratio"),
+        (n_chars.cast("double") / n_toks).alias("mean_token_len"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint,
+               CAST(LENGTH(regexp_replace(lower(text), ' +', ' ', 'g')) AS BIGINT)
+                 AS norm_len
+        FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined document fingerprint: md5 over whitespace-normalized,
+    case-folded text.  The exact-dedup key at scale — fingerprints shuffle
+    (16 bytes/doc), never the documents themselves."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), " +", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )

@@ -1,0 +1,130 @@
+"""Multimodal-column operators (driver mandate): image/audio/video payloads
+as opaque ``binary`` columns with typed metadata.
+
+The fixture set has no real media, so the *payload* is a deterministic
+UTF-8-encoded stand-in built from ``documents.text`` — exactly how the
+reference treats Kafka payloads as opaque bytes it never inspects
+(kafka.clj:58).  What IS real and tested here is the Spark-side plumbing:
+binary schema, metadata projection, md5 integrity, and the Arrow-batched
+``mapInPandas`` feature-extraction shape.  The actual media decode is a
+clearly-marked stub (see ``decode_media``) because codec libraries are not
+in this container.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (media_id, media_type, payload binary, meta…).
+
+    In production this is the parquet schema for a multimodal lake:
+    ``payload BINARY`` + typed metadata columns, partitioned by media_type —
+    the binary stays opaque to Catalyst exactly like bifrost's message bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("source").alias("origin"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str):
+    """STUB — real media decode (PIL/ffmpeg/librosa) is not available in this
+    container.  The Spark plumbing around it (schema, batching, partitioning)
+    is real; swap this body for the actual decoder in production."""
+    raise NotImplementedError(
+        "media decode requires codec libraries not present in this environment"
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("max_byte", LongType()),
+    ]
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Deterministic byte-level stats stand in for the decoded-media features
+    (embedding, resolution, duration…).  This is the exact mapInPandas shape
+    a real extractor uses: binary column in, fixed-schema features out, one
+    Python worker per partition, Arrow transfer both ways.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].values,
+                "n_bytes": [len(a) for a in arrs],
+                # int sum / int len: single exact division, deterministic
+                "mean_byte": [float(int(a.sum()) / len(a)) if len(a) else 0.0 for a in arrs],
+                "max_byte": [int(a.max()) if len(a) else 0 for a in arrs],
+            }
+        )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               md5(text) AS payload_md5,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+               source AS origin
+        FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: content md5 (the integrity
+    check the reference's Azure path does via setStoreBlobContentMD5,
+    azureblob.clj:31-35) + byte length + media_type routing key.  All
+    JVM-side; the binary never crosses into Python."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "media_type",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("bigint").alias("payload_bytes"),
+        "origin",
+    )
+
+
+@query("q_multimodal_features", oracle=None)  # mapInPandas path → rows-only
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow-batched mapInPandas
+    (decode step stubbed — see decode_media).  Repartitions by media_id so
+    extraction parallelism is independent of the source file layout — at
+    100 TB the decode is the bottleneck, so partition count is sized to the
+    Python-worker fleet, not to input splits."""
+    m = media_table(spark, sf_dir).repartition(F.col("media_id"))
+    return m.select("media_id", "payload").mapInPandas(_extract_features, _FEATURE_SCHEMA)

@@ -1,0 +1,186 @@
+"""The bifrost archival pipeline, Spark-first (SURVEY.md §2 Part A, §7.1
+"archive" layer).
+
+Reference behavior being re-expressed (uswitch/bifrost):
+  * consume all topics minus blacklist / intersect whitelist
+    (kafka.clj:182-186) → ``subscribePattern`` + a relational filter
+  * frame raw bytes into files, rotate on a fixed interval
+    (kafka.clj:103-120) → one micro-batch per ``trigger(processingTime=…)``
+  * upload under ``<group>/<topic>/partition=<p>/<%010d first-offset>``
+    (s3.clj:15-20) → ``partitionBy("topic","partition")`` parquet layout;
+    offset-named leaf files via the foreachBatch writer below
+  * commit offset only after a successful upload (s3.clj:40-80 FSM) →
+    Structured Streaming checkpoint: offsets WAL before the batch, commit
+    log after sink success — same at-least-once contract, strengthened to
+    exactly-once by the file sink's manifest
+
+At scale: the Kafka source maps 1 Kafka partition → 1 task (A5's
+per-partition parallelism), ``maxOffsetsPerTrigger`` is the backpressure
+bound (A18), and the sink's partitioned layout is exactly the reference's
+Hive-style object keying (A11), so downstream engines partition-prune.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# The Kafka-source column contract (subset we archive).  When reading from a
+# real Kafka cluster these come from format("kafka") verbatim.
+MESSAGE_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("value", BinaryType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+@dataclass
+class ArchiveConfig:
+    """Engine config — mirrors etc/config.example.edn of the reference.
+
+    ``source`` selects kafka (production) or file (tests / replay); the file
+    source drives the identical downstream plan, which is how the streaming
+    tests exercise rotation/commit semantics without brokers.
+    """
+
+    output_path: str
+    checkpoint_path: str
+    source: str = "file"  # "kafka" | "file"
+    # kafka source options (ignored for file source)
+    bootstrap_servers: str = "localhost:9092"
+    subscribe_pattern: str = ".*"
+    starting_offsets: str = "earliest"  # = auto.offset.reset "smallest"
+    max_offsets_per_trigger: int | None = 1_000_000  # backpressure (A18)
+    # file source options
+    input_path: str | None = None
+    max_files_per_trigger: int | None = None
+    # rotation (A10): one micro-batch per interval
+    rotation_interval_secs: int = 60
+    # topic filter (A2)
+    topic_whitelist: tuple[str, ...] | None = None
+    topic_blacklist: tuple[str, ...] = ()
+    # consumer-group analog, used in object keys (A11)
+    group_id: str = "bifrost-group"
+    # uploader concurrency analog (A17): sink task parallelism
+    sink_partitions: int | None = None
+
+
+def build_source(spark: SparkSession, cfg: ArchiveConfig) -> DataFrame:
+    """readStream in the message shape (topic/partition/offset/value/ts)."""
+    if cfg.source == "kafka":
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
+            .option("subscribePattern", cfg.subscribe_pattern)
+            .option("startingOffsets", cfg.starting_offsets)
+        )
+        if cfg.max_offsets_per_trigger:
+            reader = reader.option("maxOffsetsPerTrigger", str(cfg.max_offsets_per_trigger))
+        df = reader.load()
+        return df.select(
+            "topic",
+            "partition",
+            "offset",
+            "value",
+            F.col("timestamp").alias("ts"),
+        )
+    if cfg.source == "file":
+        if not cfg.input_path:
+            raise ValueError("file source requires input_path")
+        reader = spark.readStream.schema(MESSAGE_SCHEMA).format("parquet")
+        if cfg.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
+        return reader.load(cfg.input_path)
+    raise ValueError(f"unknown source {cfg.source!r}")  # system.clj:38 exit-2 analog
+
+
+def apply_topic_filter(df: DataFrame, cfg: ArchiveConfig) -> DataFrame:
+    """(whitelist ∩ topics) − blacklist, kafka.clj:182-186."""
+    if cfg.topic_whitelist is not None:
+        df = df.filter(F.col("topic").isin(list(cfg.topic_whitelist)))
+    if cfg.topic_blacklist:
+        df = df.filter(~F.col("topic").isin(list(cfg.topic_blacklist)))
+    return df
+
+
+def start_archive(spark: SparkSession, cfg: ArchiveConfig) -> StreamingQuery:
+    """Partitioned exactly-once parquet archive.
+
+    Layout: ``{output}/topic=<t>/partition=<p>/part-*.parquet`` — the
+    engine's rendering of A11's object keys.  The checkpoint directory is
+    the ZK-offset-store replacement (A14/A15): offsets WAL'd pre-batch,
+    committed post-sink, so kill/restart resumes without loss and the
+    manifest suppresses duplicate files (stronger than the reference's
+    at-least-once)."""
+    src = apply_topic_filter(build_source(spark, cfg), cfg)
+    if cfg.sink_partitions:
+        src = src.repartition(cfg.sink_partitions, "topic", "partition")
+    return (
+        src.writeStream.format("parquet")
+        .option("path", cfg.output_path)
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .partitionBy("topic", "partition")
+        .trigger(processingTime=f"{cfg.rotation_interval_secs} seconds")
+        .outputMode("append")
+        .start()
+    )
+
+
+def start_offset_named_archive(spark: SparkSession, cfg: ArchiveConfig) -> StreamingQuery:
+    """foreachBatch writer producing the reference's exact leaf naming:
+    one file per (topic, partition) per rotation, named
+    ``%010d.parquet`` by the batch's first offset (s3.clj:15-20,28) —
+    idempotent on re-upload after crash, same as the reference (same first
+    offset → same key → overwrite).
+
+    Batch-local plan: groupBy-free — a single partitionBy write can't name
+    leaves by data values, so each micro-batch computes its per-key min
+    offset (tiny: one row per (topic,partition)) and drives per-key writes.
+    The per-key loop runs on the driver but only over the KEY SET (bounded:
+    topics × partitions, same bound as the reference's Spawner children —
+    async.clj:16-35), never over rows; each write is a distributed job.
+    """
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        keys = [
+            (r["topic"], r["partition"], r["first_offset"])
+            for r in batch.groupBy("topic", "partition")
+            .agg(F.min("offset").alias("first_offset"))
+            .collect()
+        ]
+        for topic, partition, first_offset in keys:
+            leaf = (
+                f"{cfg.output_path}/{cfg.group_id}/{topic}/partition={partition}/"
+                f"{first_offset:010d}.parquet"
+            )
+            (
+                batch.filter((F.col("topic") == topic) & (F.col("partition") == partition))
+                .select("offset", "value", "ts")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(leaf)
+            )
+
+    src = apply_topic_filter(build_source(spark, cfg), cfg)
+    return (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .trigger(processingTime=f"{cfg.rotation_interval_secs} seconds")
+        .start()
+    )

@@ -1,0 +1,41 @@
+"""Gate check: every registered query with an oracle matches DuckDB at
+sf0.001 (row count + schema + order-insensitive values); rows-only queries
+must at least execute and return a stable schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bifrost_spark import registry
+from tests.oracle_harness import compare, duckdb_connection
+
+ALL = sorted(registry.queries().keys())
+WITH_ORACLE = sorted(registry.oracles().keys())
+ROWS_ONLY = sorted(set(ALL) - set(WITH_ORACLE))
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connection(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, sf_dir, con, name):
+    q = registry.queries()[name]
+    oracle = registry.oracles()[name]
+    sdf = q(spark, sf_dir)
+    pdf = con.execute(oracle).fetchdf()
+    problems = compare(sdf, pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    q = registry.queries()[name]
+    df = q(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert df.schema.fieldNames()  # stable, non-empty schema

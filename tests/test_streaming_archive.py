@@ -1,0 +1,207 @@
+"""Streaming parity tests (SURVEY.md §5.2): rotation/partitioned layout
+(A10/A11), offset contiguity (A9/A14), checkpoint recovery with no
+duplicates (the Spark-strengthened version of the reference's at-least-once
+contract), offset-named leaf files, and listener telemetry (A20).
+
+Fixture: events → the exact consumed-message shape of the reference
+(FIXTURES.md "Streaming-parity fixture"): topic/partition/offset/value/ts,
+with offset = per-(topic,partition) dense row_number (Kafka log order).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bifrost_spark.streaming.archive import (
+    ArchiveConfig,
+    start_archive,
+    start_offset_named_archive,
+)
+from bifrost_spark.streaming.listener import MetricsListener
+from bifrost_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def staged_messages(spark, sf_dir, tmp_path_factory):
+    """Write the kafkaized message stream as 4 parquet files (4 triggers).
+
+    Files are written sequentially in OFFSET order (file b holds each
+    partition's b-th offset quarter) because the file source processes files
+    in mtime order — this reproduces the Kafka source's per-partition
+    in-order delivery, which the contiguity invariant depends on.
+    """
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("topic", "partition").orderBy("global_id")
+    msgs = (
+        ev.select(
+            F.col("event_type").alias("topic"),
+            F.pmod("user_id", F.lit(4)).cast("int").alias("partition"),
+            F.col("event_id").alias("global_id"),
+            F.encode("props", "UTF-8").alias("value"),
+            "ts",
+        )
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn(
+            "chunk",
+            F.ntile(4).over(Window.partitionBy("topic", "partition").orderBy("offset")),
+        )
+        .select("topic", "partition", "offset", "value", "ts", "chunk")
+    )
+    msgs.cache().count()
+    for b in range(1, 5):
+        (
+            msgs.filter(F.col("chunk") == b)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+    msgs.unpersist()
+    n = spark.read.parquet(path).count()
+    return path, n
+
+
+def _drain(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+def test_partitioned_layout_and_completeness(spark, staged_messages, tmp_path):
+    in_path, n_msgs = staged_messages
+    cfg = ArchiveConfig(
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        source="file",
+        input_path=in_path,
+        max_files_per_trigger=1,
+        rotation_interval_secs=1,
+    )
+    _drain(start_archive(spark, cfg))
+
+    # A11: Hive-style topic=/partition= layout
+    dirs = glob.glob(str(tmp_path / "out" / "topic=*" / "partition=*"))
+    assert dirs, "expected topic=*/partition=* directories"
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == n_msgs
+
+    # A9/A14 invariant: per (topic,partition) offsets dense 0..max, no dups
+    bounds = (
+        out.groupBy("topic", "partition")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("offset").alias("nd"),
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+        )
+        .collect()
+    )
+    for r in bounds:
+        assert r["n"] == r["nd"], "duplicate offsets"
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1, "offset gap"
+
+
+def test_checkpoint_restart_no_duplicates(spark, staged_messages, tmp_path):
+    in_path, n_msgs = staged_messages
+    cfg = ArchiveConfig(
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        source="file",
+        input_path=in_path,
+        max_files_per_trigger=2,
+        rotation_interval_secs=1,
+    )
+    _drain(start_archive(spark, cfg))
+    first = spark.read.parquet(str(tmp_path / "out")).count()
+    assert first == n_msgs
+
+    # restart from the same checkpoint with no new input → nothing re-emitted
+    _drain(start_archive(spark, cfg))
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_msgs
+
+
+def test_topic_filter(spark, staged_messages, tmp_path):
+    in_path, _ = staged_messages
+    cfg = ArchiveConfig(
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        source="file",
+        input_path=in_path,
+        rotation_interval_secs=1,
+        topic_blacklist=("click",),
+        topic_whitelist=None,
+    )
+    _drain(start_archive(spark, cfg))
+    out = spark.read.parquet(str(tmp_path / "out"))
+    topics = {r["topic"] for r in out.select("topic").distinct().collect()}
+    assert "click" not in topics and topics, f"blacklist leaked: {topics}"
+
+
+def test_offset_named_leaves(spark, staged_messages, tmp_path):
+    in_path, n_msgs = staged_messages
+    cfg = ArchiveConfig(
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        source="file",
+        input_path=in_path,
+        max_files_per_trigger=2,  # ≥2 rotations → ≥2 leaves per hot partition
+        rotation_interval_secs=1,
+        group_id="g1",
+    )
+    _drain(start_offset_named_archive(spark, cfg))
+
+    leaves = glob.glob(str(tmp_path / "out" / "g1" / "*" / "partition=*" / "*.parquet"))
+    assert leaves, "expected offset-named leaf directories"
+    # s3.clj:15-20 parity: leaf name is the zero-padded first offset, and the
+    # contained offsets start exactly there
+    for leaf in leaves:
+        name = os.path.basename(leaf).replace(".parquet", "")
+        assert name.isdigit() and len(name) == 10, name
+        lo = spark.read.parquet(leaf).agg(F.min("offset")).collect()[0][0]
+        assert lo == int(name)
+    total = sum(
+        spark.read.parquet(leaf).count() for leaf in leaves
+    )
+    assert total == n_msgs
+
+    # A9/A14 contiguity: consecutive leaves of one partition chain
+    # first_offset → next first_offset with no gap/overlap
+    by_partition: dict[str, list[str]] = {}
+    for leaf in leaves:
+        by_partition.setdefault(os.path.dirname(leaf), []).append(leaf)
+    for part_dir, files in by_partition.items():
+        files.sort()
+        expected_next = 0
+        for leaf in files:
+            cnt = spark.read.parquet(leaf).count()
+            assert int(os.path.basename(leaf).replace(".parquet", "")) == expected_next
+            expected_next += cnt
+
+
+def test_metrics_listener(spark, staged_messages, tmp_path):
+    in_path, n_msgs = staged_messages
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        cfg = ArchiveConfig(
+            output_path=str(tmp_path / "out"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            source="file",
+            input_path=in_path,
+            rotation_interval_secs=1,
+        )
+        _drain(start_archive(spark, cfg))
+        # progress events are delivered asynchronously — allow a grace period
+        deadline = time.time() + 15
+        while listener.total_input_rows() < n_msgs and time.time() < deadline:
+            time.sleep(0.2)
+        assert listener.total_input_rows() == n_msgs
+    finally:
+        spark.streams.removeListener(listener)
