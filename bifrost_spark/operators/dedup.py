@@ -20,18 +20,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 10) -> DataFrame:
-    """Distinct character k-grams per document: (id, shingle).
+def char_shingle_array(text_col: str, k: int = 10) -> Column:
+    """Distinct character k-grams of a text column as ``array<string>``.
 
-    Sliding substrings built with sequence+transform (JVM-side); distinct is
-    applied per doc before any shuffle so join fan-out is bounded.
+    Sliding substrings built with sequence+transform — pure per-row JVM
+    expression, no shuffle.
     """
     n = F.length(text_col)
     starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     grams = F.transform(starts, lambda i: F.col(text_col).substr(i, F.lit(k)))
+    return F.array_distinct(grams)
+
+
+def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 10) -> DataFrame:
+    """Distinct character k-grams per document: (id, shingle).
+
+    Distinct is applied per doc before the explode so join fan-out is
+    bounded.
+    """
     return df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(grams)).alias("shingle"),
+        F.explode(char_shingle_array(text_col, k)).alias("shingle"),
     )
 
 
@@ -70,19 +79,27 @@ def exact_jaccard_pairs(
 
 
 def minhash_signatures(
-    shingled: DataFrame, id_col: str, num_hashes: int = 64
+    df: DataFrame, text_col: str, id_col: str, k: int = 10, num_hashes: int = 64
 ) -> DataFrame:
     """Per-doc MinHash signature: column ``signature array<bigint>``.
 
-    Hash family: ``xxhash64(seed_i, shingle)`` — deterministic, JVM-side,
-    64-bit.  One partial-aggregated groupBy: shuffle carries num_hashes
-    longs per doc regardless of doc size.
+    Each distinct shingle is hashed ONCE as a string (``xxhash64(gram)`` →
+    8-byte base), the bases are exploded, and one partial-aggregated groupBy
+    takes ``min(xxhash64(seed_i, base))`` per seed — the num_hashes family
+    members hash 8-byte longs, not strings, and map-side combine means the
+    shuffle carries num_hashes longs per doc regardless of doc size.
     """
+    bases = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(char_shingle_array(text_col, k), lambda g: F.xxhash64(g))
+        ).alias("base"),
+    )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = shingled.groupBy(id_col).agg(*mins)
+    sig = bases.groupBy(id_col).agg(*mins)
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),

@@ -48,31 +48,112 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
 
 
+def dot_fast(a: Column, b: Column) -> Column:
+    """Double-accumulation dot product — the cheap prefilter path.
+
+    ~10× faster than the decimal fold (no per-term decimal round-trips).
+    Within one row the array fold order is fixed, so the value is still
+    deterministic across partitionings; it differs from the exact decimal
+    dot by at most ~dim ulps (< 1e-12 relative for 64-dim unit-ish vectors).
+    Use with a threshold margin, then rescore survivors with ``cosine``.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2_fast(a: Column) -> Column:
+    """Double-accumulation squared L2 norm (prefilter twin of ``norm2``)."""
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def with_norm(df: DataFrame, vec_col: str, out: str = "nrm2") -> DataFrame:
     return df.withColumn(out, norm2(F.col(vec_col)))
+
+
+def cosine_pair_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    margin: float = 1e-6,
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """All-pairs cosine candidates ≥ threshold−margin via numpy matmul.
+
+    The corpus is broadcast once (ids + row-normalized float64 matrix — the
+    same "fits-in-broadcast" gate as a broadcast hash join's build side) and
+    each Arrow batch of the scan is matrix-multiplied against it — BLAS does
+    |batch|×|corpus| dot products per call, ~100× faster than per-pair
+    expression folds.  Emits (id_a, id_b) with id_a < id_b, exactly once.
+
+    Above the broadcast gate this operator refuses (raises) — the 100 TB
+    path is LSH bucketing (srp_bucket / lsh_candidate_pairs), where the
+    same numpy scoring runs per bucket.
+    """
+    import numpy as np
+
+    n = df.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"corpus has {n} rows > broadcast gate {max_broadcast_rows}; "
+            "use the LSH-bucketed path for all-pairs at this scale"
+        )
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def gen(batches):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ b_mat.T  # |batch| × |corpus|
+            my_ids = pdf[id_col].to_numpy().astype(np.int64)
+            ii, jj = np.nonzero(sims >= threshold - margin)
+            a, b = my_ids[ii], b_ids[jj]
+            keep = a < b
+            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema="id_a long, id_b long")
+
+
+def _srp_signs(seed: int, bit: int, dim: int) -> list[float]:
+    """Deterministic ±1 sign vector for one projection bit.
+
+    Derived from sha256(seed, bit, i) driver-side — plan-time constants, so
+    executors never hash: the projection is a plain literal-array dot product
+    (zero broadcast state, reproducible on any cluster)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.sha256(f"{seed}:{bit}:{i}".encode()).digest()
+        out.append(1.0 if h[0] & 1 else -1.0)
+    return out
 
 
 def srp_bucket(vec: Column, dim: int, n_bits: int = 16, seed: int = 42) -> Column:
     """Sign-random-projection LSH bucket id (bigint).
 
-    Projection matrix entries are deterministic pseudo-randoms derived from
-    (seed, bit, component) via xxhash64 → mapped to ±1 — reproducible on any
-    cluster with zero broadcast state.  bucket bit b = sign(Σ_i ±v_i).
+    bucket bit b = sign(vec · signs_b) where signs_b is a deterministic ±1
+    literal array (see ``_srp_signs``).  Per row: n_bits double-fold dot
+    products over the vector — no per-row hashing at all.
     """
     bucket = F.lit(0).cast("bigint")
     for bit in range(n_bits):
-        signed = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: F.when(
-                    F.xxhash64(F.lit(seed), F.lit(bit), i).bitwiseAND(F.lit(1)) == 1,
-                    x.cast("double"),
-                ).otherwise(-x.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        signs = F.array(*[F.lit(s) for s in _srp_signs(seed, bit, dim)])
+        signed = dot_fast(vec, signs)
         bucket = bucket + F.when(signed > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)).otherwise(
             F.lit(0).cast("bigint")
         )

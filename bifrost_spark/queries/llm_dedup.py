@@ -25,7 +25,7 @@ from bifrost_spark.operators.dedup import (
     simhash64,
     simhash_near_pairs,
 )
-from bifrost_spark.operators.vectors import cosine
+from bifrost_spark.operators.vectors import cosine, cosine_pair_candidates
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -91,11 +91,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH banding (16 bands × 4 rows): near-dup candidates with
     estimated Jaccard ≥ 0.5.  Deterministic xxhash64 hash family (no RNG) but
-    not SQL-portable → driver checks rows-only; tests/test_llm_dedup.py
+    not SQL-portable → driver checks rows-only; tests/test_sketch_quality.py
     asserts recall vs the exact q_dedup_ngram_jaccard pairs."""
     d = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(d, "text", "doc_id", k=SHINGLE_K)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=64)
+    sig = minhash_signatures(d, "text", "doc_id", k=SHINGLE_K, num_hashes=64)
     pairs = lsh_candidate_pairs(sig, "doc_id", bands=16, rows_per_band=4)
     return pairs.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
 
@@ -133,18 +132,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.45).  Cosine accumulates in
-    DECIMAL(22,18) (operators/vectors.py); the threshold compare is robust
-    (pairs are ≫ 1 ulp from the threshold) but the raw double score is kept
-    out of the compared output — decimal→double conversion differs by 1 ulp
-    between engines.  Bounded self-join here; the bucketed scale path is
-    q_sim_ann_lsh."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45), two-phase:
+
+    1. prefilter — numpy float64 cosine over every pair with a 1e-6
+       threshold margin (float64 matmul differs from the exact decimal fold
+       by < 1e-12 relative, so no true pair can be lost);
+    2. exact rescore — the engine-bit-stable DECIMAL(22,18) cosine
+       (operators/vectors.py) only on survivors (|near-dups|, not |pairs|²).
+
+    Phase 1 is an Arrow-batched numpy matmul against the broadcast corpus
+    (operators/vectors.py::cosine_pair_candidates — BLAS does |batch|×|corpus|
+    dots per call); above broadcast size the LSH-bucketed candidate generator
+    (q_sim_ann_lsh) replaces it.  The raw double score is kept out of the
+    compared output — decimal→double conversion differs by 1 ulp between
+    engines."""
     e = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_pair_candidates(
+        e, "vec_id", "embedding", COSINE_DUP_THRESHOLD, margin=1e-6
+    )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select(
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
             "id_a",
             "id_b",
             cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bifrost_spark.operators.vectors import cosine, srp_bucket
+from bifrost_spark.operators.vectors import cosine, dot_fast, norm2_fast, srp_bucket
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -57,7 +57,13 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor_id tie-break → stable k-set.  The raw double score is kept OUT
     of the compared output: decimal→double conversion differs by 1 ulp
     between engines (different double-rounding paths), while the *ordering*
-    is ulp-robust (min score gap in the fixture ≫ 1 ulp)."""
+    is ulp-robust (min score gap in the fixture ≫ 1 ulp).
+
+    Two-phase scoring: the |queries|×|corpus| scan uses the cheap double
+    cosine (dot_fast, < 1e-12 relative error), the per-query window keeps
+    TOP_K+8 candidates, and only those are rescored with the exact decimal
+    cosine before the final rank — so the decimal fold cost is
+    O(|queries|·k), not O(|queries|·|corpus|)."""
     e = load_table(spark, sf_dir, "embeddings")
     queries_df = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -65,17 +71,36 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    scored = (
+    fast = (
         corpus.join(queries_df, F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+            "q_emb",
+            "c_emb",
+            (
+                dot_fast(F.col("q_emb"), F.col("c_emb"))
+                / (
+                    F.sqrt(norm2_fast(F.col("q_emb")))
+                    * F.sqrt(norm2_fast(F.col("c_emb")))
+                )
+            ).alias("cos_fast"),
         )
+    )
+    w_fast = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_fast"), F.asc("neighbor_id")
+    )
+    cand = fast.withColumn("fast_rnk", F.row_number().over(w_fast)).filter(
+        F.col("fast_rnk") <= TOP_K + 8
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.select(
+        exact.select(
             "query_id",
             "neighbor_id",
             F.row_number().over(w).cast("bigint").alias("rnk"),
@@ -86,45 +111,52 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_sim_ann_lsh", oracle=None)  # approximate by design → rows-only
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via sign-random-projection LSH (8-bit buckets, 4
+    """Approximate NN via sign-random-projection LSH (4-bit buckets, 8
     deterministic hash tables): query and corpus vectors land in hash
     buckets; only same-bucket candidates are scored exactly, then top-k.
+    Bits/table sized for neighbors at cosine ≈ 0.5 (θ ≈ 60°): per-table
+    collision (1−θ/π)^4 ≈ 0.2, so 8 tables give ≈ 0.83 expected recall;
+    at larger corpus sizes raise n_bits with log₂|corpus| to keep buckets
+    bounded and add tables to hold recall.
 
     Scale shape: replaces the |queries|×|corpus| scoring with per-bucket
-    joins — IVF-style.  Recall vs q_sim_topk asserted in tests (≥0.6 at
-    these settings on the fixture)."""
+    joins — IVF-style.  All hash-table buckets are computed in ONE corpus
+    scan (array of buckets → posexplode), so the input is read once.
+    Recall vs q_sim_topk asserted in tests (≥0.6 at these settings on the
+    fixture)."""
     e = load_table(spark, sf_dir, "embeddings")
-    tables = []
-    for t in range(4):
-        bucketed = e.select(
-            "vec_id",
-            "embedding",
-            srp_bucket(F.col("embedding"), EMB_DIM, n_bits=8, seed=1000 + t).alias("bucket"),
-            F.lit(t).alias("table_id"),
-        )
-        tables.append(bucketed)
-    all_b = tables[0]
-    for t in tables[1:]:
-        all_b = all_b.unionByName(t)
-    q = all_b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "table_id",
-        "bucket",
+    buckets = F.array(
+        *[
+            srp_bucket(F.col("embedding"), EMB_DIM, n_bits=4, seed=1000 + t)
+            for t in range(8)
+        ]
     )
-    c = all_b.select(
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.posexplode(buckets).alias("table_id", "bucket"),
+        )
+    )
+    c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        "table_id",
-        "bucket",
+        F.posexplode(buckets).alias("table_id", "bucket"),
     )
     cand = (
-        q.join(c, ["table_id", "bucket"])
+        c.join(q, ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # rows-only surface → the cheap double cosine ranks candidates (per-row
+    # fold order is fixed, so ranking is still deterministic across runs)
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        (
+            dot_fast(F.col("q_emb"), F.col("c_emb"))
+            / (F.sqrt(norm2_fast(F.col("q_emb"))) * F.sqrt(norm2_fast(F.col("c_emb"))))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

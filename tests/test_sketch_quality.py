@@ -1,0 +1,84 @@
+"""Quality gates for the randomized sketches that have no DuckDB oracle.
+
+The exact operators (q_dedup_ngram_jaccard, q_sim_topk) are oracle-checked;
+here the approximate operators are measured AGAINST those exact twins:
+
+* MinHash+LSH must recover nearly all true Jaccard>=0.5 pairs (its banding
+  parameters make a false negative vanishingly unlikely at j>=0.5);
+* SimHash blocking must keep every true near-dup pair (recall gate only —
+  hamming<=8 on short docs is deliberately loose, precision is not gated);
+* SRP-LSH ANN must keep a majority of the exact top-k neighbor set at the
+  4-bit x 8-table settings.
+
+Runs at sf0.01 (BIFROST_QUALITY_SF_DIR to override): large enough for
+real near-dup structure, small enough for CI.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bifrost_spark import registry
+
+SF_DIR = os.environ.get("BIFROST_QUALITY_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _pairs(df, a="id_a", b="id_b"):
+    return {(r[a], r[b]) for r in df.select(a, b).collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_jaccard(spark):
+    return _pairs(registry.queries()["q_dedup_ngram_jaccard"](spark, SF_DIR))
+
+
+def test_minhash_recall_and_precision(spark, exact_jaccard):
+    got = _pairs(registry.queries()["q_dedup_minhash"](spark, SF_DIR))
+    assert exact_jaccard, "fixture has no true near-dup pairs — test is vacuous"
+    recall = len(got & exact_jaccard) / len(exact_jaccard)
+    precision = len(got & exact_jaccard) / max(len(got), 1)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
+    assert precision >= 0.8, f"minhash precision {precision:.2f} < 0.8"
+
+
+def test_simhash_recall(spark, exact_jaccard):
+    got = _pairs(registry.queries()["q_dedup_simhash"](spark, SF_DIR))
+    recall = len(got & exact_jaccard) / len(exact_jaccard)
+    assert recall >= 0.9, f"simhash recall {recall:.2f} < 0.9"
+
+
+def test_embedding_dedup_matches_bruteforce(spark):
+    """The numpy prefilter + decimal rescore must equal the pure decimal path
+    (the prefilter margin may not drop true pairs)."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.operators.vectors import cosine
+    from bifrost_spark.queries.llm_dedup import COSINE_DUP_THRESHOLD
+    from bifrost_spark.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    truth = _pairs(
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("c"))
+        .filter(F.col("c") >= COSINE_DUP_THRESHOLD)
+    )
+    got = _pairs(registry.queries()["q_dedup_embedding"](spark, SF_DIR))
+    assert got == truth
+
+
+def test_ann_lsh_recall(spark):
+    qs = registry.queries()
+    top = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["q_sim_topk"](spark, SF_DIR).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["q_sim_ann_lsh"](spark, SF_DIR).collect()
+    }
+    recall = len(top & ann) / len(top)
+    assert recall >= 0.5, f"ann recall {recall:.2f} < 0.5"
