@@ -1,6 +1,7 @@
 """Importing this package registers every query into bifrost_spark.registry."""
 
 import bifrost_spark.queries.relational  # noqa: F401
+import bifrost_spark.queries.relational_ext  # noqa: F401
 import bifrost_spark.queries.parity  # noqa: F401
 import bifrost_spark.queries.llm_text  # noqa: F401
 import bifrost_spark.queries.llm_dedup  # noqa: F401

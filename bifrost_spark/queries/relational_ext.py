@@ -1,0 +1,264 @@
+"""Extended relational surface: operators Spark has no single built-in for
+(as-of join, banded range join) plus pivot / grouping sets / lateral explode /
+deterministic moment statistics / quality-keeper dedup.
+
+The reference (uswitch/bifrost) has none of these (SURVEY.md §2 Part A′);
+they round out the engine's batch mandate.  The as-of and range joins are
+implemented in their 100 TB shapes: a single shuffle on the equi-key
+(union + ignore-nulls window) for as-of, and time-band bucketing for the
+range join — never a broadcast-nested-loop over an inequality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bifrost_spark.queries._util import sql_dsum
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+RANGE_MINUTES = 30
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               p.user_id AS user_id,
+               c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: for each purchase, the latest click by the same
+    user at-or-before its timestamp.
+
+    Spark lacks ASOF JOIN; the scalable shape is union + ignore-nulls window:
+    tag both sides, sort within user by (ts, side) with the right side first
+    at ties, and carry the last non-null click id forward.  ONE shuffle on
+    the equi-key, no per-row range probe — survives any key cardinality,
+    unlike an inequality join (broadcast-nested-loop) or a per-key collect.
+    Oracle: DuckDB's native ASOF JOIN (independent implementation).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("purchase_id"), F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"), F.lit(1).alias("side"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("asof_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("asof_click").alias("click_id"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle=f"""
+        SELECT a.event_id AS event_a, b.event_id AS event_b
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts < a.ts
+         AND b.ts >= a.ts - INTERVAL {RANGE_MINUTES} MINUTE
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join: pairs of events by the same user within a
+    30-minute lookback window.
+
+    Naive inequality joins become broadcast-nested-loop (O(n·m) per key) —
+    unusable at scale.  Banding: bucket ts into window-sized bands, explode
+    the probe side into (band, band−1), join on (user, band) EQUALITY, then
+    refine with the exact inequality.  Catalyst gets an equi-join it can
+    hash-partition; each pair is examined in exactly one band, and work
+    scales with true match volume.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    band_us = RANGE_MINUTES * 60 * 1_000_000
+    band = (F.unix_micros(F.col("ts")) / F.lit(band_us)).cast("bigint")
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(band, band - 1)).alias("band"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("event_b"),
+        F.col("ts").alias("ts_b"),
+        band.alias("band"),
+    )
+    return (
+        a.join(b, ["user_id", "band"])
+        .filter(
+            (F.col("ts_b") < F.col("ts_a"))
+            & (F.col("ts_b") >= F.col("ts_a") - F.expr(f"INTERVAL {RANGE_MINUTES} MINUTE"))
+        )
+        .select("event_a", "event_b")
+        .dropDuplicates(["event_a", "event_b"])
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts, one column per event type.
+    The pivot values are declared explicitly — at scale an undeclared pivot
+    forces an extra distinct-scan job to discover them."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in EVENT_TYPES],
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum("l_quantity", "sum_qty")}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube) with GROUPING() id to
+    disambiguate natural NULLs from subtotal NULLs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "q_explode_tokens",
+    oracle="""
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS pos,
+               sp[CAST(i AS INT)] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+             UNNEST(range(1, len(sp) + 1)) AS t(i)
+        WHERE sp[CAST(i AS INT)] <> ''
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UDTF analog): one row per whitespace token with its
+    position.  posexplode is the built-in generator — the scan pipelines into
+    it with no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos", "token")
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty,
+               (CAST(COUNT(*) AS DOUBLE)
+                  * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1)) AS var_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics with an engine-bit-stable sample variance:
+    var = (n·Σx² − (Σx)²) / (n·(n−1)) where Σx and Σx² accumulate in DECIMAL
+    (exact — l_quantity is integer-valued, so every intermediate is an exact
+    integer below 2^53) and the final arithmetic is a fixed sequence of IEEE
+    double ops.  Native stddev/var aggregates are order-dependent in both
+    engines and would not hash-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    n = F.count("*").cast("double")
+    s = F.sum(F.col("l_quantity").cast(dec)).cast("double")
+    ssq = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec)).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        ((n * ssq - s * s) / (n * (n - F.lit(1.0)))).alias("var_qty"),
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+        SELECT doc_id, text_hash FROM (
+          SELECT doc_id, md5(text) AS text_hash,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY n_chars DESC, doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keeping the best representative per content group (longest doc,
+    doc_id tie-break) — the keeper policy real training-data pipelines use
+    instead of MIN(id).  Window over the 16-byte content hash; text never
+    shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text_hash").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "n_chars", F.md5("text").alias("text_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_hash")
+    )

@@ -1,0 +1,167 @@
+"""Tests for the custom stateful streaming operators (streaming/stateful.py):
+
+* sessionizer — applyInPandasWithState keyed session aggregation; validated
+  against the BATCH gap-sessionization of the same input (the streaming and
+  batch session rules are identical, so closed streaming sessions must be a
+  subset, and after the timeout fires, per-key counts must reconcile);
+* windowed rollup — event-time tumbling window + watermark; totals and
+  per-window offset bounds must match the batch groupBy(window) answer.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bifrost_spark.streaming.archive import MESSAGE_SCHEMA
+from bifrost_spark.streaming.stateful import (
+    SESSION_GAP_SECS,
+    sessionized,
+    start_windowed_rollup,
+    windowed_rollup,
+)
+from bifrost_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, sf_dir, tmp_path_factory):
+    """events in message shape, staged as 3 files in event-time order."""
+    path = str(tmp_path_factory.mktemp("stateful_in"))
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    msgs = ev.select(
+        F.col("event_type").alias("topic"),
+        F.pmod("user_id", F.lit(4)).cast("int").alias("partition"),
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        F.encode("props", "UTF-8").alias("value"),
+        "ts",
+        F.col("user_id"),
+        F.col("value").alias("event_value"),
+        F.ntile(3).over(Window.orderBy("ts")).alias("chunk"),
+    )
+    msgs.cache().count()
+    for b in range(1, 4):
+        msgs.filter(F.col("chunk") == b).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    msgs.unpersist()
+    return path
+
+
+def test_windowed_rollup_matches_batch(spark, staged_events, tmp_path):
+    from pyspark.sql.types import LongType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        MESSAGE_SCHEMA.fields
+        + [StructField("user_id", LongType()), StructField("event_value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged_events)
+    )
+    q = start_windowed_rollup(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"), interval_secs=1
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    # batch truth over the same staged input
+    src = spark.read.parquet(staged_events)
+    expect = (
+        src.groupBy(F.window("ts", "1 minute").alias("win"), "topic")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        )
+        .select(F.col("win.start").alias("window_start"), "topic", "n", "first_offset", "last_offset")
+    )
+    # The stream emits only windows finalized by the watermark; rows it DID
+    # emit must agree exactly with batch truth, and it must have emitted the
+    # overwhelming majority of windows.
+    emitted = {tuple(r) for r in got.collect()}
+    truth = {tuple(r) for r in expect.collect()}
+    assert emitted <= truth, "streaming rollup emitted a row batch truth doesn't have"
+    assert len(emitted) >= 0.8 * len(truth), (len(emitted), len(truth))
+
+
+def test_sessionizer_closes_sessions(spark, staged_events, tmp_path):
+    from pyspark.sql.types import LongType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        MESSAGE_SCHEMA.fields
+        + [StructField("user_id", LongType()), StructField("event_value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged_events)
+        .select("user_id", "ts", F.col("event_value").alias("value"))
+    )
+    q = (
+        sessionized(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    # NB: processAllAvailable() never quiesces here — processing-time
+    # timeouts keep scheduling batches forever.  Poll instead: data-gap
+    # closures (gap > 5 min WITHIN the data) emit as soon as their batch
+    # runs, so wait until some sessions have been written, then stop.
+    deadline = time.time() + 120
+    got = None
+    while time.time() < deadline:
+        if q.exception():
+            raise AssertionError(str(q.exception()))
+        try:
+            got = spark.read.parquet(str(tmp_path / "out"))
+            if got.count() > 0:
+                break
+        except Exception:
+            pass
+        time.sleep(2)
+    q.stop()
+    assert got is not None and got.count() > 0, "no sessions closed within 120s"
+
+    # batch truth: gap-rule sessions over the same input
+    src = spark.read.parquet(staged_events).select("user_id", "ts", F.col("event_value").alias("value"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        src.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > SESSION_GAP_SECS * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("int").alias("n_events"),
+        )
+    )
+    truth = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.collect()
+    }
+    emitted = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.select("user_id", "session_start", "session_end", "n_events").collect()
+    }
+    assert emitted, "expected at least one closed session"
+    assert emitted <= truth, "streaming closed a session batch truth doesn't have"
