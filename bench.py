@@ -42,6 +42,11 @@ HEADLINE = [
     "q_token_count",
     "q_sim_topk",
     "q_offset_bounds",
+    "q_join_asof",
+    "q_join_range",
+    "q_dedup_embedding",
+    "q_pivot",
+    "q_grouping_sets",
 ]
 
 
@@ -52,17 +57,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    # Warm the JVM/codegen path once on the smallest SF so per-query numbers
-    # measure the operator, not first-query JIT.
+    # Warm the JVM/codegen path AND the Arrow/Python-worker path once on the
+    # smallest SF so per-query numbers measure the operator, not first-query
+    # JIT or worker spin-up (workers are reused: spark.python.worker.reuse).
     qs["q_agg_hash"](spark, "/root/testdata/sf0.001").count()
+    qs["q_dedup_embedding"](spark, "/root/testdata/sf0.001").count()
 
+    # Two runs per query, report the min: the warm run measures operator
+    # throughput (what scales with data volume) rather than one-time plan
+    # compilation / Python-runner initialization, which are per-stage
+    # constants independent of scale factor.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        # foreach-noop action: materializes every row without driver collect
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            # noop action: materializes every row without driver collect
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -99,13 +99,12 @@ def cosine_pair_candidates(
     """
     import numpy as np
 
-    n = df.count()
-    if n > max_broadcast_rows:
+    rows = df.select(id_col, vec_col).limit(max_broadcast_rows + 1).collect()
+    if len(rows) > max_broadcast_rows:
         raise ValueError(
-            f"corpus has {n} rows > broadcast gate {max_broadcast_rows}; "
+            f"corpus exceeds broadcast gate {max_broadcast_rows}; "
             "use the LSH-bucketed path for all-pairs at this scale"
         )
-    rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)

@@ -237,6 +237,102 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_lead_lag",
+    oracle="""
+        SELECT event_id,
+               user_id,
+               LAG(value) OVER w AS prev_value,
+               LEAD(value) OVER w AS next_value,
+               FIRST_VALUE(event_id) OVER w AS first_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions (lag/lead/first_value) over per-user event
+    timelines — the building block of funnel/attribution queries.  Ordering
+    includes event_id so ties are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+@query(
+    "q_ntile",
+    oracle="""
+        SELECT c_custkey,
+               CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+                 AS balance_quartile
+        FROM customer
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles by account balance (unique-key tie-break).  A global
+    (unpartitioned) window: fine here, but at 100 TB a single-partition sort
+    is the anti-pattern — the scale path is range-partitioned percent_rank
+    or a two-pass quantile-boundary broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", F.ntile(4).over(w).cast("bigint").alias("balance_quartile")
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+        SELECT n_name,
+               string_agg(c_name, ',' ORDER BY c_name) AS members
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group.  collect_list has no intra-group
+    order guarantee under partial aggregation, so sort_array pins it —
+    deterministic at any partition count."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("members")
+        )
+    )
+
+
+@query(
+    "q_median",
+    oracle="""
+        SELECT l_returnflag,
+               median(l_quantity) AS med_qty,
+               quantile_disc(l_quantity, 0.9) AS p90_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + discrete 90th percentile per group.  l_quantity is
+    integer-valued, so the even-count midpoint average is exact in double —
+    engine-bit-stable.  (The streaming-friendly approximate twin is
+    approx_percentile, covered by q_agg_approx's rows-only pattern.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "p90_qty"
+        ),
+    )
+
+
+@query(
     "q_dedup_keep_best",
     oracle="""
         SELECT doc_id, text_hash FROM (
