@@ -333,6 +333,95 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_subquery_scalar",
+    oracle="""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+          FROM customer
+        )
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (customers above the mean balance).
+    Catalyst executes the subquery once and broadcasts the scalar.  The mean
+    uses the decimal-accumulated average so the threshold is bit-identical
+    in both engines (a raw AVG(double) could flip membership of a customer
+    within 1 ulp of the mean)."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer_sq
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+          FROM customer_sq
+        )
+        """
+    )
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm_text
+        FROM documents
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow-batched text normalization).
+
+    Demonstrates the engine's sanctioned Python escape hatch: batch-at-a-time
+    pandas string kernels, never row-at-a-time Python.  The same expression
+    exists as built-ins (lower/trim/regexp_replace) — the UDF form is the
+    template for normalizations Spark lacks; here it is oracle-checked
+    against the built-in semantics."""
+    from pyspark.sql.functions import pandas_udf
+
+    # functional form: `from __future__ import annotations` stringifies
+    # signature annotations, which pandas_udf cannot resolve here
+    norm = pandas_udf(
+        lambda s: s.str.replace(r" +", " ", regex=True).str.strip().str.lower(),
+        "string",
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", norm(F.col("text")).alias("norm_text"))
+
+
+@query(
+    "q_histogram",
+    oracle="""
+        SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(c_acctbal) AS lo,
+               MAX(c_acctbal) AS hi
+        FROM customer
+        GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by arithmetic bucketing — a groupBy on a
+    derived key, so partial aggregation applies and shuffle volume is
+    |buckets|.  The same shape at 100 TB powers distribution profiling of
+    any numeric column."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+
+
+@query(
     "q_dedup_keep_best",
     oracle="""
         SELECT doc_id, text_hash FROM (
