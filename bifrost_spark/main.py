@@ -1,0 +1,77 @@
+"""CLI entry point for the archival daemon — reference main.clj parity.
+
+Mirrors the reference's boot contract (main.clj:14-37):
+  * ``-c/--config`` JSON path (the reference used EDN, main.clj:31);
+  * credentials come from the environment / provider chain, never config
+    (main.clj:20-23 let AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY override;
+    with s3a the Hadoop provider chain does this natively);
+  * build the system, start the standing query, block until termination
+    (wait! at main.clj:10-12 → ``awaitTermination``);
+  * graceful shutdown stops the query then the session (system.clj stop
+    order).
+
+Run: ``python -m bifrost_spark.main -c etc/archive.json``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+
+from bifrost_spark.session import get_spark
+from bifrost_spark.streaming.archive import ArchiveConfig, start_archive
+from bifrost_spark.streaming.listener import MetricsListener
+
+
+def load_config(path: str) -> ArchiveConfig:
+    with open(path) as fh:
+        raw = json.load(fh)
+    known = {f for f in ArchiveConfig.__dataclass_fields__}
+    unknown = set(raw) - known
+    if unknown:
+        # system.clj:38 exits 2 on an unknown storage type; same spirit here
+        raise SystemExit(f"unknown config keys: {sorted(unknown)} (exit 2)")
+    for tup_key in ("topic_whitelist", "topic_blacklist"):
+        if raw.get(tup_key) is not None and tup_key in raw:
+            raw[tup_key] = tuple(raw[tup_key])
+    return ArchiveConfig(**raw)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="bifrost_spark archival daemon")
+    ap.add_argument("-c", "--config", default="./etc/archive.json",
+                    help="JSON config path (default ./etc/archive.json)")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    spark = get_spark("bifrost-archive")
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    query = start_archive(spark, cfg)
+
+    requested = {"stop": False}
+
+    def shutdown(signum, frame):  # graceful stop: query, then session
+        requested["stop"] = True
+        query.stop()
+
+    signal.signal(signal.SIGTERM, shutdown)
+    signal.signal(signal.SIGINT, shutdown)
+    try:
+        query.awaitTermination()
+    except Exception:
+        # the signal lands while awaitTermination blocks in the gateway
+        # call, so the interrupted call errors after query.stop() — that is
+        # the expected graceful-shutdown path, anything else is real
+        if not requested["stop"]:
+            raise
+    finally:
+        spark.streams.removeListener(listener)
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

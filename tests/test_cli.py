@@ -1,0 +1,102 @@
+"""End-to-end CLI test: the archival daemon boots from a JSON config, runs
+the standing query, archives staged input, and shuts down gracefully on
+SIGTERM — the reference's whole process lifecycle (main.clj:25-37) at its
+real surface (a separate OS process).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bifrost_spark.tables import load_table
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def staged_input(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli_in"))
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select(
+            F.col("event_type").alias("topic"),
+            F.pmod("user_id", F.lit(4)).cast("int").alias("partition"),
+            F.col("event_id").alias("offset"),
+            F.encode("props", "UTF-8").alias("value"),
+            "ts",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path, ev.count()
+
+
+def test_cli_archives_and_stops_on_sigterm(staged_input, tmp_path):
+    in_path, n_rows = staged_input
+    out = str(tmp_path / "out")
+    cfg = {
+        "output_path": out,
+        "checkpoint_path": str(tmp_path / "ckpt"),
+        "source": "file",
+        "input_path": in_path,
+        "rotation_interval_secs": 1,
+    }
+    cfg_path = str(tmp_path / "archive.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "bifrost_spark.main", "-c", cfg_path],
+        cwd=REPO,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        # wait until the archive materializes all rows
+        import duckdb
+
+        deadline = time.time() + 120
+        done = False
+        while time.time() < deadline:
+            try:
+                n = duckdb.sql(
+                    f"SELECT count(*) FROM parquet_scan('{out}/*/*/*.parquet', hive_partitioning=1)"
+                ).fetchone()[0]
+                if n >= n_rows:
+                    done = True
+                    break
+            except Exception:
+                pass
+            time.sleep(2)
+        assert done, "archive did not complete within 120s"
+
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=60)
+        assert proc.returncode == 0, f"daemon exited {proc.returncode}"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def test_cli_rejects_unknown_config_key(tmp_path):
+    cfg_path = str(tmp_path / "bad.json")
+    with open(cfg_path, "w") as fh:
+        json.dump({"output_path": "/tmp/x", "checkpoint_path": "/tmp/y", "bogus": 1}, fh)
+    proc = subprocess.run(
+        [sys.executable, "-m", "bifrost_spark.main", "-c", cfg_path],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode != 0
+    assert "unknown config keys" in proc.stderr

@@ -7,8 +7,8 @@ here the approximate operators are measured AGAINST those exact twins:
   parameters make a false negative vanishingly unlikely at j>=0.5);
 * SimHash blocking must keep every true near-dup pair (recall gate only —
   hamming<=8 on short docs is deliberately loose, precision is not gated);
-* SRP-LSH ANN must keep a majority of the exact top-k neighbor set at the
-  4-bit x 8-table settings.
+* SRP-LSH ANN must keep >=0.8 of the exact top-k neighbor set at the
+  4-bit x 8-table x 1-bit-multiprobe settings (measured: 1.0).
 
 Runs at sf0.01 (BIFROST_QUALITY_SF_DIR to override): large enough for
 real near-dup structure, small enough for CI.
@@ -81,4 +81,4 @@ def test_ann_lsh_recall(spark):
         for r in qs["q_sim_ann_lsh"](spark, SF_DIR).collect()
     }
     recall = len(top & ann) / len(top)
-    assert recall >= 0.5, f"ann recall {recall:.2f} < 0.5"
+    assert recall >= 0.8, f"ann recall {recall:.2f} < 0.8"
