@@ -119,6 +119,87 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("resized_payload", BinaryType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+    ]
+)
+
+
+def _resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Binary-in/binary-out Arrow transform — the resize pipeline shape.
+
+    A real implementation decodes, resizes to (out_w, out_h), re-encodes
+    (see decode_media for why that is stubbed); the stand-in emits a
+    deterministic byte prefix so the full binary round-trip through Arrow
+    (bytes → Python → bytes) is exercised and testable."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].values,
+                "resized_payload": [bytes(p[:256]) for p in pdf["payload"]],
+                "out_w": [256] * len(pdf),
+                "out_h": [256] * len(pdf),
+            }
+        )
+
+
+@query("q_multimodal_resize", oracle=None)  # binary-out mapInPandas → rows-only
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pipeline shape: binary payloads through an Arrow-batched
+    transform and back out as binary + typed dimensions.  The decode/encode
+    kernel is stubbed (decode_media); the schema, batching, and round-trip
+    are real."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    return m.select("media_id", "payload").mapInPandas(_resize_stub, _RESIZE_SCHEMA)
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(i AS BIGINT) AS frame_idx,
+               CAST(i * 100 AS BIGINT) AS byte_offset
+        FROM (
+          SELECT doc_id,
+                 CAST(floor(octet_length(encode(text)) / 100) AS BIGINT) AS n_frames
+          FROM documents
+          WHERE CAST(doc_id % 3 AS INT) = 2
+        ),
+        UNNEST(range(0, n_frames, 5)) AS t(i)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video payloads: every 5th frame index with its byte
+    offset, frame count derived from payload size (the deterministic stand-in
+    for container parsing).  Pure JVM sequence+explode — the sampling plan
+    (which frames to decode) never touches Python; only the decode of the
+    SELECTED frames would, keeping Python work proportional to sampled
+    frames, not total footage."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    n_frames = F.floor(F.length("payload") / 100).cast("bigint")
+    # sequence() rejects an empty 0..-1 range — payloads under one frame
+    # emit no rows (matches the oracle's empty range())
+    m = m.filter(n_frames > 0)
+    return (
+        m.select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(5).cast("bigint"))
+            ).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") >= 0)
+        .select(
+            "media_id",
+            "frame_idx",
+            (F.col("frame_idx") * 100).cast("bigint").alias("byte_offset"),
+        )
+    )
+
+
 @query("q_multimodal_features", oracle=None)  # mapInPandas path → rows-only
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow-batched mapInPandas

@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the hand-built join operators.
+
+The oracle-parity suite checks ONE fixed dataset; these properties check the
+*algorithms* on adversarial small inputs: the banded range join must equal
+the naive inequality join on any input, and the union+window as-of join must
+equal the per-row argmax definition on any input.  Small generated inputs,
+exhaustive ground truth computed in Python.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+# (user_id 0..3, seconds offset 0..7200) — collisions and boundary hits likely
+event_lists = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 7200)),
+    min_size=0,
+    max_size=30,
+    unique=True,
+)
+
+RANGE_SECS = 1800  # 30 min, matches q_join_range's window
+
+
+def _mk_events(spark, events):
+    rows = [
+        (i, uid, EPOCH + datetime.timedelta(seconds=s))
+        for i, (uid, s) in enumerate(events)
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=event_lists)
+def test_banded_range_join_equals_naive(spark, events):
+    df = _mk_events(spark, events)
+    band_us = RANGE_SECS * 1_000_000
+    band = (F.unix_micros(F.col("ts")) / F.lit(band_us)).cast("bigint")
+    a = df.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(band, band - 1)).alias("band"),
+    )
+    b = df.select(
+        "user_id",
+        F.col("event_id").alias("event_b"),
+        F.col("ts").alias("ts_b"),
+        band.alias("band"),
+    )
+    got = {
+        (r.event_a, r.event_b)
+        for r in (
+            a.join(b, ["user_id", "band"])
+            .filter(
+                (F.col("ts_b") < F.col("ts_a"))
+                & (F.col("ts_b") >= F.col("ts_a") - F.expr(f"INTERVAL {RANGE_SECS} SECOND"))
+            )
+            .select("event_a", "event_b")
+            .dropDuplicates(["event_a", "event_b"])
+            .collect()
+        )
+    }
+    naive = {
+        (ia, ib)
+        for ia, (ua, sa) in enumerate(events)
+        for ib, (ub, sb) in enumerate(events)
+        if ua == ub and sb < sa and sb >= sa - RANGE_SECS
+    }
+    assert got == naive
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=event_lists, cutoff=st.integers(0, 3))
+def test_asof_union_window_equals_argmax(spark, events, cutoff):
+    """Left side: events of users <= cutoff; right side: all events.  For
+    each left row the as-of match is the right row with max ts <= left ts
+    (excluding itself as rows are distinct by construction), argmax broken
+    by event_id — computed naively in Python and via the union+window plan."""
+    df = _mk_events(spark, events)
+    left = df.filter(F.col("user_id") <= cutoff)
+    right = df
+
+    l_tag = left.select(
+        "user_id", "ts", F.lit(None).cast("long").alias("right_id"),
+        F.col("event_id").alias("left_id"), F.lit(1).alias("side"),
+    )
+    r_tag = right.select(
+        "user_id", "ts", F.col("event_id").alias("right_id"),
+        F.lit(None).cast("long").alias("left_id"), F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "right_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r.left_id, r.asof)
+        for r in l_tag.unionByName(r_tag)
+        .withColumn("asof", F.last("right_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("left_id", "asof")
+        .collect()
+    }
+    naive = {}
+    for il, (ul, sl) in enumerate(events):
+        if ul > cutoff:
+            continue
+        cands = [
+            (sr, ir)
+            for ir, (ur, sr) in enumerate(events)
+            if ur == ul and sr <= sl
+        ]
+        naive[il] = max(cands)[1] if cands else None
+    assert got == set(naive.items())
