@@ -124,6 +124,28 @@ def start_sessionizer(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, drop replays.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark horizon — without it the key set grows forever, which is the
+    difference between O(keys-in-window) and O(all-keys-ever) state at
+    100 TB/day.  Exactly the semantics a training-data ingest needs against
+    at-least-once upstreams (e.g. the reference's replay-on-crash delivery,
+    s3.clj:40-80): replays within the horizon are dropped, and anything
+    older is already archived and handled by the batch dedup
+    (q_dedup_exact) downstream.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def windowed_rollup(events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """Event-time tumbling rollup with late-data handling (A10, event-time).
 

@@ -90,6 +90,50 @@ def test_windowed_rollup_matches_batch(spark, staged_events, tmp_path):
     assert len(emitted) >= 0.8 * len(truth), (len(emitted), len(truth))
 
 
+def test_streaming_dedup_drops_replays(spark, staged_events, tmp_path):
+    """Feed the staged stream TWICE (copy the files) — every row is a replay
+    of itself; the watermarked dedup must emit each (topic, partition,
+    offset) exactly once."""
+    import glob
+    import shutil
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from bifrost_spark.streaming.stateful import streaming_dedup
+
+    dup_path = str(tmp_path / "dup_in")
+    shutil.copytree(staged_events, dup_path)
+    for i, f in enumerate(glob.glob(f"{staged_events}/*.parquet")):
+        shutil.copy(f, f"{dup_path}/replay-{i}.parquet")
+
+    schema = StructType(
+        MESSAGE_SCHEMA.fields
+        + [StructField("user_id", LongType()), StructField("event_value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(dup_path)
+        .select("topic", "partition", "offset", "ts")
+    )
+    q = (
+        streaming_dedup(stream, ("topic", "partition", "offset"))
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    n_unique = spark.read.parquet(staged_events).count()
+    assert out.count() == n_unique
+    assert out.select("topic", "partition", "offset").distinct().count() == n_unique
+
+
 def test_sessionizer_closes_sessions(spark, staged_events, tmp_path):
     from pyspark.sql.types import LongType, DoubleType, StructField, StructType
 
