@@ -47,6 +47,7 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_pivot",
     "q_grouping_sets",
+    "q_composite_report",
 ]
 
 

@@ -333,6 +333,57 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_composite_report",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+        ORDER BY revenue DESC, o_orderpriority, order_month
+        LIMIT 10
+    """,
+)
+def q_composite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pipeline (TPC-H Q3 shape): selective dimension filter →
+    two fact joins → hash aggregate with distinct → total sort → top-k.
+    The segment filter prunes customer BEFORE the join (Catalyst pushes it
+    into the scan), the joins shuffle on their keys with AQE sizing, and
+    the final sort is a top-10 TakeOrdered, not a full sort.  Ties broken
+    on the full key chain for a deterministic LIMIT."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderpriority"), F.asc("order_month"))
+        .limit(10)
+    )
+
+
+@query(
     "q_subquery_scalar",
     oracle="""
         SELECT c_custkey, c_acctbal

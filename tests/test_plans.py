@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the properties SCALE.md claims must stay
+true as queries evolve — filters reach the scan, dimension joins broadcast,
+no nested-loop joins sneak in, top-k doesn't full-sort.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from bifrost_spark import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        registry.queries()[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_filter_pushdown")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters in plan"
+    line = pushed[0]
+    for expected in ("GreaterThan(value", "IsNotNull(props)", "EqualTo(event_type"):
+        assert expected in line, f"missing {expected} in {line}"
+
+
+def test_multiway_join_broadcasts_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_multiway")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_range")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sort_limit_uses_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_sort_limit")
+    assert "TakeOrderedAndProject" in plan, "top-k should not be a full sort"
+
+
+def test_composite_report_topk_and_pruned_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_composite_report")
+    assert "TakeOrderedAndProject" in plan
+    # segment filter pushed into the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_events")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "props" not in read[0], "unreferenced column not pruned"
