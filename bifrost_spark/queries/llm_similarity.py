@@ -109,6 +109,75 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embedding_norm",
+    oracle="""
+        SELECT vec_id,
+               [CAST(x AS DOUBLE) / sqrt(nrm2) FOR x IN embedding] AS unit_vec
+        FROM (
+          SELECT vec_id, embedding,
+                 CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                       AS DECIMAL(22,18)))
+                       FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
+          FROM embeddings
+        )
+    """,
+)
+def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization to unit vectors — the standard pre-index transform
+    (cosine becomes plain dot product downstream).  Bit-stable output: the
+    squared norm accumulates in DECIMAL (exact), and sqrt + per-element
+    division are single IEEE ops, so the double array is identical in both
+    engines.  Pure per-row expression, no shuffle."""
+    from bifrost_spark.operators.vectors import norm2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(norm2(F.col("embedding")))
+    return e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm).alias(
+            "unit_vec"
+        ),
+    )
+
+
+@query(
+    "q_embedding_quant",
+    oracle="""
+        SELECT vec_id,
+               amax,
+               [CAST(round(CAST(x AS DOUBLE) * 127.0 / amax) AS INT)
+                FOR x IN embedding] AS q8
+        FROM (
+          SELECT vec_id, embedding,
+                 (SELECT MAX(abs(CAST(x AS DOUBLE))) FROM UNNEST(embedding) AS u(x))
+                   AS amax
+          FROM embeddings
+        )
+        WHERE amax > 0
+    """,
+)
+def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (absmax scaling) — 4× storage reduction
+    for ANN indexes.  amax is an exact float→double max; x·127/amax is a
+    fixed IEEE sequence identical in both engines, and both round halves
+    away from zero (exact .5 quotients are vanishingly rare in this float
+    math anyway), so the int arrays hash-compare exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    q = e.select("vec_id", F.col("embedding"), amax.alias("amax")).filter(
+        F.col("amax") > 0
+    )
+    return q.select(
+        "vec_id",
+        "amax",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 127.0 / F.col("amax")).cast("int"),
+        ).alias("q8"),
+    )
+
+
 @query("q_sim_ann_lsh", oracle=None)  # approximate by design → rows-only
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via sign-random-projection LSH (4-bit buckets, 8
