@@ -8,7 +8,7 @@ The ``documents`` fixture is the corpus stand-in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bifrost_spark.registry import query
@@ -128,6 +128,47 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sw_hits.cast("double") / n_toks).alias("stopword_ratio"),
         (n_chars.cast("double") / n_toks).alias("mean_token_len"),
     )
+
+
+# Engine-portable deterministic bucket 0..99: md5 is the only hash both
+# engines share, so derive the bucket from the first two hex bytes.
+_BUCKET_SQL = (
+    "(ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)) * 256"
+    " + ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 2, 1))) % 100"
+)
+
+
+def _bucket_col() -> Column:
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")))
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+
+
+@query(
+    "q_sample_mixture",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE {_BUCKET_SQL} <
+              CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 50 ELSE 25 END
+    """,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixing: keep 80%
+    of English, 50% of Chinese, 25% of everything else, by hashing each
+    document into a stable 0..99 bucket (content-derived md5 — the one hash
+    both engines share, so the sample is exactly reproducible anywhere).
+    Hash-bucket sampling beats rand(): retried tasks, re-runs, and different
+    partitionings all select the SAME documents — a requirement for
+    reproducible training sets.  Pure scan-side predicate, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(25)
+    )
+    return d.filter(_bucket_col() < rate).select("doc_id", "lang", "source")
 
 
 @query(
