@@ -127,6 +127,27 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_full",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, s.s_suppkey, s.s_name
+        FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        FULL OUTER JOIN (SELECT * FROM supplier WHERE s_acctbal > 9000) s
+          ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the one flavor that can never broadcast (both sides
+    must surface unmatched rows), so it exercises the shuffled sort-merge
+    path even when a side is tiny.  High-balance customers × suppliers per
+    nation, keeping nations present on only one side."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        "c_custkey", "c_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
     "q_join_semi",
     oracle="""
         SELECT c_custkey, c_name, c_acctbal
