@@ -237,6 +237,40 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_range_frame",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_10m_sum
+        FROM events
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed analytic window: per-user rolling 10-minute value sum —
+    value-based frames (all rows within the interval), not row-count frames.
+    Spark's rangeBetween needs a numeric sort key, so ts becomes epoch
+    microseconds (both engines order identically); the sum accumulates in
+    DECIMAL for order-independence.  The per-user frame is bounded by event
+    rate × 10 min, so state stays O(frame) at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_10m_sum"),
+    )
+
+
+@query(
     "q_window_lead_lag",
     oracle="""
         SELECT event_id,

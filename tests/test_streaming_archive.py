@@ -127,6 +127,40 @@ def test_checkpoint_restart_no_duplicates(spark, staged_messages, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == n_msgs
 
 
+def test_midstream_kill_and_restart_exactly_once(spark, staged_messages, tmp_path):
+    """Kill the query after the FIRST micro-batch (mid-stream, unconsumed
+    input remaining), restart from the checkpoint, and drain: the archive
+    must contain every message exactly once — the stronger version of the
+    reference's crash contract (its at-least-once FSM re-uploads the same
+    object key; the checkpoint + sink manifest deduplicates outright)."""
+    in_path, n_msgs = staged_messages
+    cfg = ArchiveConfig(
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        source="file",
+        input_path=in_path,
+        max_files_per_trigger=1,  # 4 staged files → 4 batches
+        rotation_interval_secs=1,
+    )
+    q = start_archive(spark, cfg)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress.get("numInputRows", 0) > 0:
+            break
+        time.sleep(0.5)
+    q.stop()  # kill mid-stream: 3 of 4 files unprocessed
+
+    partial = spark.read.parquet(str(tmp_path / "out")).count()
+    assert 0 < partial < n_msgs, f"expected a partial archive, got {partial}/{n_msgs}"
+
+    _drain(start_archive(spark, cfg))  # restart from checkpoint
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == n_msgs
+    assert (
+        out.select("topic", "partition", "offset").distinct().count() == n_msgs
+    ), "duplicates after restart"
+
+
 def test_topic_filter(spark, staged_messages, tmp_path):
     in_path, _ = staged_messages
     cfg = ArchiveConfig(
