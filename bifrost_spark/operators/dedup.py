@@ -97,15 +97,18 @@ def minhash_signatures(
     only in variance, while family hashing, aggregation, and the explode
     volume all shrink by m.  Quality gates in tests/test_sketch_quality.py
     hold at m=4 (recall=precision=1.0 on the fixtures).
+
+    Unlike the exact-Jaccard path, shingles are NOT deduplicated first:
+    min over a multiset equals min over its set, so ``array_distinct``
+    (string set-building, the priciest part of shingling) is pure waste
+    here.  The winnow filter also runs array-side, before the explode.
     """
-    bases = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(char_shingle_array(text_col, k), lambda g: F.xxhash64(g))
-        ).alias("base"),
-    )
+    n = F.length(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    gram_hashes = F.transform(starts, lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(k))))
     if winnow_mod > 1:
-        bases = bases.filter(F.pmod("base", F.lit(winnow_mod)) == 0)
+        gram_hashes = F.filter(gram_hashes, lambda b: F.pmod(b, F.lit(winnow_mod)) == 0)
+    bases = df.select(F.col(id_col), F.explode(gram_hashes).alias("base"))
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"h{i}")
         for i in range(num_hashes)
