@@ -146,6 +146,30 @@ def streaming_dedup(
     )
 
 
+def session_rollup(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Native event-time session windows (the idiomatic twin of the custom
+    ``sessionized`` operator): ``F.session_window`` merges rows into
+    variable-length windows separated by ``gap``, watermark-bounded.
+
+    Two sessionizers on purpose: this one when per-session aggregates
+    suffice (built-in state handling, no Python), ``sessionized`` when the
+    per-event fold needs arbitrary logic (custom features, early emission).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").cast("int").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_rollup(events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """Event-time tumbling rollup with late-data handling (A10, event-time).
 

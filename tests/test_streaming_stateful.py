@@ -90,6 +90,55 @@ def test_windowed_rollup_matches_batch(spark, staged_events, tmp_path):
     assert len(emitted) >= 0.8 * len(truth), (len(emitted), len(truth))
 
 
+def test_native_session_rollup_subset_of_batch(spark, staged_events, tmp_path):
+    """F.session_window streaming sessions: emitted (watermark-finalized)
+    sessions must exactly match rows of the batch session_window answer over
+    the same input."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from bifrost_spark.streaming.stateful import session_rollup
+
+    schema = StructType(
+        MESSAGE_SCHEMA.fields
+        + [StructField("user_id", LongType()), StructField("event_value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged_events)
+        .select("user_id", "ts")
+    )
+    q = (
+        session_rollup(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    src = spark.read.parquet(staged_events).select("user_id", "ts")
+    batch = (
+        src.groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(F.count("*").cast("int").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    emitted = {tuple(r) for r in got.collect()}
+    truth = {tuple(r) for r in batch.collect()}
+    assert emitted, "no sessions emitted"
+    assert emitted <= truth
+    assert len(emitted) >= 0.8 * len(truth), (len(emitted), len(truth))
+
+
 def test_streaming_dedup_drops_replays(spark, staged_events, tmp_path):
     """Feed the staged stream TWICE (copy the files) — every row is a replay
     of itself; the watermarked dedup must emit each (topic, partition,
