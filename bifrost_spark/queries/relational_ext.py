@@ -507,6 +507,49 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_null_semantics",
+    oracle="""
+        SELECT a.c_custkey,
+               b.c_custkey AS other_key,
+               COALESCE(a.c_acctbal, 0.0) AS bal_or_zero,
+               (a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal) AS same_bal
+        FROM (SELECT c_custkey,
+                     CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS c_acctbal
+              FROM customer) a
+        JOIN (SELECT c_custkey,
+                     CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS c_acctbal
+              FROM customer) b
+          ON b.c_custkey = a.c_custkey + 1
+        ORDER BY a.c_custkey
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: NULL injection via CASE, COALESCE defaulting,
+    and null-safe equality (Spark ``eqNullSafe`` = SQL IS NOT DISTINCT
+    FROM — NULL<=>NULL is true, unlike ``=``).  The adjacent-key self-join
+    keeps the pairing deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    nulled = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias(
+            "c_acctbal"
+        ),
+    )
+    a = nulled.alias("a")
+    b = nulled.alias("b")
+    return (
+        a.join(b, F.col("b.c_custkey") == F.col("a.c_custkey") + 1)
+        .select(
+            F.col("a.c_custkey").alias("c_custkey"),
+            F.col("b.c_custkey").alias("other_key"),
+            F.coalesce(F.col("a.c_acctbal"), F.lit(0.0)).alias("bal_or_zero"),
+            F.col("a.c_acctbal").eqNullSafe(F.col("b.c_acctbal")).alias("same_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
     "q_dedup_keep_best",
     oracle="""
         SELECT doc_id, text_hash FROM (
