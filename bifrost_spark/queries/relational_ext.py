@@ -507,6 +507,32 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_json_schema",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                 AS sum_k
+        FROM events
+        WHERE props IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def q_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing: ``from_json`` with an explicit struct
+    schema (JsonToStructs — vectorizable, typed, fails fast on drift),
+    versus q_json_extract's schema-less get_json_object path.  Aggregating
+    the parsed field proves the struct column composes with downstream
+    relational ops."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    parsed = ev.withColumn("j", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("j.k")).alias("sum_k"),
+    )
+
+
+@query(
     "q_null_semantics",
     oracle="""
         SELECT a.c_custkey,
