@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from bifrost_spark.operators.dedup import (
     char_shingles,
+    connected_components,
     exact_jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -163,3 +164,53 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b")
     )
+
+
+@query(
+    "q_dedup_cluster",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id,
+                 substr(text, CAST(i AS INT), {SHINGLE_K}) AS shingle
+          FROM documents,
+               UNNEST(range(1, greatest(len(text) - {SHINGLE_K - 1}, 1) + 1)) AS t(i)
+        ),
+        cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        walk(id, component) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.component
+          FROM edges e JOIN walk w ON e.dst = w.id
+          WHERE w.component < e.src OR w.component < w.id
+        )
+        SELECT id, MIN(component) AS component
+        FROM walk GROUP BY id
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the exact-Jaccard
+    pairs, component labeled by its min doc_id — the step after pair
+    generation in every dedup pipeline (keep one doc per component, drop
+    the rest).  Iterative min-label propagation (operators/dedup.py);
+    rounds = component diameter, each round one shuffle join over |edges|.
+    Oracle: DuckDB recursive CTE reachability."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=SHINGLE_K)
+    pairs = exact_jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    return connected_components(pairs)

@@ -78,6 +78,43 @@ def test_banded_range_join_equals_naive(spark, events):
     assert got == naive
 
 
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_connected_components_equals_union_find(spark, edges):
+    from bifrost_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    ).distinct()
+    got = {
+        (r.id, r.component) for r in connected_components(pairs, max_iter=30).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    verts = {v for e in edges for v in e}
+    truth = {(v, find(v)) for v in verts}
+    assert got == truth
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(events=event_lists, cutoff=st.integers(0, 3))
 def test_asof_union_window_equals_argmax(spark, events, cutoff):
