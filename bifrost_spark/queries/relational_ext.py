@@ -575,6 +575,22 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_approx_quantile", oracle=None)  # sketch-specific → rows-only
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via approx_percentile (Greenwald-Khanna
+    sketch, mergeable partial state — the streaming/partitioned-safe twin of
+    the exact q_median).  accuracy=10000 bounds rank error at 1/10000·n.
+    tests/test_sketch_quality.py asserts closeness to the exact
+    percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_q"),
+        F.count("*").alias("n"),
+    )
+
+
 @query(
     "q_dedup_keep_best",
     oracle="""

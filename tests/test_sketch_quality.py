@@ -70,6 +70,29 @@ def test_embedding_dedup_matches_bruteforce(spark):
     assert got == truth
 
 
+def test_approx_quantile_close_to_exact(spark):
+    """approx_percentile at accuracy=10000 must land within one rank-error
+    bucket of the exact percentile on every group."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.tables import load_table
+
+    got = {
+        r.l_returnflag: r.approx_q
+        for r in registry.queries()["q_agg_approx_quantile"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.l_returnflag: r.ex
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, array(0.5, 0.9, 0.99))").alias("ex"))
+        .collect()
+    }
+    for flag, approx in got.items():
+        for a, e in zip(approx, exact[flag]):
+            assert abs(a - e) <= max(1.0, 0.02 * e), (flag, a, e)
+
+
 def test_ann_lsh_recall(spark):
     qs = registry.queries()
     top = {
