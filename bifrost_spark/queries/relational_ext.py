@@ -575,6 +575,45 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_date_arith",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS review_date,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+               CAST(date_part('quarter', o_orderdate) AS BIGINT) AS order_quarter,
+               CAST(date_part('dow', o_orderdate) AS BIGINT) AS day_of_week,
+               CAST((2000 * 12 + 1) - (YEAR(o_orderdate) * 12 + MONTH(o_orderdate))
+                    AS BIGINT) AS months_to_y2k
+        FROM orders
+    """,
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic: day and month interval addition (month
+    addition clamps to month end — both engines agree), last_day, quarter
+    and day-of-week extraction, calendar-month distance (year*12+month
+    arithmetic — identical in both engines; DuckDB lacks months_between and
+    its date_diff counts boundary crossings, a different semantic).
+    day-of-week is normalized to DuckDB's Sunday=0 convention (Spark
+    dayofweek is Sunday=1)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("review_date"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("day_of_week"),
+        (
+            F.lit(2000 * 12 + 1)
+            - (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("months_to_y2k"),
+    )
+
+
 @query("q_agg_approx_quantile", oracle=None)  # sketch-specific → rows-only
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via approx_percentile (Greenwald-Khanna
