@@ -631,6 +631,50 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corr",
+    oracle="""
+        SELECT l_returnflag,
+               (CAST(COUNT(*) AS DOUBLE)
+                  * CAST(SUM(CAST(l_quantity * (l_extendedprice / 1000.0) AS DECIMAL(28,6))) AS DOUBLE)
+                - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_extendedprice / 1000.0 AS DECIMAL(28,6))) AS DOUBLE))
+               / sqrt(
+                   (CAST(COUNT(*) AS DOUBLE)
+                      * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                    - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                      * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE))
+                   * (CAST(COUNT(*) AS DOUBLE)
+                      * CAST(SUM(CAST((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) AS DECIMAL(28,6))) AS DOUBLE)
+                    - CAST(SUM(CAST(l_extendedprice / 1000.0 AS DECIMAL(28,6))) AS DOUBLE)
+                      * CAST(SUM(CAST(l_extendedprice / 1000.0 AS DECIMAL(28,6))) AS DOUBLE))
+                 ) AS qty_price_corr
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moments:
+    corr = (n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)).
+    Price is pre-scaled by 1/1000 (correlation is scale-invariant) so every
+    decimal sum stays below 2^53 in scaled-integer terms — above that, the
+    two engines' decimal→double conversions can differ in the last ulp.
+    The per-row double math and decimal roundings are identical in both
+    engines, so the result hash-matches — unlike native corr(), whose
+    one-pass co-moment accumulation is order-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    px = F.col("l_extendedprice") / 1000.0
+    n = F.count("*").cast("double")
+    sx = F.sum(F.col("l_quantity").cast(dec)).cast("double")
+    sy = F.sum(px.cast(dec)).cast("double")
+    sxy = F.sum((F.col("l_quantity") * px).cast(dec)).cast("double")
+    sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec)).cast("double")
+    syy = F.sum((px * px).cast(dec)).cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return li.groupBy("l_returnflag").agg(corr.alias("qty_price_corr"))
+
+
+@query(
     "q_dedup_keep_best",
     oracle="""
         SELECT doc_id, text_hash FROM (
