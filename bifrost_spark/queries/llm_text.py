@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
@@ -191,4 +192,69 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, term, rnk FROM (
+          SELECT tf.doc_id, tf.term,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC,
+                            tf.term
+                 ) AS BIGINT) AS rnk
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        ) WHERE rnk <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (tf · ln(N/df), whitespace
+    tokens, case-folded).
+
+    Scale shape: tf is ONE shuffle on (doc_id, term) with map-side combine;
+    df derives from tf (never re-reads text) and its term dictionary is
+    Zipf-bounded, so the df↔tf join broadcasts; N is a plan-time literal
+    (one count job), avoiding a cross-join stage.  The final per-doc top-3
+    window shuffles only (doc_id, term, score) triples — bytes ∝ token
+    vocabulary, not corpus text.
+
+    Determinism: tf/df/N are exact integers; the score is kept OUT of the
+    compared output (Java's Math.log and DuckDB's std::log may differ in
+    the last ulp) while the RANK is ulp-robust — integer-derived log scores
+    are well separated, and exact score ties (equal tf and df) break by
+    term.  Same discipline as the cosine-ranking queries."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = float(d.count())
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id", "term", F.row_number().over(w).cast("bigint").alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
     )

@@ -1,0 +1,262 @@
+"""Second extension wave of the relational surface: subquery flavors
+(EXISTS / NOT IN), unpivot, regex extraction, distribution window functions
+(percent_rank / cume_dist / nth_value), min_by/max_by argmax aggregation,
+conditional aggregation, and ordered array collection.
+
+Like relational_ext.py these go beyond the reference's A-surface
+(uswitch/bifrost has no query engine at all — SURVEY.md §2 Part A′); they
+complete the SQL surface a user would expect when replacing the reference's
+downstream consumers.  Every query here is DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bifrost_spark.queries._util import sql_dsum
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+
+@query(
+    "q_subquery_exists",
+    oracle="""
+        SELECT o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o.o_orderpriority
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders with at least one line
+    shipped after the order date, counted per priority.
+
+    Spark plan: EXISTS decorrelates to a LEFT SEMI hash join on the
+    equi-part of the predicate (l_orderkey = o_orderkey) with the
+    inequality as a join residual — one shuffle on orderkey, then a
+    map-side-combined count.  No per-row subquery execution anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    hit = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "q_subquery_not_in",
+    oracle="""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey NOT IN (
+          SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+        )
+    """,
+)
+def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery: parts never ordered in a quantity-49+ line.
+
+    ``l_partkey`` is non-nullable in the fixture, so NOT IN ≡ anti join;
+    Spark plans the anti join as one hash shuffle on partkey (with a
+    nullable subquery column Spark would switch to a null-aware anti join
+    — same API, stricter plan — which is exactly SQL's three-valued NOT IN
+    semantics)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return p.join(
+        l, p.p_partkey == l.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+        SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+        FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of two part attributes.
+
+    Uses the native ``DataFrame.unpivot`` (Spark's UNPIVOT/stack) — a pure
+    narrow map (each input row emits |values| rows), no shuffle at any
+    scale.  Oracle spelled as UNION ALL, the engine-portable equivalent."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+@query(
+    "q_regex_extract",
+    oracle="""
+        SELECT c_custkey,
+               regexp_extract(c_name, '([0-9]+)', 1) AS cust_num,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+        FROM customer
+        WHERE regexp_matches(c_name, '[0-9]')
+    """,
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction/masking/filtering over customer names.
+
+    Patterns restricted to the common subset of Java regex (Spark) and RE2
+    (DuckDB) — char classes + capture groups — so both engines agree.
+    Per-row narrow ops, codegen'd JVM-side; no Python in the loop."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").rlike("[0-9]")).select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("cust_num"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+    )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               nth_value(c_custkey, 2) OVER (
+                 PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_richest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank, cume_dist, nth_value.
+
+    percent_rank = (rank−1)/(N−1) and cume_dist = peers≤x / N are single
+    IEEE divisions of exact integers — bit-identical across engines; the
+    (c_acctbal, c_custkey) order key is unique so ranks are deterministic.
+    One shuffle on the partition key, same as any window."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+    )
+
+
+@query(
+    "q_min_max_by",
+    oracle="""
+        SELECT c_mktsegment,
+               max(CASE WHEN rn_desc = 1 THEN c_name END) AS richest,
+               max(CASE WHEN rn_asc = 1 THEN c_name END) AS poorest,
+               max(c_acctbal) AS max_bal
+        FROM (
+          SELECT *,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_desc,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal ASC, c_custkey ASC) AS rn_asc
+          FROM customer
+        )
+        GROUP BY c_mktsegment
+    """,
+)
+def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation: the customer name at each segment's
+    max/min balance, via native ``max_by``/``min_by``.
+
+    The ordering key is the STRUCT (c_acctbal, c_custkey) — lexicographic
+    struct comparison breaks balance ties by the unique key, making the
+    winner deterministic (bare max_by with a tied key is nondeterministic
+    everywhere).  Map-side-combinable single-shuffle agg.  DuckDB's max_by
+    rejects struct keys, so the oracle is an independent window-based
+    spelling with the identical tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.min_by("c_name", key).alias("poorest"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "q_cond_agg",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+                 AS n_big,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                 AS n_filled,
+               {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", "open_value")},
+               CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                 AS BIGINT) AS n_big_custs
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: FILTER-clause counts, CASE-gated sums, and
+    a filtered COUNT(DISTINCT) in one pass.
+
+    All conditions evaluate inside the same map-side partial aggregate —
+    one shuffle total (the distinct adds Spark's expand+regroup, still one
+    logical pass over orders).  The double sum accumulates in DECIMAL for
+    order-independence (see _util)."""
+    from bifrost_spark.queries._util import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(big).alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
+        dsum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0),
+            "open_value",
+        ),
+        F.count_distinct(F.when(big, F.col("o_custkey"))).alias("n_big_custs"),
+    )
+
+
+@query(
+    "q_collect_sorted",
+    oracle="""
+        SELECT r.r_name AS region,
+               list(n.n_name ORDER BY n.n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+)
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array collection: each region's nation names as a sorted
+    array.  ``collect_list`` order is partition-dependent in Spark, so the
+    deterministic form is collect-then-``array_sort`` — the result is then
+    independent of shuffle layout (and of DuckDB's ORDER BY-in-aggregate
+    spelling).  Broadcast join (region is tiny) + single-shuffle agg."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )

@@ -105,3 +105,17 @@ def test_ann_lsh_recall(spark):
     }
     recall = len(top & ann) / len(top)
     assert recall >= 0.8, f"ann recall {recall:.2f} < 0.8"
+
+
+def test_ann_ivf_recall(spark):
+    qs = registry.queries()
+    top = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["q_sim_topk"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["q_sim_ann_ivf"](spark, SF_DIR).collect()
+    }
+    recall = len(top & ivf) / len(top)
+    assert recall >= 0.8, f"ivf recall {recall:.2f} < 0.8"

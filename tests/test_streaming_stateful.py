@@ -258,3 +258,64 @@ def test_sessionizer_closes_sessions(spark, staged_events, tmp_path):
     }
     assert emitted, "expected at least one closed session"
     assert emitted <= truth, "streaming closed a session batch truth doesn't have"
+
+
+def test_windowed_rollup_on_rocksdb_state_store(spark, staged_events, tmp_path):
+    """Same rollup, RocksDB state store (the 100 TB state backend: state
+    lives off-heap/on-disk per executor instead of in the JVM heap, so key
+    cardinality is bounded by disk, not memory).  Output invariants must be
+    identical to the default HDFS-backed provider's."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = StructType(
+            MESSAGE_SCHEMA.fields
+            + [
+                StructField("user_id", LongType()),
+                StructField("event_value", DoubleType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged_events)
+        )
+        q = start_windowed_rollup(
+            stream, str(tmp_path / "out"), str(tmp_path / "ckpt"), interval_secs=1
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    src = spark.read.parquet(staged_events)
+    expect = (
+        src.groupBy(F.window("ts", "1 minute").alias("win"), "topic")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "topic",
+            "n",
+            "first_offset",
+            "last_offset",
+        )
+    )
+    emitted = {tuple(r) for r in got.collect()}
+    truth = {tuple(r) for r in expect.collect()}
+    assert emitted, "no windows emitted under RocksDB provider"
+    assert emitted <= truth, "RocksDB rollup emitted a row batch truth doesn't have"
+    assert len(emitted) >= 0.8 * len(truth), (len(emitted), len(truth))
