@@ -260,3 +260,135 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+        WITH b AS (
+          SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                 CAST(max(o_orderdate) AS DATE) AS hi
+          FROM orders
+        ),
+        days AS (
+          SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                             CAST(hi AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS day
+          FROM b
+        ),
+        d AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1
+        )
+        SELECT days.day AS day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_orders
+        FROM days LEFT JOIN d USING (day)
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling: daily order counts with explicit zero rows
+    for days that had no orders — the shape every dashboard/training-mix
+    rollup needs (missing ≠ zero only if you materialize the spine).
+
+    The spine is generated DISTRIBUTED: a one-row min/max aggregate feeds
+    ``sequence()`` + explode — no driver collect, no Python.  The daily
+    counts then LEFT-join the spine; the spine side is tiny (days, not
+    rows) so Catalyst broadcasts it.  At 100 TB the pattern is identical —
+    the spine's size depends on the date range, never the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    spine = (
+        o.agg(
+            F.min(F.to_date("o_orderdate")).alias("lo"),
+            F.max(F.to_date("o_orderdate")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders")
+    )
+
+
+@query(
+    "q_bitwise_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               bit_and(o_orderkey) AS key_and,
+               bit_or(o_orderkey) AS key_or,
+               bit_xor(o_orderkey) AS key_xor
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregation — commutative+associative, so
+    map-side partials combine exactly and the result is independent of
+    partitioning (XOR-folding is also the classic distributed checksum)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+@query(
+    "q_percentile_cont",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q1,
+               quantile_cont(l_quantity, 0.5) AS q2,
+               quantile_cont(l_quantity, 0.75) AS q3
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (continuous) percentiles per group.
+
+    Exact, not sketched: Spark's ``percentile`` sorts each group's values.
+    Cross-engine determinism holds because l_quantity is integer-valued and
+    the probes are dyadic (0.25/0.5/0.75): the interpolation position
+    g = frac((n−1)·p) is an exact binary fraction, so a + g·(b−a) is exact
+    IEEE arithmetic in both engines regardless of operation order.  The
+    sketch-based scale path for arbitrary doubles is q_agg_approx_quantile
+    (percentile_approx)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q1"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("q2"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q3"),
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+          SELECT event_type,
+                 make_timestamp(((epoch_us(ts) // 300000000) - k.k) * 300000000)
+                   AS window_start
+          FROM events, (SELECT unnest([0, 1]) AS k) k
+        )
+        GROUP BY window_start, event_type
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time window: 10-minute windows every 5
+    minutes — each event lands in size/slide = 2 windows.
+
+    Spark's ``window(ts, size, slide)`` expands rows to their windows
+    before the aggregate (same expand as the oracle's unnest([0,1])); the
+    aggregation stays one shuffle with map-side combine.  Window starts are
+    epoch-aligned slide multiples in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )

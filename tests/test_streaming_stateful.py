@@ -319,3 +319,62 @@ def test_windowed_rollup_on_rocksdb_state_store(spark, staged_events, tmp_path):
     assert emitted, "no windows emitted under RocksDB provider"
     assert emitted <= truth, "RocksDB rollup emitted a row batch truth doesn't have"
     assert len(emitted) >= 0.8 * len(truth), (len(emitted), len(truth))
+
+
+def test_stream_stream_attribution_join(spark, staged_events, tmp_path):
+    """Stream-stream windowed inner join (streaming/join.py): emitted
+    (click, purchase) pairs must be a subset of the batch range-join truth
+    over the same input, and cover nearly all of it after a full drain
+    (inner joins emit eagerly; the watermark only bounds state)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from bifrost_spark.streaming.join import (
+        ATTRIBUTION_WINDOW_SECS,
+        start_attribution_join,
+    )
+
+    schema = StructType(
+        MESSAGE_SCHEMA.fields
+        + [StructField("user_id", LongType()), StructField("event_value", DoubleType())]
+    )
+
+    def side(topic):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged_events)
+            .filter(F.col("topic") == topic)
+            .select("user_id", F.col("offset").alias("event_id"), "ts")
+        )
+
+    q = start_attribution_join(
+        side("click"), side("purchase"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    src = spark.read.parquet(staged_events)
+    c = src.filter(F.col("topic") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("offset").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = src.filter(F.col("topic") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("offset").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    truth_df = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SECS} SECONDS")
+        ),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    truth = {(r.user_id, r.click_id, r.purchase_id) for r in truth_df.collect()}
+    emitted = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in got.select("user_id", "click_id", "purchase_id").collect()
+    }
+    assert emitted, "stream-stream join emitted nothing"
+    assert emitted <= truth, "streaming join emitted a pair batch truth doesn't have"
+    assert len(emitted) >= 0.8 * len(truth), (len(emitted), len(truth))
