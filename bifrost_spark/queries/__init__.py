@@ -3,6 +3,7 @@
 import bifrost_spark.queries.relational  # noqa: F401
 import bifrost_spark.queries.relational_ext  # noqa: F401
 import bifrost_spark.queries.relational_ext2  # noqa: F401
+import bifrost_spark.queries.analytics  # noqa: F401
 import bifrost_spark.queries.parity  # noqa: F401
 import bifrost_spark.queries.llm_text  # noqa: F401
 import bifrost_spark.queries.llm_dedup  # noqa: F401

@@ -1,0 +1,268 @@
+"""Event-analytics operator family: funnel, cohort retention, SCD2 change
+tracking, MERGE-style upsert, and running-distinct windows.
+
+These are the standing questions a product/training-data team asks of the
+event stream the reference (uswitch/bifrost) merely archives — the engine
+answers them directly.  All five are DuckDB-oracle-checked.
+
+Note on events.ts: the fixture stores TIMESTAMP(NANOS); tables.py rebuilds
+a µs timestamp, and the oracle reads the same parquet natively, so both
+engines see identical µs instants (see tables.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "q_funnel",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t1
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+          GROUP BY e.user_id
+        )
+        SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+        UNION ALL
+        SELECT 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users counted at
+    each stage only if the step happened AT-OR-AFTER their entry into the
+    previous stage (min-timestamp semantics, the standard funnel rule).
+
+    Plan: one filtered min-aggregate per step, each joined to the previous
+    step's result — 3 shuffles on user_id, all map-side combined, and each
+    step's frontier shrinks monotonically.  At 100 TB the step frontiers
+    (one row per surviving user) are dimension-sized, so the step joins
+    broadcast; the events table is scanned once per step with the
+    event_type filter pushed to parquet."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.lit("view").alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        .unionAll(
+            c.agg(F.lit("click").alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        )
+        .unionAll(
+            p.agg(
+                F.lit("purchase").alias("stage"), F.count(F.lit(1)).alias("n_users")
+            )
+        )
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+        WITH first_seen AS (
+          SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) // 7
+                 AS BIGINT) AS weeks_since,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen ISO week,
+    activity counted per whole week since the cohort week started.
+
+    weeks_since is integer day-difference floor-divided by 7 — exact
+    integer arithmetic, engine-portable (both engines' date_trunc('week')
+    is ISO Monday).  Plan: first_seen is one shuffle on user_id; the join
+    back is user-dimension-sized (broadcastable); the distinct count is
+    the only other shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7
+            ).alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+        SELECT user_id, event_type, valid_from, lead(valid_from) OVER (
+                 PARTITION BY user_id ORDER BY valid_from, tie_id
+               ) AS valid_to
+        FROM (
+          SELECT user_id, event_type, ts AS valid_from, event_id AS tie_id
+          FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+          )
+          WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 change tracking: collapse each user's event stream to
+    rows where event_type CHANGED, with [valid_from, valid_to) validity
+    intervals (open interval = current state).
+
+    The dimension-build primitive for slowly-changing attributes: lag()
+    finds change points, lead() closes each interval at the next change.
+    Both windows share one partitioning (user_id) → a single shuffle; the
+    (ts, event_id) order key is unique so intervals are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.col("event_id").alias("tie_id"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "tie_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+        WITH tgt AS (
+          SELECT l_partkey AS p_partkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p.p_partkey,
+               CASE WHEN tgt.p_partkey IS NULL THEN 0.0 ELSE tgt.revenue END
+                 AS revenue,
+               p.p_retailprice AS retail_price,
+               CASE WHEN tgt.p_partkey IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS merge_action
+        FROM part p LEFT JOIN tgt ON tgt.p_partkey = p.p_partkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (Delta/Iceberg MERGE INTO semantics on plain
+    DataFrames): the per-part revenue state (target) is merged with the
+    part dimension (source) — WHEN MATCHED the state row is updated with
+    the retail price, WHEN NOT MATCHED a zero-revenue row is inserted
+    (parts never ordered exercise the insert branch for real).
+
+    MERGE on immutable storage is an outer join + branch projection that
+    REWRITES the state — exactly how Delta executes it under the hood;
+    at scale both sides hash-partition on the merge key (one shuffle
+    each) and the rewrite is partition-parallel.  The decimal-accumulated
+    revenue keeps the double bit-stable across engines (see _util)."""
+    from bifrost_spark.queries._util import dsum
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    target = l.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        dsum("l_extendedprice", "revenue")
+    )
+    matched = target["p_partkey"].isNotNull()
+    return p.join(target, "p_partkey", "left").select(
+        "p_partkey",
+        F.when(matched, F.col("revenue")).otherwise(F.lit(0.0)).alias("revenue"),
+        F.col("p_retailprice").alias("retail_price"),
+        F.when(matched, F.lit("updated")).otherwise(F.lit("inserted")).alias(
+            "merge_action"
+        ),
+    )
+
+
+@query(
+    "q_running_distinct",
+    oracle="""
+        SELECT e1.event_id, e1.user_id,
+               CAST((SELECT COUNT(DISTINCT e2.event_type) FROM events e2
+                     WHERE e2.user_id = e1.user_id
+                       AND (e2.ts < e1.ts
+                            OR (e2.ts = e1.ts AND e2.event_id <= e1.event_id)))
+                 AS INT) AS n_types_seen
+        FROM events e1
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user: after each event, how many distinct
+    event types has this user produced so far?  (The "behavioral breadth"
+    feature for churn/quality models.)
+
+    Spark: ``size(collect_set() OVER (... ROWS UNBOUNDED PRECEDING))`` —
+    one shuffle on user_id, state per frame bounded by |event types| (tiny
+    and fixed), so it scales with users × events linearly.  The oracle is
+    a correlated COUNT(DISTINCT) subquery — O(n²) per user, fine at
+    fixture scale, which is exactly why the window form is the engine's
+    implementation and the quadratic form is only the checker."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+    )

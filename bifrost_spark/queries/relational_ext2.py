@@ -291,10 +291,12 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup needs (missing ≠ zero only if you materialize the spine).
 
     The spine is generated DISTRIBUTED: a one-row min/max aggregate feeds
-    ``sequence()`` + explode — no driver collect, no Python.  The daily
-    counts then LEFT-join the spine; the spine side is tiny (days, not
-    rows) so Catalyst broadcasts it.  At 100 TB the pattern is identical —
-    the spine's size depends on the date range, never the fact table."""
+    ``sequence()`` + explode — no driver collect, no Python.  The spine
+    then LEFT-joins the aggregated daily counts; both sides are tiny
+    (days, not fact rows) post-aggregation, so the join broadcasts
+    (verified: BroadcastHashJoin LeftOuter over the counts).  At 100 TB
+    the pattern is identical — spine and join size depend on the date
+    range, never the fact table."""
     o = load_table(spark, sf_dir, "orders")
     spine = (
         o.agg(
