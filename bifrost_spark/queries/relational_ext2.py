@@ -394,3 +394,83 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-match: part-name pairs within Levenshtein
+    distance 3, blocked by brand.
+
+    The blocking key is what makes this scale: the join is an EQUI join on
+    p_brand (one shuffle, no cartesian product) and the quadratic
+    Levenshtein work happens only inside each block — the standard
+    blocking-key design from record-linkage, same shape as the LSH-band
+    dedup operators.  Levenshtein is an exact integer algorithm, identical
+    in both engines."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("key_a", "key_b", "dist")
+    )
+
+
+@query(
+    "q_map_ops",
+    oracle="""
+        WITH c AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               list(event_type ORDER BY event_type) AS type_keys,
+               list(n ORDER BY event_type) AS type_ns,
+               MAX(CASE WHEN event_type = 'click' THEN n END) AS n_clicks
+        FROM c GROUP BY user_id
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column construction and access: per-user event_type→count
+    map built with ``map_from_entries``, read back via map_keys/map_values/
+    element_at.
+
+    The map is built from a SORTED entry array, so key order (and thus the
+    keys/values projections) is deterministic — collect_list alone is
+    partition-order-dependent.  The compared output uses the arrays +
+    element lookup (engine-portable); the map type itself is the Spark-side
+    representation.  Two shuffles: the (user, type) count and the per-user
+    assembly."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("tc")
+    )
+    return m.select(
+        "user_id",
+        F.map_keys("tc").alias("type_keys"),
+        F.map_values("tc").alias("type_ns"),
+        F.element_at("tc", F.lit("click")).alias("n_clicks"),
+    )

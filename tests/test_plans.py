@@ -58,3 +58,35 @@ def test_scan_projection_prunes_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_scan_events")
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and "props" not in read[0], "unreferenced column not pruned"
+
+
+def test_exists_is_semi_join_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_subquery_exists")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_pushes_step_filters_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_funnel")
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    for step in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{step})" in pushed, f"step {step} not pushed"
+
+
+def test_gap_fill_spine_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_gap_fill")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_blocked_equi_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_fuzzy_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_single_shuffle_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_merge_upsert")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -378,3 +378,49 @@ def test_stream_stream_attribution_join(spark, staged_events, tmp_path):
     assert emitted, "stream-stream join emitted nothing"
     assert emitted <= truth, "streaming join emitted a pair batch truth doesn't have"
     assert len(emitted) >= 0.8 * len(truth), (len(emitted), len(truth))
+
+
+def test_stream_static_enrichment_join(spark, staged_events, tmp_path, sf_dir):
+    """Stream-static join: every message enriched with the customer
+    dimension.  Stateless (the static side is re-read per micro-batch, no
+    state store), so the drained output must EQUAL the batch join exactly
+    — stronger than the watermark-subset invariants above."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        MESSAGE_SCHEMA.fields
+        + [StructField("user_id", LongType()), StructField("event_value", DoubleType())]
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged_events)
+        .select("user_id", "offset", "topic")
+        .join(dim, "user_id", "left")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, r.offset, r.topic, r.c_mktsegment)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    truth = {
+        (r.user_id, r.offset, r.topic, r.c_mktsegment)
+        for r in spark.read.parquet(staged_events)
+        .select("user_id", "offset", "topic")
+        .join(dim, "user_id", "left")
+        .collect()
+    }
+    assert got == truth
