@@ -83,3 +83,54 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appending files with a widened schema must stay readable: with
+    mergeSchema the union schema comes back and pre-evolution rows read the
+    new column as NULL — the contract long-lived 100 TB datasets depend on
+    (columns get added; history is never rewritten)."""
+    path = str(tmp_path / "evolve")
+    spark.range(3).selectExpr("id", "id * 2 AS a").write.parquet(path)
+    spark.range(3, 6).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {(r.id, r.a, r.b) for r in merged.collect()}
+    assert rows == {(i, i * 2, None) for i in range(3)} | {
+        (i, i * 2, str(i)) for i in range(3, 6)
+    }
+
+
+def test_csv_corrupt_record_modes(spark, tmp_path):
+    """Malformed rows must be quarantined (PERMISSIVE + corrupt-record
+    column), or droppable (DROPMALFORMED) — never silently coerced.  The
+    ingest contract for dirty upstream feeds."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,alpha\nnot_a_number,beta\n3,gamma\n")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    )
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt is not None]
+    assert len(bad) == 1 and bad[0]._corrupt == "not_a_number,beta"
+    dropped = (
+        spark.read.schema(StructType(schema.fields[:2]))
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert {r.k for r in dropped.collect()} == {1, 3}

@@ -119,3 +119,22 @@ def test_ann_ivf_recall(spark):
     }
     recall = len(top & ivf) / len(top)
     assert recall >= 0.8, f"ivf recall {recall:.2f} < 0.8"
+
+
+def test_approx_distinct_partition_invariant(spark, sf_dir):
+    """HLL++ register-max merge is commutative/associative, so
+    approx_count_distinct must return the SAME estimate regardless of how
+    the input is partitioned — the property that makes the sketch safe on
+    a cluster whose partitioning the user doesn't control."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    est = {
+        n: ev.repartition(n)
+        .agg(F.approx_count_distinct("user_id").alias("u"))
+        .collect()[0].u
+        for n in (1, 4, 32)
+    }
+    assert len(set(est.values())) == 1, f"partition-dependent estimates: {est}"
