@@ -258,3 +258,146 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                   AS bigrams
+          FROM t WHERE len(toks) >= 2
+        )
+        SELECT doc_id,
+               CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+               1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                 AS dup_bigram_frac
+        FROM g
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher/C4-style filter): fraction of
+    duplicated word bigrams per document — high values flag boilerplate
+    and degenerate generations before they reach a training mix.
+
+    Pure per-row array expressions (no shuffle, no Python): bigrams via an
+    indexed transform over the token array, dup fraction from exact
+    distinct/total integer counts (single IEEE division → engine-stable).
+    The two-arg lambda receives (element, index) — index is 0-based over
+    the sliced array, and element_at is 1-based, hence the i+2 lookup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    with_t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = F.transform(
+        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("toks"), i + 2)),
+    )
+    g = with_t.select("doc_id", bigrams.alias("bigrams"))
+    return g.select(
+        "doc_id",
+        F.size("bigrams").cast("bigint").alias("n_bigrams"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("bigrams")).cast("double") / F.size("bigrams")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 25
+
+
+@query(
+    "q_chunking",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(idx AS BIGINT) AS chunk_idx,
+               array_to_string(toks[s : s + {CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+               CAST(least({CHUNK_TOKENS}, len(toks) - s + 1) AS INT) AS n_chunk_tokens
+        FROM (
+          SELECT doc_id, toks,
+                 generate_subscripts(range(1, len(toks) + 1, {CHUNK_STRIDE}), 1) AS idx,
+                 unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS s
+          FROM t WHERE len(toks) > 0
+        )
+    """,
+)
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token windows, stride 25) — the
+    RAG/embedding preprocessing step: each document becomes overlapping
+    chunks with stable (doc_id, chunk_idx) identity.
+
+    posexplode over a stride ``sequence()`` generates the chunk starts
+    INSIDE the row (no join, no shuffle; output rows ∝ tokens/stride);
+    slice + array_join materialize each chunk.  Chunk boundaries are pure
+    integer arithmetic — deterministic everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    exploded = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+        ).alias("pos", "s"),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("chunk_idx"),
+        F.array_join(F.slice("toks", F.col("s"), CHUNK_TOKENS), " ").alias(
+            "chunk_text"
+        ),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.size("toks") - F.col("s") + 1
+        ).cast("int").alias("n_chunk_tokens"),
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+                   'g'),
+                 '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT)
+                 AS n_long_numbers
+        FROM documents
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: mask email addresses and long digit runs (IDs,
+    phone numbers) before a corpus enters a training mix, with per-doc
+    match counts for the audit log.
+
+    Patterns stay in the Java∩RE2 common subset (char classes, bounded
+    quantifiers — no backrefs/lookarounds) so Spark and DuckDB agree
+    exactly.  Pure per-row codegen'd expressions — no shuffle, no Python;
+    at 100 TB this runs at parquet-scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    num = r"[0-9]{4,}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), num, "<NUM>"
+        ).alias("redacted"),
+        F.regexp_count("text", F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(num)).cast("bigint").alias("n_long_numbers"),
+    )
