@@ -48,6 +48,14 @@ HEADLINE = [
     "q_pivot",
     "q_grouping_sets",
     "q_composite_report",
+    "q_subquery_exists",
+    "q_sliding_window",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_scd2",
+    "q_merge_upsert",
+    "q_tfidf",
+    "q_chunking",
 ]
 
 

