@@ -20,6 +20,7 @@ import json
 import signal
 import sys
 
+from bifrost_spark.cloud import apply_conf, object_store_conf
 from bifrost_spark.session import get_spark
 from bifrost_spark.streaming.archive import ArchiveConfig, start_archive
 from bifrost_spark.streaming.listener import MetricsListener
@@ -47,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = load_config(args.config)
     spark = get_spark("bifrost-archive")
+    # uploader-selection parity (system.clj): configure the object-store
+    # connector for the sink scheme (s3a committer / abfss auth); local
+    # paths are a no-op
+    apply_conf(spark, object_store_conf(cfg.output_path))
     listener = MetricsListener()
     spark.streams.addListener(listener)
     query = start_archive(spark, cfg)
