@@ -209,3 +209,58 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-worker fleet, not to input splits."""
     m = media_table(spark, sf_dir).repartition(F.col("media_id"))
     return m.select("media_id", "payload").mapInPandas(_extract_features, _FEATURE_SCHEMA)
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+        SELECT md5(text) AS digest,
+               MIN(doc_id) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup: group by md5 of the payload BYTES, keep
+    the lowest media_id as the canonical copy.
+
+    The binary twin of q_dedup_exact: only 16-byte digests + ids shuffle,
+    never the payloads — at 100 TB of media that is the entire difference
+    between a feasible job and an infeasible one.  The oracle hashes the
+    source text (the payload is its exact UTF-8 encoding, so the md5 hex
+    is identical)."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy(F.md5("payload").alias("digest")).agg(
+        F.min("media_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "q_multimodal_pair",
+    oracle="""
+        SELECT d.doc_id AS media_id,
+               ['image', 'audio', 'video'][(d.doc_id % 3) + 1] AS media_type,
+               CAST(LENGTH(d.text) AS BIGINT) AS payload_bytes,
+               e.label AS embedding_label
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def q_multimodal_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pairing: join each media payload with its precomputed
+    embedding row by shared id — the lakehouse step that assembles
+    (payload, embedding) training pairs before contrastive training.
+
+    Equi-join on the id; at scale both tables hash-partition on it (or the
+    embedding side broadcasts if it is the small curated subset).  Payload
+    bytes stay out of the compared output — only sizes and labels — the
+    same never-ship-the-blob discipline as the dedup."""
+    m = media_table(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return m.join(e, m.media_id == e.vec_id).select(
+        "media_id",
+        "media_type",
+        F.length("payload").cast("bigint").alias("payload_bytes"),
+        F.col("label").alias("embedding_label"),
+    )
