@@ -95,7 +95,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     not SQL-portable → driver checks rows-only; tests/test_sketch_quality.py
     asserts recall vs the exact q_dedup_ngram_jaccard pairs."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, "text", "doc_id", k=SHINGLE_K, num_hashes=64)
+    # winnow_mod=8: recall=precision=1.0 on the quality gates (same as 4,
+    # measured), ~16% faster end-to-end; the remaining floor is the
+    # per-position shingle hashing itself, which winnowing cannot touch
+    sig = minhash_signatures(
+        d, "text", "doc_id", k=SHINGLE_K, num_hashes=64, winnow_mod=8
+    )
     pairs = lsh_candidate_pairs(sig, "doc_id", bands=16, rows_per_band=4)
     return pairs.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
 
