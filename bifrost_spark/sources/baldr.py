@@ -1,0 +1,149 @@
+"""Baldr-framed gzip archives: byte-compatible reader/writer for the
+reference's on-disk record format.
+
+The reference archives each (topic, partition, rotation) as a gzip stream
+of baldr frames (kafka.clj:9,71-82 — `baldr-writer` over a
+GZIPOutputStream; dependency `[baldr "0.1.1"]`, the public uswitch/baldr
+length-prefixed record format: each record is an 8-byte BIG-ENDIAN length
+header followed by exactly that many payload bytes).  This module gives
+the engine the same wire format, so a consumer of the reference's
+`.baldr.gz` objects can read this engine's output unchanged — the "exact
+baldr output" completion of A7 (SURVEY.md §2, §7.4).
+
+Distribution shape:
+  * WRITER — one task per input partition: the message stream is
+    repartitioned on (topic, partition) and sorted by offset inside each
+    task; the task splits its rows into per-key runs and streams each run
+    through gzip into `<root>/<group>/<topic>/partition=<p>/
+    <first-offset %010d>.baldr.gz` (the reference's object key, s3.clj:
+    15-20).  Payload bytes never pass through the driver; each file is
+    written by exactly one task.  Paths are plain `open()` — file:// and
+    mounted stores here; an fsspec handle slots in for object stores.
+  * READER — Spark's `binaryFile` source lists and reads whole files in
+    parallel (one row per file), and an Arrow-batched `mapInPandas`
+    gunzips + unframes each file, reconstructing (topic, partition,
+    offset, value) from the frames plus the path-encoded key — the exact
+    inverse of the writer, offset = first-offset-in-name + frame index.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import re
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LEN = struct.Struct(">q")  # baldr: 8-byte big-endian record length
+_PATH_RE = re.compile(r"/([^/]+)/partition=(\d+)/(\d{10})\.baldr\.gz$")
+
+
+def frame_records(values: list[bytes]) -> bytes:
+    """Frame a record run into baldr wire bytes (length-prefixed)."""
+    buf = io.BytesIO()
+    for v in values:
+        buf.write(_LEN.pack(len(v)))
+        buf.write(v)
+    return buf.getvalue()
+
+
+def unframe_records(data: bytes) -> list[bytes]:
+    """Inverse of ``frame_records``; raises on a truncated stream."""
+    out, pos, n = [], 0, len(data)
+    while pos < n:
+        if pos + 8 > n:
+            raise ValueError("truncated baldr frame header")
+        (length,) = _LEN.unpack_from(data, pos)
+        pos += 8
+        if length < 0 or pos + length > n:
+            raise ValueError("truncated baldr frame payload")
+        out.append(data[pos : pos + length])
+        pos += length
+    return out
+
+
+def write_baldr_archive(
+    df: DataFrame, root: str, group_id: str = "bifrost-group"
+) -> DataFrame:
+    """Write a message-shaped DataFrame (topic, partition, offset, value)
+    as offset-named ``.baldr.gz`` objects; returns the written manifest
+    (topic, partition, first_offset, n_records, path) as a DataFrame.
+
+    One shuffle (repartition on the key) + in-task sort; every file is
+    produced by a single task streaming gzip — the same per-(topic,
+    partition) single-writer discipline as the reference's consumer FSM.
+    """
+    import pandas as pd
+
+    def write_partition(batches):
+        chunks = [b for b in batches if not b.empty]
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        for (topic, part), grp in rows.groupby(["topic", "partition"], sort=True):
+            grp = grp.sort_values("offset")
+            first = int(grp["offset"].iloc[0])
+            d = os.path.join(root, group_id, str(topic), f"partition={int(part)}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{first:010d}.baldr.gz")
+            # mtime=0 → byte-stable gzip output across runs (reproducible
+            # objects make re-upload idempotence checkable by digest)
+            with open(path, "wb") as fh:
+                with gzip.GzipFile(fileobj=fh, mode="wb", mtime=0) as gz:
+                    gz.write(frame_records([bytes(v) for v in grp["value"]]))
+            yield pd.DataFrame(
+                {
+                    "topic": [topic],
+                    "partition": [int(part)],
+                    "first_offset": [first],
+                    "n_records": [len(grp)],
+                    "path": [path],
+                }
+            )
+
+    msgs = df.select("topic", "partition", "offset", "value").repartition(
+        "topic", "partition"
+    )
+    manifest = msgs.mapInPandas(
+        write_partition,
+        schema=(
+            "topic string, partition int, first_offset long, "
+            "n_records long, path string"
+        ),
+    )
+    # materialize the write before returning the (small) manifest
+    return manifest.cache()
+
+
+def read_baldr_archive(spark: SparkSession, root: str, group_id: str = "bifrost-group") -> DataFrame:
+    """Read ``.baldr.gz`` objects back into (topic, partition, offset,
+    value) — offsets rebuilt from the file name + frame index."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(
+        f"{root}/{group_id}/*/partition=*/*.baldr.gz"
+    )
+
+    def unframe(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _PATH_RE.search(path)
+                if not m:
+                    raise ValueError(f"unrecognized baldr path {path!r}")
+                topic, part, first = m.group(1), int(m.group(2)), int(m.group(3))
+                values = unframe_records(gzip.decompress(bytes(content)))
+                yield pd.DataFrame(
+                    {
+                        "topic": topic,
+                        "partition": part,
+                        "offset": [first + i for i in range(len(values))],
+                        "value": values,
+                    }
+                )
+
+    return files.select("path", "content").mapInPandas(
+        unframe, schema="topic string, partition int, offset long, value binary"
+    )

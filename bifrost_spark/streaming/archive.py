@@ -184,3 +184,28 @@ def start_offset_named_archive(spark: SparkSession, cfg: ArchiveConfig) -> Strea
         .trigger(processingTime=f"{cfg.rotation_interval_secs} seconds")
         .start()
     )
+
+
+def start_baldr_archive(spark: SparkSession, cfg: ArchiveConfig) -> StreamingQuery:
+    """Byte-exact reference-format archive: each micro-batch is written as
+    offset-named ``.baldr.gz`` objects (sources/baldr.py) — the engine's
+    completion of A7's "exact baldr output" (kafka.clj:55-82, §7.4).
+
+    Crash/retry safety matches the reference: a replayed batch regenerates
+    the SAME object names (first offset) with byte-identical content
+    (gzip mtime pinned), so re-upload is a no-op overwrite — the
+    object-key idempotence of s3.clj:15-20 made digest-checkable."""
+    from bifrost_spark.sources.baldr import write_baldr_archive
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        manifest = write_baldr_archive(batch, cfg.output_path, cfg.group_id)
+        manifest.collect()  # materialize the distributed write
+        manifest.unpersist()
+
+    src = apply_topic_filter(build_source(spark, cfg), cfg)
+    return (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .trigger(processingTime=f"{cfg.rotation_interval_secs} seconds")
+        .start()
+    )
