@@ -479,3 +479,37 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_values("tc").alias("type_ns"),
         F.element_at("tc", F.lit("click")).alias("n_clicks"),
     )
+
+
+@query(
+    "q_variant",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS sum_k,
+               CAST(COUNT(*) FILTER (
+                 WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+               ) AS BIGINT) AS n_big_k
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` converts the
+    props JSON string into a VariantType value once; ``variant_get`` then
+    extracts typed fields WITHOUT re-parsing per extraction — the open
+    lakehouse answer to schema-on-read JSON columns (binary-encoded,
+    shreddable, predicate-pushable in newer parquet writers).
+
+    Contrast with q_json_schema (from_json with a declared schema): variant
+    keeps undeclared structure queryable.  Aggregates are exact integers →
+    engine-stable; the oracle uses DuckDB's JSON extraction over the same
+    strings."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.count_if(k > 50).alias("n_big_k"),
+    )

@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 SESSION_GAP_SECS = 300
 
@@ -206,4 +210,54 @@ def start_windowed_rollup(
         .outputMode("append")
         .trigger(processingTime=f"{interval_secs} seconds")
         .start()
+    )
+
+
+class _RunningTotals(StatefulProcessor):
+    """transformWithStateInPandas processor: per-key running event count and
+    value sum, emitted once per micro-batch the key appears in.
+
+    The Spark 4 stateful API (successor of applyInPandasWithState): typed
+    per-key ValueState lives in the state store (RocksDB-capable), and the
+    runtime — not the operator — owns watermark/timer bookkeeping.  State
+    per key is one (long, double) tuple: O(1) regardless of history, the
+    same bound as the sessionizer."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "n BIGINT, s DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, s = self._totals.get() or (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["event_value"].sum())
+        self._totals.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events_total": [n], "sum_value_total": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas``.
+
+    Batch oracle: the final emission per key must equal the batch
+    groupBy(user_id).agg(count, sum) over the same input (asserted in
+    tests/test_streaming_stateful.py).
+
+    Environment note: the transformWithState worker protocol requires
+    ``google.protobuf`` on the Python workers; without it the query fails
+    at state-schema validation (the test skips there).  The
+    applyInPandasWithState operators above have no such dependency."""
+    return (
+        events.withWatermark("ts", "2 minutes")
+        .groupBy(F.col("user_id"))
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotals(),
+            outputStructType="user_id BIGINT, n_events_total BIGINT, sum_value_total DOUBLE",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
     )

@@ -485,3 +485,61 @@ def test_streaming_dedup_key_churn_on_rocksdb(spark, staged_events, tmp_path):
     n_unique = spark.read.parquet(staged_events).count()
     assert out.count() == n_unique
     assert out.select("topic", "partition", "offset").distinct().count() == n_unique
+
+
+def test_transform_with_state_running_totals(spark, staged_events, tmp_path):
+    """Spark 4 transformWithStateInPandas: the LAST emitted running total
+    per user must equal the batch groupBy totals over the same input.
+
+    The transformWithState protocol needs google.protobuf on the Python
+    workers; environments without it (like this container) skip — the
+    applyInPandasWithState operators above cover the same semantics."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from bifrost_spark.streaming.stateful import running_totals
+
+    schema = StructType(
+        MESSAGE_SCHEMA.fields
+        + [StructField("user_id", LongType()), StructField("event_value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged_events)
+        .select("user_id", "ts", "event_value")
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    # last emission per user = the row with the max running count
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events_total"))
+    final = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events_total", "sum_value_total")
+    )
+    src = spark.read.parquet(staged_events)
+    expect = src.groupBy("user_id").agg(
+        F.count("*").alias("n_events_total"),
+        F.sum("event_value").alias("sum_value_total"),
+    )
+    f = {(r.user_id, r.n_events_total) for r in final.collect()}
+    e = {(r.user_id, r.n_events_total) for r in expect.collect()}
+    assert f == e
+    # sums: python float accumulation order differs from Spark's — compare
+    # within float tolerance
+    fs = {r.user_id: r.sum_value_total for r in final.collect()}
+    es = {r.user_id: r.sum_value_total for r in expect.collect()}
+    for uid, v in es.items():
+        assert abs(fs[uid] - v) <= 1e-6 * max(1.0, abs(v)), uid
