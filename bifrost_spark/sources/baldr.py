@@ -147,3 +147,57 @@ def read_baldr_archive(spark: SparkSession, root: str, group_id: str = "bifrost-
     return files.select("path", "content").mapInPandas(
         unframe, schema="topic string, partition int, offset long, value binary"
     )
+
+
+def _discover_baldr_files(root: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(f"{root}/*/*/partition=*/*.baldr.gz"))
+
+
+def register_baldr_source(spark: SparkSession) -> None:
+    """Register the Spark 4 Python DataSource wrapping the baldr layout:
+    ``spark.read.format("baldr").option("path", root)`` — one input
+    partition per object, so scan parallelism equals file count exactly
+    like the parquet reader.
+
+    Defined inside the function so importing this module never requires
+    the DataSource API; the functional reader (``read_baldr_archive``)
+    remains the dependency-free path."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _BaldrFilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _BaldrReader(DataSourceReader):
+        def __init__(self, options):
+            self._root = options.get("path")
+            if not self._root:
+                raise ValueError("baldr source requires .option('path', <root>)")
+
+        def partitions(self):
+            return [_BaldrFilePartition(p) for p in _discover_baldr_files(self._root)]
+
+        def read(self, partition):
+            m = _PATH_RE.search(partition.path)
+            if not m:
+                raise ValueError(f"unrecognized baldr path {partition.path!r}")
+            topic, part, first = m.group(1), int(m.group(2)), int(m.group(3))
+            with open(partition.path, "rb") as fh:
+                values = unframe_records(gzip.decompress(fh.read()))
+            for i, v in enumerate(values):
+                yield (topic, part, first + i, v)
+
+    class _BaldrSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "baldr"
+
+        def schema(self):
+            return "topic string, partition int, offset long, value binary"
+
+        def reader(self, schema):
+            return _BaldrReader(self.options)
+
+    spark.dataSource.register(_BaldrSource)

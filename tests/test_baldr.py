@@ -132,3 +132,19 @@ def test_streaming_baldr_archive_roundtrip(spark, messages, tmp_path):
         (r.topic, r.partition, r.offset, bytes(r.value)) for r in messages.collect()
     }
     assert got == orig
+
+
+def test_baldr_python_datasource(spark, messages, tmp_path):
+    """The registered `baldr` format must read the archive identically to
+    the functional reader — one Spark input partition per object."""
+    from bifrost_spark.sources.baldr import register_baldr_source
+
+    root = str(tmp_path / "arch")
+    write_baldr_archive(messages, root).collect()
+    register_baldr_source(spark)
+    df = spark.read.format("baldr").option("path", root).load()
+    got = {(r.topic, r.partition, r.offset, bytes(r.value)) for r in df.collect()}
+    orig = {
+        (r.topic, r.partition, r.offset, bytes(r.value)) for r in messages.collect()
+    }
+    assert got == orig
