@@ -513,3 +513,109 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count_if(k > 50).alias("n_big_k"),
     )
+
+
+@query(
+    "q_udaf_pandas",
+    oracle="""
+        WITH ranked AS (
+          SELECT l_returnflag, l_quantity,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_quantity, l_orderkey, l_linenumber)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS trimmed_mean,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM ranked
+        WHERE rn > n // 10 AND rn <= n - n // 10
+        GROUP BY l_returnflag
+    """,
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via a GROUPED_AGG pandas UDF: 10%-trimmed
+    mean of l_quantity per return flag (drop the ⌊n/10⌋ smallest and
+    largest, mean the rest).
+
+    The UDAF escape hatch for aggregates Spark lacks: per group, Arrow
+    ships the column once and numpy does the sort+trim — no row-at-a-time
+    Python.  l_quantity is integer-valued, so the trimmed sum is exact and
+    the single final division is IEEE-identical to the oracle's
+    window-based spelling.  At scale GROUPED_AGG holds one group's column
+    in memory per task — fine for bounded groups (5 flags here); the
+    sketch path (approx quantiles) covers unbounded ones."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functional form with explicit GROUPED_AGG: `from __future__ import
+    # annotations` stringifies type hints, so inference can't see
+    # Series→scalar here
+    def _tmean(v):
+        a = np.sort(v.to_numpy())
+        k = len(a) // 10
+        kept = a[k : len(a) - k]
+        return float(kept.sum() / len(kept))
+
+    def _tcount(v):
+        return len(v) - 2 * (len(v) // 10)
+
+    trimmed_mean = pandas_udf(_tmean, "double", PandasUDFType.GROUPED_AGG)
+    trimmed_count = pandas_udf(_tcount, "long", PandasUDFType.GROUPED_AGG)
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        trimmed_mean("l_quantity").alias("trimmed_mean"),
+        trimmed_count("l_quantity").alias("n_kept"),
+    )
+
+
+@query(
+    "q_sql_api",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume) through the SQL entry point:
+    temp views + ``spark.sql`` — proving the engine's surface is reachable
+    as plain ANSI SQL, not only the DataFrame DSL, with the SAME Catalyst
+    plan underneath.
+
+    Six-table join: region/nation broadcast (tiny dims), the fact joins
+    shuffle on their keys, revenue accumulates in DECIMAL for
+    engine-stable doubles.  The region filter prunes at the dim scan and
+    propagates through the join graph."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM v_customer c
+        JOIN v_orders o ON o.o_custkey = c.c_custkey
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN v_supplier s ON s.s_suppkey = l.l_suppkey
+                         AND s.s_nationkey = c.c_nationkey
+        JOIN v_nation n ON n.n_nationkey = c.c_nationkey
+        JOIN v_region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        """
+    )
