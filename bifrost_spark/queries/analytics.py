@@ -266,3 +266,74 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
     )
+
+
+INTERVAL_MINUTES = 30
+
+
+@query(
+    "q_interval_merge",
+    oracle=f"""
+        WITH iv AS (
+          SELECT user_id, ts AS s, ts + INTERVAL {INTERVAL_MINUTES} MINUTE AS e,
+                 event_id
+          FROM events
+        ),
+        marked AS (
+          SELECT user_id, s, e, event_id,
+                 CASE WHEN s > max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      OR max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      THEN 1 ELSE 0 END AS new_island
+          FROM iv
+        ),
+        islands AS (
+          SELECT user_id, s, e,
+                 SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM marked
+        )
+        SELECT user_id, CAST(island AS BIGINT) AS island,
+               MIN(s) AS island_start, MAX(e) AS island_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM islands
+        GROUP BY user_id, island
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge each user's overlapping 30-minute event
+    intervals into maximal covered islands — the coverage/uptime question
+    session windows DON'T answer (session_window merges by inter-START
+    gap; islands merge by actual interval OVERLAP, so a long interval can
+    bridge events a gap rule would split).
+
+    One window partitioning (user_id) drives both passes — running max of
+    interval END over preceding rows marks island starts, a running sum
+    numbers them — then one aggregate; two shuffles total and pure
+    integer/timestamp comparisons, so both engines agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {INTERVAL_MINUTES} MINUTES")).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", F.col("island").cast("bigint").alias("island")).agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
