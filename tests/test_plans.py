@@ -90,3 +90,20 @@ def test_merge_upsert_single_shuffle_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_merge_upsert")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Global plan hygiene: NO registered query may plan a CartesianProduct,
+    and the only BroadcastNestedLoopJoin allowed is q_sim_topk's intentional
+    broadcast-queries × corpus scoring scan (tiny broadcast side, documented
+    in its docstring).  Catches an accidental non-equi join in ANY future
+    operator the moment it lands."""
+    allowed_bnlj = {"q_sim_topk"}
+    offenders = {}
+    for name, fn in sorted(registry.queries().items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"non-equi join shapes crept in: {offenders}"
