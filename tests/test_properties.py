@@ -158,3 +158,39 @@ def test_asof_union_window_equals_argmax(spark, events, cutoff):
         ]
         naive[il] = max(cands)[1] if cands else None
     assert got == set(naive.items())
+
+
+# doubles that stress the 6-decimal rounding boundary and magnitude spread;
+# bounded so DECIMAL(28,6) cannot overflow
+money_lists = st.lists(
+    st.floats(
+        min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=money_lists)
+def test_dsum_equals_exact_decimal_model(spark, values):
+    """The engine's central determinism device (queries/_util.dsum): the
+    decimal-accumulated sum of doubles must equal the exact Python model —
+    each double rounded HALF_UP to 6 decimal places, summed exactly,
+    emitted as one double — independent of partitioning.  This is the
+    property that makes every SUM/AVG in the engine bit-stable across
+    partition counts, engines, and task retries."""
+    import decimal
+
+    from bifrost_spark.queries._util import dsum
+
+    q6 = decimal.Decimal("0.000001")
+    exact = sum(
+        decimal.Decimal(v).quantize(q6, rounding=decimal.ROUND_HALF_UP)
+        for v in values
+    )
+    expect = float(exact)
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    for nparts in (1, 7):
+        got = df.repartition(nparts).agg(dsum("x", "s")).collect()[0].s
+        assert got == expect, (nparts, got, expect)
