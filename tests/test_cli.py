@@ -100,3 +100,11 @@ def test_cli_rejects_unknown_config_key(tmp_path):
     )
     assert proc.returncode != 0
     assert "unknown config keys" in proc.stderr
+
+
+def test_operator_catalog_in_sync():
+    """OPERATORS.md must match the live registry exactly (regenerate with
+    `python -m bifrost_spark.catalog > OPERATORS.md` after adding a query)."""
+    from bifrost_spark.catalog import render
+
+    assert open("/root/repo/OPERATORS.md").read() == render()
