@@ -619,3 +619,62 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@query(
+    "q_integrity_check",
+    oracle="""
+        SELECT 'lineitem_orphans' AS check_name,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                 AS BIGINT) AS violations
+        UNION ALL
+        SELECT 'orders_null_custkey',
+               CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                 AS BIGINT)
+        UNION ALL
+        SELECT 'orders_dup_orderkey',
+               CAST((SELECT COUNT(*) FROM (
+                       SELECT o_orderkey FROM orders
+                       GROUP BY o_orderkey HAVING COUNT(*) > 1))
+                 AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_bad_discount',
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    """,
+)
+def q_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: referential integrity (orphaned lineitems),
+    null-constraint, key-uniqueness, and domain-range checks in one pass —
+    the validation stage a pipeline runs before promoting a snapshot.
+
+    Each check is a distributed aggregate (anti join for the FK check, one
+    groupBy for uniqueness, scan-side predicates for null/domain); the
+    result is a tiny (check, violations) table — alert on any nonzero.
+    At 100 TB the FK anti join is the only shuffle-heavy check and shares
+    the orderkey partitioning the fact tables already use."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def one(name, df):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+
+    orphans = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+    null_cust = o.filter(F.col("o_custkey").isNull())
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    bad_disc = l.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+    return (
+        one("lineitem_orphans", orphans)
+        .unionAll(one("orders_null_custkey", null_cust))
+        .unionAll(one("orders_dup_orderkey", dup_keys))
+        .unionAll(one("lineitem_bad_discount", bad_disc))
+    )
