@@ -337,3 +337,50 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("island_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_seq_pattern",
+    oracle="""
+        WITH seqs AS (
+          SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), ''
+                            ORDER BY ts, event_id) AS seq
+          FROM events
+          GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(LENGTH(seq) AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+                 AS n_conversion_paths
+        FROM seqs
+    """,
+)
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE gap): per user,
+    count non-overlapping view→clicks*→purchase paths by folding the
+    ordered event stream into a symbol string and running a regex over it.
+
+    Spark has no MATCH_RECOGNIZE; the scalable encoding is ONE shuffle
+    (collect per user), then sort/fold/regex as per-row array+string
+    expressions — state per user is |events| bytes (one symbol each), and
+    both engines' regex engines count leftmost non-overlapping matches
+    identically for this backref-free pattern.  The (ts, event_id) sort
+    key is unique → the symbol string, and hence the count, is exactly
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = F.struct(
+        F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("ini")
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(sym)), lambda x: x["ini"]), ""
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.regexp_count("seq", F.lit("vc*p")).cast("bigint").alias(
+            "n_conversion_paths"
+        ),
+    )
