@@ -678,3 +678,98 @@ def q_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("orders_dup_orderkey", dup_keys))
         .unionAll(one("lineitem_bad_discount", bad_disc))
     )
+
+
+@query(
+    "q_zscore",
+    oracle="""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                   AS DOUBLE) AS s2
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               (l.l_quantity - m.s1 / m.n)
+                 / sqrt((m.n * m.s2 - m.s1 * m.s1) / (m.n * (m.n - 1)))
+                 AS qty_z
+        FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag
+    """,
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — the feature-engineering
+    normalization pass, bit-stable by construction: group mean and sample
+    variance derive from EXACT decimal moments (count / Σx / Σx², the same
+    device as q_agg_stats), and each row's (x−μ)/σ is then a fixed IEEE
+    sequence identical in both engines.
+
+    Plan: one map-side-combined moment aggregate (5 groups → tiny),
+    broadcast back onto the fact scan — the fact table shuffles ZERO rows;
+    standardization happens at scan speed.  The classic two-pass pattern
+    that replaces nondeterministic single-pass Welford at cluster scale."""
+    from bifrost_spark.queries._util import DEC
+
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q.cast(DEC)).cast("double").alias("s1"),
+        F.sum((q * q).cast(DEC)).cast("double").alias("s2"),
+    )
+    j = l.join(F.broadcast(m), "l_returnflag")
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        ((q - mean) / F.sqrt(var)).alias("qty_z"),
+    )
+
+
+@query(
+    "q_feature_hash",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS term
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST((ascii(substr(md5(term), 1, 1)) * 256
+                     + ascii(substr(md5(term), 2, 1))) % 64 AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks
+        GROUP BY 1, 2
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick"): bag-of-words folded into a
+    fixed 64-bucket feature space via a content hash — unbounded
+    vocabulary becomes a bounded, join-free feature vector, the standard
+    trick when a fitted vocabulary dictionary is impractical at corpus
+    scale.
+
+    Bucket = first two md5 hex chars mod 64 (md5 is the one hash both
+    engines share — same device as q_sample_mixture); one shuffle on
+    (doc, bucket) with map-side combine.  At 100 TB this replaces a
+    vocabulary broadcast that wouldn't fit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+        ).alias("term"),
+    )
+    h = F.md5("term")
+    bucket = (
+        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 64
+    ).cast("int")
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
