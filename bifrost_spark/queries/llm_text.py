@@ -401,3 +401,119 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(email)).cast("bigint").alias("n_emails"),
         F.regexp_count("text", F.lit(num)).cast("bigint").alias("n_long_numbers"),
     )
+
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id
+        FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: contiguous greedy packing of each
+    source's documents into {PACK_BUDGET}-token bins — the data-loader step
+    that turns ragged documents into dense fixed-budget training sequences
+    (bin_id ↔ one packed sample).
+
+    Streaming-contiguous packing (what an actual loader does), NOT optimal
+    bin packing: docs are taken in stable (doc_id) order and a running
+    token cumsum assigns bin = floor(tokens-before / budget).  One window
+    shuffle on source; integer arithmetic end to end → exact parity."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " ", -1), lambda t: t != "")).cast(
+        "bigint"
+    )
+    t = d.select("doc_id", "source", toks.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+
+
+BENCH_DOC_MAX = 20  # doc_id < 20 stand in for the held-out benchmark set
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+        WITH grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, GREATEST(LENGTH(lower(text)) - 10 + 2, 2)),
+                   i -> substr(lower(text), CAST(i AS INT), 10))) AS g
+          FROM documents
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {BENCH_DOC_MAX}),
+        hits AS (
+          SELECT DISTINCT t.doc_id
+          FROM grams t JOIN bench b ON b.g = t.g
+          WHERE t.doc_id >= {BENCH_DOC_MAX}
+        )
+        SELECT d.doc_id,
+               CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id >= {BENCH_DOC_MAX}
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag every training document sharing ANY
+    10-character gram with the held-out benchmark set (doc_id < {BENCH_DOC_MAX}
+    stands in) — the directional contamination check run before training,
+    distinct from symmetric near-dup detection.
+
+    Scale shape: benchmark grams are a SMALL distinct set (benchmarks are
+    tiny relative to corpora) → broadcast semi join against the training
+    side's gram stream; training docs shuffle nothing, and the gram
+    explosion streams through the scan.  Exact char-grams (not sketches):
+    contamination wants zero false negatives."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length(F.lower("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 9, F.lit(1))),
+        lambda i: F.lower(F.col("text")).substr(i, F.lit(10)),
+    )
+    g = d.select("doc_id", F.explode(grams).alias("g"))
+    bench = F.broadcast(
+        g.filter(F.col("doc_id") < BENCH_DOC_MAX).select("g").distinct()
+    )
+    hits = (
+        g.filter(F.col("doc_id") >= BENCH_DOC_MAX)
+        .join(bench, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.filter(F.col("doc_id") >= BENCH_DOC_MAX)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("hit", F.lit(0)).cast("int").alias("contaminated")
+        )
+    )
