@@ -352,3 +352,92 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         F.row_number().over(w).cast("bigint").alias("rnk"),
     ).filter(F.col("rnk") <= TOP_K)
+
+
+TRAIN_MAX = 400  # vec_id < 400 train, >= 400 test
+
+
+@query(
+    "q_knn_eval",
+    oracle=f"""
+        WITH nrm AS (
+          SELECT vec_id, embedding, label,
+                 CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                       AS DECIMAL(22,18)))
+                       FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT t.vec_id AS test_id, t.label AS true_label,
+                 n.label AS pred_label,
+                 CAST((SELECT SUM(CAST(CAST(p.x AS DOUBLE) * CAST(p.y AS DOUBLE)
+                                       AS DECIMAL(22,18)))
+                       FROM (SELECT UNNEST(t.embedding) AS x,
+                                    UNNEST(n.embedding) AS y) p) AS DOUBLE)
+                   / (sqrt(t.nrm2) * sqrt(n.nrm2)) AS cos_sim,
+                 n.vec_id AS neighbor_id
+          FROM nrm t JOIN nrm n ON n.vec_id < {TRAIN_MAX}
+          WHERE t.vec_id >= {TRAIN_MAX}
+        ),
+        best AS (
+          SELECT test_id, true_label, pred_label FROM (
+            SELECT test_id, true_label, pred_label,
+                   ROW_NUMBER() OVER (PARTITION BY test_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM best GROUP BY true_label, pred_label
+    """,
+)
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN classifier evaluation: predict each test vector's label
+    (vec_id ≥ {TRAIN_MAX}) from its exact-cosine nearest train neighbor,
+    emit the confusion matrix — the eval loop of an embedding-quality
+    pipeline, run entirely in the engine.
+
+    Same two-phase scoring as q_sim_topk (cheap double cosine everywhere,
+    exact decimal rescore on each test vector's top candidates) with the
+    train side broadcast — the test scan never shuffles; the only shuffle
+    is the per-test-vector argmax window.  Deterministic via the decimal
+    cosine + neighbor_id tie-break; the confusion matrix is integer counts."""
+    e = load_table(spark, sf_dir, "embeddings")
+    train = F.broadcast(
+        e.filter(F.col("vec_id") < TRAIN_MAX).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("t_emb"),
+            F.col("label").alias("pred_label"),
+        )
+    )
+    test = e.filter(F.col("vec_id") >= TRAIN_MAX).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    fast = test.join(train, F.lit(True)).select(
+        "test_id",
+        "true_label",
+        "pred_label",
+        "neighbor_id",
+        "q_emb",
+        "t_emb",
+        (
+            dot_fast(F.col("q_emb"), F.col("t_emb"))
+            / (F.sqrt(norm2_fast(F.col("q_emb"))) * F.sqrt(norm2_fast(F.col("t_emb"))))
+        ).alias("cos_fast"),
+    )
+    w_fast = Window.partitionBy("test_id").orderBy(F.desc("cos_fast"), F.asc("neighbor_id"))
+    cand = fast.withColumn("rn", F.row_number().over(w_fast)).filter(F.col("rn") <= 8)
+    exact = cand.select(
+        "test_id",
+        "true_label",
+        "pred_label",
+        "neighbor_id",
+        cosine(F.col("q_emb"), F.col("t_emb")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("test_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    best = exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
