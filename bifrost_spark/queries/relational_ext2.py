@@ -773,3 +773,54 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "q_profile",
+    oracle="""
+        SELECT 'c_custkey' AS col,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(c_custkey) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(c_custkey) AS VARCHAR) AS min_v,
+               CAST(MAX(c_custkey) AS VARCHAR) AS max_v
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(c_mktsegment) AS BIGINT),
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+               MIN(c_mktsegment), MAX(c_mktsegment)
+        FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(c_nationkey) AS BIGINT),
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+               CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+        FROM customer
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (ANALYZE/data-catalog statistics): per column —
+    row count, non-null count, exact distinct count, min/max — in long
+    format, the stats a catalog or CBO ingests and the first thing run on
+    any unfamiliar dataset.
+
+    One aggregation job per column batch over a single scan each (values
+    stringified so heterogeneous column types share one schema).  Exact
+    distinct here because profile runs are offline; the streaming/cheap
+    variant is approx_count_distinct (q_agg_approx)."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def prof(col):
+        return c.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_v"),
+            F.max(col).cast("string").alias("max_v"),
+        )
+
+    return prof("c_custkey").unionAll(prof("c_mktsegment")).unionAll(
+        prof("c_nationkey")
+    )

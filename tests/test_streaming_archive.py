@@ -239,3 +239,29 @@ def test_metrics_listener(spark, staged_messages, tmp_path):
         assert listener.total_input_rows() == n_msgs
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_available_now_backfill_drains_and_terminates(spark, staged_messages, tmp_path):
+    """Trigger.AvailableNow — the BACKFILL mode: process everything staged
+    at start, respecting maxFilesPerTrigger batching, then terminate on
+    its own (no processAllAvailable babysitting).  The replay story for
+    re-ingesting an archive after downtime."""
+    in_path, n_msgs = staged_messages
+    src = (
+        spark.readStream.schema(
+            spark.read.parquet(in_path).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_path)
+    )
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == n_msgs
