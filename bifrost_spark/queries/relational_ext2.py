@@ -824,3 +824,47 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof("c_custkey").unionAll(prof("c_mktsegment")).unionAll(
         prof("c_nationkey")
     )
+
+
+@query(
+    "q_zorder",
+    oracle="""
+        WITH b AS (
+          SELECT o_orderkey,
+                 o_custkey % 256 AS x,
+                 CAST(date_part('doy', o_orderdate) % 256 AS BIGINT) AS y
+          FROM orders
+        )
+        SELECT o_orderkey, x, y,
+               CAST((SELECT SUM(
+                       (((x >> i.i) & 1) << (2 * i.i))
+                     + (((y >> i.i) & 1) << (2 * i.i + 1)))
+                     FROM (SELECT unnest(range(0, 8)) AS i) i) AS BIGINT) AS zkey
+        FROM b
+    """,
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer bucket, day-of-year)
+    — the OPTIMIZE ZORDER BY primitive: sort/range-partition by this key
+    and parquet row-group min/max stats prune for BOTH dimensions instead
+    of one (operators/layout.py; write path =
+    repartitionByRange(zkey) → sortWithinPartitions → write).
+
+    Pure shiftleft/and/or integer expressions, whole-stage-codegen'd, no
+    shuffle to COMPUTE the key (the clustering write is where the range
+    shuffle happens).  Oracle spells the identical interleave as a bit-sum
+    over unnested bit positions."""
+    from bifrost_spark.operators.layout import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        F.pmod("o_custkey", F.lit(256)).alias("x"),
+        F.pmod(F.dayofyear("o_orderdate"), F.lit(256)).cast("bigint").alias("y"),
+    )
+    return b.select(
+        "o_orderkey",
+        "x",
+        "y",
+        zorder_key([F.col("x"), F.col("y")], bits=8).alias("zkey"),
+    )
