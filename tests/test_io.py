@@ -134,3 +134,45 @@ def test_csv_corrupt_record_modes(spark, tmp_path):
         .csv(str(p))
     )
     assert {r.k for r in dropped.collect()} == {1, 3}
+
+
+def test_zorder_layout_tightens_file_stats(spark, sf_dir, tmp_path):
+    """Write orders (a) range-partitioned+sorted by the Z-order key and
+    (b) unsorted, then read each parquet file's (x, y) min/max from its
+    footer: the z-ordered layout's summed bounding-box area must be far
+    smaller — the statistic row-group pruning actually uses, measured
+    rather than asserted by folklore."""
+    import pyarrow.parquet as pq
+
+    from bifrost_spark.operators.layout import zorder_key
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.pmod("o_custkey", F.lit(256)).alias("x"),
+        F.pmod(F.dayofyear("o_orderdate"), F.lit(256)).cast("bigint").alias("y"),
+    )
+    z = o.withColumn("zkey", zorder_key([F.col("x"), F.col("y")], bits=8))
+    p_z, p_u = str(tmp_path / "zorder"), str(tmp_path / "plain")
+    z.repartitionByRange(8, "zkey").sortWithinPartitions("zkey").write.parquet(p_z)
+    o.repartition(8).write.parquet(p_u)
+
+    def total_box_area(path):
+        import glob as g
+
+        area = 0
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                sx = md.row_group(rg).column(cols["x"]).statistics
+                sy = md.row_group(rg).column(cols["y"]).statistics
+                area += (sx.max - sx.min + 1) * (sy.max - sy.min + 1)
+        return area
+
+    a_z, a_u = total_box_area(p_z), total_box_area(p_u)
+    # measured ~3.9× at sf0.001 (77k vs 304k; the 8-file ideal is 65k)
+    assert a_z * 3 <= a_u, f"zorder area {a_z} not ≪ unsorted {a_u}"
