@@ -107,3 +107,31 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"non-equi join shapes crept in: {offenders}"
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Explicit optimizer control: the engine can force each join strategy
+    via hints when the cost model guesses wrong at scale — broadcast,
+    shuffle-hash, and sort-merge on the same join all plan as asked."""
+    from bifrost_spark.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def plan_of(joined):
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        return buf.getvalue()
+
+    broadcast = plan_of(c.join(n.hint("broadcast"), c.c_nationkey == n.n_nationkey))
+    assert "BroadcastHashJoin" in broadcast
+    shuffle_hash = plan_of(
+        c.join(n.hint("shuffle_hash"), c.c_nationkey == n.n_nationkey)
+    )
+    assert "ShuffledHashJoin" in shuffle_hash
+    merge = plan_of(c.join(n.hint("merge"), c.c_nationkey == n.n_nationkey))
+    assert "SortMergeJoin" in merge
