@@ -94,11 +94,11 @@ def test_merge_upsert_single_shuffle_equi_join(spark, sf_dir):
 
 def test_no_cartesian_product_anywhere(spark, sf_dir):
     """Global plan hygiene: NO registered query may plan a CartesianProduct,
-    and the only BroadcastNestedLoopJoin allowed is q_sim_topk's intentional
-    broadcast-queries × corpus scoring scan (tiny broadcast side, documented
-    in its docstring).  Catches an accidental non-equi join in ANY future
-    operator the moment it lands."""
-    allowed_bnlj = {"q_sim_topk"}
+    and the only BroadcastNestedLoopJoin allowed is the intentional
+    broadcast-side × corpus scoring scan in q_sim_topk and q_knn_eval
+    (tiny broadcast side, documented in their docstrings).  Catches an
+    accidental non-equi join in ANY future operator the moment it lands."""
+    allowed_bnlj = {"q_sim_topk", "q_knn_eval"}
     offenders = {}
     for name, fn in sorted(registry.queries().items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
