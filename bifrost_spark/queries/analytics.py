@@ -483,3 +483,132 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.round("rank", 12).alias("pagerank"))
+
+
+@query(
+    "q_outlier_iqr",
+    oracle="""
+        WITH q AS (
+          SELECT l_returnflag,
+                 quantile_cont(l_quantity, 0.25) AS q1,
+                 quantile_cont(l_quantity, 0.75) AS q3
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               CASE WHEN l.l_quantity > q.q3 + 1.5 * (q.q3 - q.q1)
+                      OR l.l_quantity < q.q1 - 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END AS is_outlier
+        FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
+    """,
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier flagging: rows outside [Q1 − 1.5·IQR,
+    Q3 + 1.5·IQR] per group — the standard numeric-quality gate before a
+    distribution-sensitive training mix.
+
+    Exact percentiles of integer-valued quantities at dyadic probes are
+    exact dyadic doubles (see q_percentile_cont), so the fences and the
+    comparisons are bit-identical in both engines.  Group fences are a
+    5-row broadcast back onto the fact scan — zero fact shuffle, like
+    q_zscore."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q1"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q3"),
+    )
+    j = l.join(F.broadcast(q), "l_returnflag")
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("l_quantity") > F.col("q3") + 1.5 * iqr) | (
+        F.col("l_quantity") < F.col("q1") - 1.5 * iqr
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.when(out, 1).otherwise(0).alias("is_outlier"),
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+        WITH assign AS (
+          SELECT user_id,
+                 CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                            % 2) = 0 THEN 'A' ELSE 'B' END AS variant,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) * 4 > COUNT(*)
+                      THEN 1 ELSE 0 END AS converted
+          FROM events GROUP BY user_id
+        ),
+        agg AS (
+          SELECT variant,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(converted) AS DOUBLE) AS conv
+          FROM assign GROUP BY variant
+        ),
+        wide AS (
+          SELECT
+            MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+            MAX(CASE WHEN variant = 'A' THEN conv END) AS c_a,
+            MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+            MAX(CASE WHEN variant = 'B' THEN conv END) AS c_b
+          FROM agg
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+               CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+               (c_a / n_a - c_b / n_b)
+                 / sqrt(((c_a + c_b) / (n_a + n_b))
+                        * (1 - (c_a + c_b) / (n_a + n_b))
+                        * (1 / n_a + 1 / n_b)) AS z_stat
+        FROM wide
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users deterministically
+    assigned to variants by md5 hash (the engine-portable bucket device),
+    outcome = "heavy purchaser" (purchases exceed 25% of the user's
+    events — chosen to discriminate on the fixture, where every user has
+    at least one purchase), statistic = pooled-variance z.
+
+    Every input to the statistic is an exact integer count, and the z
+    formula is one fixed IEEE sequence mirrored in the oracle, so even the
+    float output hash-matches.  Plan: per-user outcome (one shuffle),
+    per-variant counts (tiny), single-row statistic — experiment readouts
+    cost two aggregates regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) % 2 == 0,
+        "A",
+    ).otherwise("B")
+    assign = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 4
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select("user_id", variant.alias("variant"), "converted")
+    # variant depends only on user_id → computable post-agg
+    agg = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("conv"),
+    )
+    wide = agg.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("c_b"),
+    )
+    p = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b")) / F.sqrt(
+        p * (1 - p) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        z.alias("z_stat"),
+    )
