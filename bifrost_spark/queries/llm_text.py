@@ -517,3 +517,50 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.coalesce("hit", F.lit(0)).cast("int").alias("contaminated")
         )
     )
+
+
+@query(
+    "q_entropy",
+    oracle="""
+        WITH chars AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch,
+                 LENGTH(text) AS n
+          FROM documents WHERE LENGTH(text) > 0
+        ),
+        freq AS (
+          SELECT doc_id, ch, n, CAST(COUNT(*) AS DOUBLE) AS c
+          FROM chars WHERE ch <> '' GROUP BY doc_id, ch, n
+        )
+        SELECT doc_id,
+               round(-SUM((c / n) * log2(c / n)), 9) AS char_entropy,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+        FROM freq
+        GROUP BY doc_id
+    """,
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal: Shannon entropy of the per-doc
+    character distribution — low entropy flags repeated-character junk,
+    high entropy flags random/binary garbage; both ends get filtered from
+    training mixes.
+
+    The (doc, char) frequency shuffle carries ≤ |alphabet| rows per doc.
+    p = c/n is an exact integer ratio; log2 may differ by 1 ulp between
+    libm builds AND the float-term SUM is order-sensitive at the last
+    ulp — so the output rounds to 9 decimals: accumulated error ~1e-15
+    vs a 5e-10 rounding boundary makes a flip essentially impossible,
+    while any useful entropy threshold needs ~2 decimals."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.length("text").cast("double").alias("n"),
+        F.explode(F.split(F.lower("text"), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch", "n").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    p = F.col("c") / F.col("n")
+    return freq.groupBy("doc_id").agg(
+        F.round(-F.sum(p * F.log2(p)), 9).alias("char_entropy"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    )

@@ -868,3 +868,63 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         zorder_key([F.col("x"), F.col("y")], bits=8).alias("zkey"),
     )
+
+
+@query(
+    "q_percent_of_total",
+    oracle="""
+        WITH rev AS (
+          SELECT n.n_name AS nation,
+                 CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          GROUP BY n.n_name
+        )
+        SELECT nation, revenue,
+               revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6))) OVER ()
+                              AS DOUBLE) AS share,
+               CAST(rank() OVER (ORDER BY revenue DESC, nation) AS BIGINT)
+                 AS revenue_rank
+        FROM rev
+    """,
+)
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (the BI contribution report): each nation's revenue
+    share of the grand total via an unpartitioned window, plus its rank.
+
+    Determinism: group revenues are decimal-exact doubles, and the grand
+    total re-accumulates them in DECIMAL inside the window (an unordered
+    window SUM over doubles would be fold-order-dependent — measured
+    flaky); round-tripping the exact six-decimal revenue through double
+    and back is lossless below 2^53 scaled magnitude, so the total and
+    the single-IEEE-division share are bit-identical everywhere.  The
+    whole-table window is safe precisely BECAUSE it runs over the
+    aggregated (tiny) relation, never the fact table."""
+    from bifrost_spark.queries._util import DEC
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("revenue"), F.asc("nation"))
+    return rev.select(
+        "nation",
+        "revenue",
+        (
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast(DEC)).over(w_all).cast("double")
+        ).alias("share"),
+        F.rank().over(w_rank).cast("bigint").alias("revenue_rank"),
+    )
