@@ -928,3 +928,37 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share"),
         F.rank().over(w_rank).cast("bigint").alias("revenue_rank"),
     )
+
+
+@query(
+    "q_lateral_topn",
+    oracle="""
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM orders o,
+        LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber
+                 LIMIT 2) t
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each order's two most expensive line
+    items, written as SQL LATERAL (the top-N-per-group idiom SQL users
+    reach for before they know window functions).
+
+    Catalyst DECORRELATES the per-row subquery into a window/aggregate
+    over one orderkey shuffle — no per-order execution ever happens, which
+    is exactly why the engine can accept the lateral spelling at 100 TB.
+    Tie-break (price, linenumber) is unique per order → deterministic."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"vl_{t}")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM vl_orders o,
+        LATERAL (SELECT l_linenumber, l_extendedprice FROM vl_lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber
+                 LIMIT 2) t
+        """
+    )
