@@ -962,3 +962,37 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  LIMIT 2) t
         """
     )
+
+
+@query(
+    "q_copurchase",
+    oracle="""
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2
+    """,
+)
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs ordered together in ≥2
+    orders — the support-counting core of association-rule mining
+    (FP-growth's frequent-2-itemset stage), and the input to
+    "bought-together" recommenders.
+
+    The self-join is an EQUI join on orderkey, so the quadratic blowup is
+    bounded per basket (|lines per order|², ~4² here) — the same
+    blocking-key shape as q_fuzzy_join.  At 100 TB the pair aggregation is
+    the heavy shuffle; the HAVING support floor is what keeps the output
+    (and any downstream broadcast) sparse."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
