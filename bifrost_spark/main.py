@@ -22,7 +22,11 @@ import sys
 
 from bifrost_spark.cloud import apply_conf, object_store_conf
 from bifrost_spark.session import get_spark
-from bifrost_spark.streaming.archive import ArchiveConfig, start_archive
+from bifrost_spark.streaming.archive import (
+    ArchiveConfig,
+    start_archive,
+    start_baldr_archive,
+)
 from bifrost_spark.streaming.listener import MetricsListener
 
 
@@ -54,7 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     apply_conf(spark, object_store_conf(cfg.output_path))
     listener = MetricsListener()
     spark.streams.addListener(listener)
-    query = start_archive(spark, cfg)
+    if cfg.sink_format == "baldr":
+        query = start_baldr_archive(spark, cfg)
+    elif cfg.sink_format == "parquet":
+        query = start_archive(spark, cfg)
+    else:  # system.clj:38 exit-2 analog for an unknown storage type
+        raise SystemExit(f"unknown sink_format {cfg.sink_format!r} (exit 2)")
 
     requested = {"stop": False}
 

@@ -79,6 +79,9 @@ class ArchiveConfig:
     group_id: str = "bifrost-group"
     # uploader concurrency analog (A17): sink task parallelism
     sink_partitions: int | None = None
+    # sink wire format: "parquet" (columnar, default) | "baldr"
+    # (byte-exact reference format via sources/baldr.py)
+    sink_format: str = "parquet"
 
 
 def build_source(spark: SparkSession, cfg: ArchiveConfig) -> DataFrame:

@@ -108,3 +108,55 @@ def test_operator_catalog_in_sync():
     from bifrost_spark.catalog import render
 
     assert open("/root/repo/OPERATORS.md").read() == render()
+
+
+def test_cli_baldr_sink_format(staged_input, tmp_path):
+    """Daemon with sink_format=baldr writes the reference wire format
+    end-to-end from the CLI surface (uploader-selection parity: the
+    reference picks its storage backend from config, system.clj)."""
+    import glob
+
+    in_path, n_rows = staged_input
+    out = str(tmp_path / "out")
+    cfg = {
+        "output_path": out,
+        "checkpoint_path": str(tmp_path / "ckpt"),
+        "source": "file",
+        "input_path": in_path,
+        "rotation_interval_secs": 1,
+        "sink_format": "baldr",
+    }
+    cfg_path = str(tmp_path / "archive.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "bifrost_spark.main", "-c", cfg_path],
+        cwd=REPO,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        from bifrost_spark.sources.baldr import unframe_records
+        import gzip
+
+        deadline = time.time() + 120
+        total = 0
+        while time.time() < deadline:
+            total = 0
+            for f in glob.glob(f"{out}/**/*.baldr.gz", recursive=True):
+                try:
+                    total += len(unframe_records(gzip.decompress(open(f, "rb").read())))
+                except (ValueError, OSError):
+                    break  # mid-write; retry next poll
+            if total >= n_rows:
+                break
+            time.sleep(2)
+        assert total >= n_rows, f"baldr archive incomplete: {total}/{n_rows}"
+
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=60)
+        assert proc.returncode == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
