@@ -547,23 +547,7 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-based spelling.  At scale GROUPED_AGG holds one group's column
     in memory per task — fine for bounded groups (5 flags here); the
     sketch path (approx quantiles) covers unbounded ones."""
-    import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # functional form with explicit GROUPED_AGG: `from __future__ import
-    # annotations` stringifies type hints, so inference can't see
-    # Series→scalar here
-    def _tmean(v):
-        a = np.sort(v.to_numpy())
-        k = len(a) // 10
-        kept = a[k : len(a) - k]
-        return float(kept.sum() / len(kept))
-
-    def _tcount(v):
-        return len(v) - 2 * (len(v) // 10)
-
-    trimmed_mean = pandas_udf(_tmean, "double", PandasUDFType.GROUPED_AGG)
-    trimmed_count = pandas_udf(_tcount, "long", PandasUDFType.GROUPED_AGG)
+    from bifrost_spark.queries._udafs import trimmed_count, trimmed_mean
 
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
