@@ -4,11 +4,25 @@ Floating-point SUM/AVG are order-dependent; Spark's partial aggregation and
 DuckDB's vectorized aggregation visit rows in different orders, so raw
 ``SUM(double)`` can differ in the last ulp and break a value-hash compare.
 Fix: accumulate in DECIMAL (exact, order-independent), then cast the final
-scalar back to DOUBLE.  Both engines perform the identical double→decimal
-rounding per row (round-to-nearest; exact decimal ties are unrepresentable in
-binary doubles, so the rounding mode never matters) and the decimal sum is
-exact, making the result bit-stable across engines and partition counts —
-which also makes it stable across a 1000-executor re-partitioning at 100 TB.
+scalar back to DOUBLE.  The decimal sum is exact, so the result is
+bit-stable across partition counts and task retries — which also makes it
+stable across a 1000-executor re-partitioning at 100 TB.
+
+Cross-engine contract (measured, pinned by
+tests/test_properties.py::test_dsum_equals_exact_decimal_model): the
+per-row double→decimal cast is NOT engine-identical in general.  Spark
+casts via ``BigDecimal.valueOf`` — the double's SHORTEST decimal repr
+(same digits as Python ``repr``) rounded HALF_UP at the target scale —
+while DuckDB's cast rounds differently on such values (e.g. for
+536870912.6183465 the shortest repr HALF_UP-rounds to …618347 but DuckDB
+emits …618346).  The rounding decisions agree whenever the TRUE value of
+the double has ≤6 fractional decimal digits (then the scale-6 cast is a
+near-exact quantization with no tie to break, for any rounding mode).
+Every dsum/davg input in this engine satisfies that: fixture money columns
+are 2-dp decimals, and derived inputs are products/quotients of integers
+and 2-dp values by powers of ten (≤5 fractional digits).  Do NOT feed
+dsum with deep-fraction doubles (sqrt/log/division results) in an
+oracle-compared query — round such values first or compare ranks/ids.
 """
 
 from __future__ import annotations

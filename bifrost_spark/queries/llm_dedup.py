@@ -33,6 +33,12 @@ from bifrost_spark.tables import load_table
 SHINGLE_K = 10
 JACCARD_THRESHOLD = 0.5
 COSINE_DUP_THRESHOLD = 0.45  # fixture max pairwise cosine is ~0.51
+# Hub/boilerplate shingle cap for the exact-Jaccard baseline: shingles in
+# more documents than this are dropped before the self-join (see
+# operators/dedup.py::exact_jaccard_pairs).  50 yields the identical ≥0.5
+# pair set as uncapped on sf0.01 and sf0.1 (measured) while cutting the
+# candidate bound ~20× at sf0.1.
+MAX_SHINGLE_DF = 50
 
 
 @query(
@@ -59,11 +65,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-        WITH sh AS (
+        WITH sh0 AS (
           SELECT DISTINCT doc_id,
                  substr(text, CAST(i AS INT), {SHINGLE_K}) AS shingle
           FROM documents,
                UNNEST(range(1, greatest(len(text) - {SHINGLE_K - 1}, 1) + 1)) AS t(i)
+        ),
+        sh AS (
+          SELECT * FROM sh0 WHERE shingle IN (
+            SELECT shingle FROM sh0
+            GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF})
         ),
         cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         common AS (
@@ -80,12 +91,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact character-10-gram Jaccard near-dup pairs (threshold 0.5).
+    """Exact character-10-gram Jaccard near-dup pairs (threshold 0.5),
+    hub shingles (df > {MAX_SHINGLE_DF}) dropped before the self-join.
     The exact baseline the randomized sketches (MinHash/SimHash) are tested
     against.  jaccard = bigint/bigint single division → engine-bit-stable."""
     d = load_table(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=SHINGLE_K)
-    return exact_jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD)
+    return exact_jaccard_pairs(
+        sh, "doc_id", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
+    )
 
 
 @query("q_dedup_minhash", oracle=None)  # hash-family specific → rows-only
@@ -174,11 +188,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_cluster",
     oracle=f"""
-        WITH RECURSIVE sh AS (
+        WITH RECURSIVE sh0 AS (
           SELECT DISTINCT doc_id,
                  substr(text, CAST(i AS INT), {SHINGLE_K}) AS shingle
           FROM documents,
                UNNEST(range(1, greatest(len(text) - {SHINGLE_K - 1}, 1) + 1)) AS t(i)
+        ),
+        sh AS (
+          SELECT * FROM sh0 WHERE shingle IN (
+            SELECT shingle FROM sh0
+            GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF})
         ),
         cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         common AS (
@@ -217,5 +236,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE reachability."""
     d = load_table(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=SHINGLE_K)
-    pairs = exact_jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    pairs = exact_jaccard_pairs(
+        sh, "doc_id", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
+    ).select("id_a", "id_b")
     return connected_components(pairs)

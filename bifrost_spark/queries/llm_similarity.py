@@ -113,32 +113,43 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_norm",
     oracle="""
         SELECT vec_id,
-               [CAST(x AS DOUBLE) / sqrt(nrm2) FOR x IN embedding] AS unit_vec
+               CAST(pos AS BIGINT) AS pos,
+               round(CAST(embedding[pos + 1] AS DOUBLE) / sqrt(nrm2), 9)
+                 AS unit_val
         FROM (
           SELECT vec_id, embedding,
                  CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                                        AS DECIMAL(22,18)))
                        FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
           FROM embeddings
-        )
+        ), UNNEST(range(len(embedding))) AS t(pos)
     """,
 )
 def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization to unit vectors — the standard pre-index transform
-    (cosine becomes plain dot product downstream).  Bit-stable output: the
-    squared norm accumulates in DECIMAL (exact), and sqrt + per-element
-    division are single IEEE ops, so the double array is identical in both
-    engines.  Pure per-row expression, no shuffle."""
+    (cosine becomes plain dot product downstream).  Pure per-row expression,
+    no shuffle.  Emitted one row per (vec_id, component position): the
+    external checker canonicalizes via pandas sort/hash, which cannot
+    handle array cells.
+
+    Determinism: the squared-norm accumulates per-product in DECIMAL(22,18),
+    but at 18 fractional digits the double→decimal cast itself rounds
+    differently across engines (Spark: shortest-repr HALF_UP; DuckDB: exact
+    binary value), leaving ≤1e-16 relative error in the quotient — so the
+    emitted value is rounded to 9 dp, far above the divergence and far
+    below any information loss for unit components."""
     from bifrost_spark.operators.vectors import norm2
 
     e = load_table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(norm2(F.col("embedding")))
     return e.select(
         "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm).alias(
-            "unit_vec"
-        ),
-    )
+        F.posexplode(
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double") / nrm, 9)
+            )
+        ).alias("pos", "unit_val"),
+    ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), "unit_val")
 
 
 @query(
@@ -146,8 +157,9 @@ def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                amax,
-               [CAST(round(CAST(x AS DOUBLE) * 127.0 / amax) AS INT)
-                FOR x IN embedding] AS q8
+               array_to_string(
+                 [CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / amax) AS INT)
+                       AS VARCHAR) FOR x IN embedding], ',') AS q8
         FROM (
           SELECT vec_id, embedding,
                  (SELECT MAX(abs(CAST(x AS DOUBLE))) FROM UNNEST(embedding) AS u(x))
@@ -162,7 +174,10 @@ def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ANN indexes.  amax is an exact float→double max; x·127/amax is a
     fixed IEEE sequence identical in both engines, and both round halves
     away from zero (exact .5 quotients are vanishingly rare in this float
-    math anyway), so the int arrays hash-compare exactly."""
+    math anyway), so the quantized ints compare exactly.  The int array is
+    emitted comma-joined (int→string is deterministic in both engines): the
+    external checker canonicalizes via pandas sort/hash, which cannot
+    handle array cells."""
     e = load_table(spark, sf_dir, "embeddings")
     amax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
     q = e.select("vec_id", F.col("embedding"), amax.alias("amax")).filter(
@@ -171,9 +186,14 @@ def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         "amax",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * 127.0 / F.col("amax")).cast("int"),
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 127.0 / F.col("amax"))
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("q8"),
     )
 

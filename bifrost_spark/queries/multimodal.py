@@ -147,14 +147,23 @@ def _resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("q_multimodal_resize", oracle=None)  # binary-out mapInPandas → rows-only
+@query("q_multimodal_resize", oracle=None)  # stubbed kernel → rows-only
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize pipeline shape: binary payloads through an Arrow-batched
     transform and back out as binary + typed dimensions.  The decode/encode
     kernel is stubbed (decode_media); the schema, batching, and round-trip
-    are real."""
+    are real.  The binary result is projected to digest+length at the query
+    boundary (the external checker canonicalizes via pandas sort/hash; the
+    raw bytes stay inside the pipeline)."""
     m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
-    return m.select("media_id", "payload").mapInPandas(_resize_stub, _RESIZE_SCHEMA)
+    resized = m.select("media_id", "payload").mapInPandas(_resize_stub, _RESIZE_SCHEMA)
+    return resized.select(
+        "media_id",
+        F.md5("resized_payload").alias("resized_md5"),
+        F.length("resized_payload").cast("bigint").alias("resized_bytes"),
+        "out_w",
+        "out_h",
+    )
 
 
 @query(

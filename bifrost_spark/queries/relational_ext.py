@@ -619,14 +619,28 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via approx_percentile (Greenwald-Khanna
     sketch, mergeable partial state — the streaming/partitioned-safe twin of
     the exact q_median).  accuracy=10000 bounds rank error at 1/10000·n.
-    tests/test_sketch_quality.py asserts closeness to the exact
-    percentiles."""
+    tests/test_sketch_quality.py asserts closeness to the exact percentiles.
+
+    The sketch's percentile array is exploded to one (percentile, value) row
+    each: the external checker canonicalizes via pandas sort/hash, which
+    cannot handle array cells."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sketch = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)"
         ).alias("approx_q"),
         F.count("*").alias("n"),
+    )
+    pcts = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    return sketch.select(
+        "l_returnflag",
+        F.posexplode("approx_q").alias("pos", "value"),
+        "n",
+    ).select(
+        "l_returnflag",
+        pcts[F.col("pos")].alias("percentile"),
+        F.col("value"),
+        "n",
     )
 
 

@@ -238,7 +238,7 @@ def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_collect_sorted",
     oracle="""
         SELECT r.r_name AS region,
-               list(n.n_name ORDER BY n.n_name) AS nations,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
                CAST(COUNT(*) AS BIGINT) AS n_nations
         FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
@@ -249,14 +249,17 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     array.  ``collect_list`` order is partition-dependent in Spark, so the
     deterministic form is collect-then-``array_sort`` — the result is then
     independent of shuffle layout (and of DuckDB's ORDER BY-in-aggregate
-    spelling).  Broadcast join (region is tiny) + single-shuffle agg."""
+    spelling).  Broadcast join (region is tiny) + single-shuffle agg.
+
+    The sorted array is emitted joined to one string: the external checker
+    canonicalizes via pandas sort/hash, which cannot handle array cells."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
@@ -449,8 +452,8 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events GROUP BY user_id, event_type
         )
         SELECT user_id,
-               list(event_type ORDER BY event_type) AS type_keys,
-               list(n ORDER BY event_type) AS type_ns,
+               string_agg(event_type, ',' ORDER BY event_type) AS type_keys,
+               string_agg(CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_ns,
                MAX(CASE WHEN event_type = 'click' THEN n END) AS n_clicks
         FROM c GROUP BY user_id
     """,
@@ -462,8 +465,9 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The map is built from a SORTED entry array, so key order (and thus the
     keys/values projections) is deterministic — collect_list alone is
-    partition-order-dependent.  The compared output uses the arrays +
-    element lookup (engine-portable); the map type itself is the Spark-side
+    partition-order-dependent.  The compared output joins the key/value
+    arrays to strings (engine-portable, and scalar for the external
+    checker's pandas canonicalizer); the map type itself is the Spark-side
     representation.  Two shuffles: the (user, type) count and the per-user
     assembly."""
     ev = load_table(spark, sf_dir, "events")
@@ -475,8 +479,10 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "user_id",
-        F.map_keys("tc").alias("type_keys"),
-        F.map_values("tc").alias("type_ns"),
+        F.array_join(F.map_keys("tc"), ",").alias("type_keys"),
+        F.array_join(
+            F.transform(F.map_values("tc"), lambda v: v.cast("string")), ","
+        ).alias("type_ns"),
         F.element_at("tc", F.lit("click")).alias("n_clicks"),
     )
 

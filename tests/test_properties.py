@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import datetime
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -173,20 +173,29 @@ money_lists = st.lists(
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(values=money_lists)
+# Regression: shortest-repr "536870912.6183465" HALF_UP-rounds UP at 6 dp,
+# but the exact binary value (…64527…) rounds DOWN — the two models differ,
+# and Spark follows the shortest-repr string (BigDecimal.valueOf).
+@example(values=[536870912.6183465])
 def test_dsum_equals_exact_decimal_model(spark, values):
     """The engine's central determinism device (queries/_util.dsum): the
-    decimal-accumulated sum of doubles must equal the exact Python model —
-    each double rounded HALF_UP to 6 decimal places, summed exactly,
-    emitted as one double — independent of partitioning.  This is the
-    property that makes every SUM/AVG in the engine bit-stable across
-    partition counts, engines, and task retries."""
+    decimal-accumulated sum of doubles must equal the exact Python model of
+    Spark's cast — double→shortest decimal string (BigDecimal.valueOf, same
+    as Python repr) → HALF_UP at 6 dp — summed exactly, emitted as one
+    double, independent of partitioning.  This is the property that makes
+    every SUM/AVG in the engine bit-stable across partition counts and task
+    retries.  NOTE it is Spark-internal determinism: DuckDB rounds the cast
+    differently on doubles whose true value has ≥7 significant fractional
+    digits (see _util docstring), so cross-engine oracles additionally
+    require ≤6-fractional-digit true values — which every fixture dsum
+    input satisfies."""
     import decimal
 
     from bifrost_spark.queries._util import dsum
 
     q6 = decimal.Decimal("0.000001")
     exact = sum(
-        decimal.Decimal(v).quantize(q6, rounding=decimal.ROUND_HALF_UP)
+        decimal.Decimal(repr(v)).quantize(q6, rounding=decimal.ROUND_HALF_UP)
         for v in values
     )
     expect = float(exact)

@@ -78,7 +78,7 @@ def test_approx_quantile_close_to_exact(spark):
     from bifrost_spark.tables import load_table
 
     got = {
-        r.l_returnflag: r.approx_q
+        (r.l_returnflag, r.percentile): r.value
         for r in registry.queries()["q_agg_approx_quantile"](spark, SF_DIR).collect()
     }
     li = load_table(spark, SF_DIR, "lineitem")
@@ -88,9 +88,10 @@ def test_approx_quantile_close_to_exact(spark):
         .agg(F.expr("percentile(l_quantity, array(0.5, 0.9, 0.99))").alias("ex"))
         .collect()
     }
-    for flag, approx in got.items():
-        for a, e in zip(approx, exact[flag]):
-            assert abs(a - e) <= max(1.0, 0.02 * e), (flag, a, e)
+    assert len(got) == 3 * len(exact)  # one row per (group, percentile)
+    for (flag, pct), a in got.items():
+        e = dict(zip((0.5, 0.9, 0.99), exact[flag]))[pct]
+        assert abs(a - e) <= max(1.0, 0.02 * e), (flag, pct, a, e)
 
 
 def test_ann_lsh_recall(spark):
