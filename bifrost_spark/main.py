@@ -56,7 +56,8 @@ def main(argv: list[str] | None = None) -> int:
     # connector for the sink scheme (s3a committer / abfss auth); local
     # paths are a no-op
     apply_conf(spark, object_store_conf(cfg.output_path))
-    listener = MetricsListener()
+    # telemetry.clj:30-39 parity: StatsD endpoint from STATSD_HOST/_PORT env
+    listener = MetricsListener.from_env()
     spark.streams.addListener(listener)
     if cfg.sink_format == "baldr":
         query = start_baldr_archive(spark, cfg)

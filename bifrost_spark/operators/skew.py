@@ -35,7 +35,18 @@ def salted_join(
     ``salt_source`` names large-side columns to derive the salt from
     (defaults to all columns) — deterministic, so retried tasks produce
     identical output.
+
+    Only ``inner`` and ``left`` are supported: under right/full outer, an
+    unmatched small-side row would surface once per salt replica (wrong
+    multiplicity vs the unsalted join).  For those, salt the reversed join
+    or dedupe unmatched replicas explicitly.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "outer flavors would emit each unmatched small-side row "
+            f"{num_salts}× (one per salt replica)"
+        )
     src = [F.col(c) for c in (salt_source or large.columns)]
     salted_large = large.withColumn(
         "__salt", F.pmod(F.xxhash64(*src), F.lit(num_salts)).cast("int")

@@ -86,6 +86,19 @@ def write_baldr_archive(
         for (topic, part), grp in rows.groupby(["topic", "partition"], sort=True):
             grp = grp.sort_values("offset")
             first = int(grp["offset"].iloc[0])
+            last = int(grp["offset"].iloc[-1])
+            # The wire format encodes ONLY the first offset (in the file
+            # name); read-back reconstructs offset = first + frame index.
+            # That is correct only for a gap-free unique run — enforce it
+            # here rather than silently mis-assigning offsets on read
+            # (gaps arise from compacted/transactional Kafka topics).
+            if last - first + 1 != len(grp) or not grp["offset"].is_unique:
+                raise ValueError(
+                    f"non-contiguous offset run for {topic}/partition={part}: "
+                    f"[{first}..{last}] holds {len(grp)} records — baldr "
+                    "framing cannot represent offset gaps; compact/renumber "
+                    "upstream or archive as parquet (which stores offsets)"
+                )
             d = os.path.join(root, group_id, str(topic), f"partition={int(part)}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"{first:010d}.baldr.gz")
@@ -113,14 +126,22 @@ def write_baldr_archive(
             "topic string, partition int, first_offset long, "
             "n_records long, path string"
         ),
-    )
-    # materialize the write before returning the (small) manifest
-    return manifest.cache()
+    ).cache()
+    # run the side-effecting write NOW, exactly once: the cached (small)
+    # manifest is what later actions re-read — without this count() the
+    # write would be deferred to the caller's first action and re-executed
+    # on any uncached recomputation
+    manifest.count()
+    return manifest
 
 
 def read_baldr_archive(spark: SparkSession, root: str, group_id: str = "bifrost-group") -> DataFrame:
     """Read ``.baldr.gz`` objects back into (topic, partition, offset,
-    value) — offsets rebuilt from the file name + frame index."""
+    value) — offsets rebuilt from the file name + frame index.
+
+    Assumes each file holds a CONTIGUOUS offset run starting at the
+    file-name offset (the format stores no per-record offsets); the writer
+    enforces this at write time."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(
@@ -159,7 +180,9 @@ def register_baldr_source(spark: SparkSession) -> None:
     """Register the Spark 4 Python DataSource wrapping the baldr layout:
     ``spark.read.format("baldr").option("path", root)`` — one input
     partition per object, so scan parallelism equals file count exactly
-    like the parquet reader.
+    like the parquet reader.  Like ``read_baldr_archive``, offsets are
+    reconstructed as file-name offset + frame index, valid because the
+    writer enforces gap-free runs.
 
     Defined inside the function so importing this module never requires
     the DataSource API; the functional reader (``read_baldr_archive``)

@@ -152,33 +152,73 @@ def start_offset_named_archive(spark: SparkSession, cfg: ArchiveConfig) -> Strea
     idempotent on re-upload after crash, same as the reference (same first
     offset → same key → overwrite).
 
-    Batch-local plan: groupBy-free — a single partitionBy write can't name
-    leaves by data values, so each micro-batch computes its per-key min
-    offset (tiny: one row per (topic,partition)) and drives per-key writes.
-    The per-key loop runs on the driver but only over the KEY SET (bounded:
-    topics × partitions, same bound as the reference's Spawner children —
-    async.clj:16-35), never over rows; each write is a distributed job.
+    Batch-local plan: TWO Spark jobs per micro-batch regardless of key
+    count — a tiny per-key min-offset agg (one row per (topic,partition),
+    the same bound as the reference's Spawner children — async.clj:16-35)
+    and ONE hash-partitioned ``partitionBy`` write staging every key's file
+    in a single distributed job.  Leaf files are then renamed to their
+    ``%010d first-offset`` names driver-side via the Hadoop FileSystem API
+    (scheme-portable: file://, s3a://, abfss://), concurrently across keys.
+    Renames are metadata ops, so the driver cost is O(keys) round-trips,
+    not O(keys) serialized Spark jobs — the shape that survives thousands
+    of topic-partitions per 60 s trigger.
     """
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        spark_b = batch.sparkSession
         keys = [
             (r["topic"], r["partition"], r["first_offset"])
             for r in batch.groupBy("topic", "partition")
             .agg(F.min("offset").alias("first_offset"))
             .collect()
         ]
-        for topic, partition, first_offset in keys:
-            leaf = (
-                f"{cfg.output_path}/{cfg.group_id}/{topic}/partition={partition}/"
-                f"{first_offset:010d}.parquet"
+        if not keys:
+            return
+        # one task per key (capped by the A17 concurrency analog) → exactly
+        # one staged file per (topic, partition) leaf directory
+        n_tasks = len(keys)
+        if cfg.sink_partitions:
+            n_tasks = min(n_tasks, cfg.sink_partitions)
+        staging = f"{cfg.output_path}/.staging-epoch-{epoch_id}"
+        (
+            batch.repartition(n_tasks, "topic", "partition")
+            .write.mode("overwrite")
+            .partitionBy("topic", "partition")
+            .parquet(staging)
+        )
+
+        jvm = spark_b._jvm
+        hconf = spark_b._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(staging).getFileSystem(hconf)
+
+        def move_leaf(key: tuple) -> None:
+            topic, partition, first_offset = key
+            staged_dir = HPath(f"{staging}/topic={topic}/partition={partition}")
+            parts = fs.globStatus(HPath(staged_dir, "part-*"))
+            if not parts or len(parts) != 1:
+                raise RuntimeError(
+                    f"expected exactly 1 staged file for {topic}/{partition}, "
+                    f"got {0 if not parts else len(parts)}"
+                )
+            dst_dir = HPath(
+                f"{cfg.output_path}/{cfg.group_id}/{topic}/partition={partition}"
             )
-            (
-                batch.filter((F.col("topic") == topic) & (F.col("partition") == partition))
-                .select("offset", "value", "ts")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(leaf)
-            )
+            fs.mkdirs(dst_dir)
+            dst = HPath(dst_dir, f"{first_offset:010d}.parquet")
+            # crash-replay idempotence: same first offset → same key →
+            # overwrite (s3.clj:15-20 semantics)
+            fs.delete(dst, False)
+            if not fs.rename(parts[0].getPath(), dst):
+                raise RuntimeError(f"rename failed for {dst}")
+
+        with ThreadPoolExecutor(max_workers=min(16, len(keys))) as pool:
+            # list() re-raises the first worker exception → batch fails →
+            # offsets not committed → replay, preserving at-least-once
+            list(pool.map(move_leaf, keys))
+        fs.delete(HPath(staging), True)
 
     src = apply_topic_filter(build_source(spark, cfg), cfg)
     return (

@@ -29,6 +29,18 @@ class MetricsListener(StreamingQueryListener):
         self._statsd = (statsd_host, statsd_port) if statsd_host else None
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM) if statsd_host else None
 
+    @classmethod
+    def from_env(cls, environ=None, history: int = 100) -> "MetricsListener":
+        """Reference telemetry.clj:30-39 parity: the daemon reads
+        ``STATSD_HOST`` / ``STATSD_PORT`` from the environment — unset host
+        means metrics stay in-memory only."""
+        import os
+
+        env = os.environ if environ is None else environ
+        host = env.get("STATSD_HOST") or None
+        port = int(env.get("STATSD_PORT", "8125"))
+        return cls(statsd_host=host, statsd_port=port, history=history)
+
     # -- listener callbacks -------------------------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         self._emit("bifrost.query.started", 1)

@@ -148,3 +148,25 @@ def test_baldr_python_datasource(spark, messages, tmp_path):
         (r.topic, r.partition, r.offset, bytes(r.value)) for r in messages.collect()
     }
     assert got == orig
+
+
+def test_baldr_write_rejects_offset_gaps(spark, tmp_path):
+    """The wire format encodes only the first offset per object; a gapped
+    run would silently read back with wrong offsets, so the writer refuses
+    it (compacted/transactional-topic semantics need the parquet sink)."""
+    from pyspark.sql.utils import PythonException
+
+    gapped = spark.createDataFrame(
+        [("t", 0, 0, b"a"), ("t", 0, 2, b"b")],
+        "topic string, partition int, offset long, value binary",
+    )
+    with pytest.raises(PythonException, match="non-contiguous offset run"):
+        write_baldr_archive(gapped, str(tmp_path / "arch"))
+
+
+def test_baldr_write_materializes_immediately(spark, messages, tmp_path):
+    """write_baldr_archive must run the side-effecting write before
+    returning — files exist without the caller taking any action."""
+    root = str(tmp_path / "arch_eager")
+    write_baldr_archive(messages, root)
+    assert glob.glob(f"{root}/**/*.baldr.gz", recursive=True)

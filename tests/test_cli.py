@@ -15,6 +15,7 @@ import time
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bifrost_spark.tables import load_table
 
@@ -25,14 +26,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def staged_input(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("cli_in"))
     ev = load_table(spark, sf_dir, "events")
+    # per-(topic,partition) contiguous offsets from 0, like a real Kafka
+    # partition — the baldr writer enforces gap-free runs
+    w = Window.partitionBy("topic", "partition").orderBy("event_id")
     (
         ev.select(
             F.col("event_type").alias("topic"),
             F.pmod("user_id", F.lit(4)).cast("int").alias("partition"),
-            F.col("event_id").alias("offset"),
+            F.col("event_id"),
             F.encode("props", "UTF-8").alias("value"),
             "ts",
         )
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+        .drop("event_id")
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(path)

@@ -139,3 +139,12 @@ def test_approx_distinct_partition_invariant(spark, sf_dir):
         for n in (1, 4, 32)
     }
     assert len(set(est.values())) == 1, f"partition-dependent estimates: {est}"
+
+
+def test_simhash_blocking_guard():
+    """8-chunk blocking guarantees recall only to hamming 7 — a larger
+    radius must be refused, not silently under-recalled."""
+    from bifrost_spark.operators.dedup import simhash_near_pairs
+
+    with pytest.raises(ValueError, match="guaranteed-recall bound"):
+        simhash_near_pairs(None, "doc_id", max_hamming=8)

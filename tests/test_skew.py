@@ -54,3 +54,14 @@ def test_salt_spreads_hot_key(spark, sf_dir):
         .count()
     )
     assert n_salts > 1
+
+
+def test_salted_join_rejects_outer_flavors(spark, sf_dir):
+    """Outer salted joins would emit each unmatched small-side row once per
+    salt replica; the operator refuses rather than mis-multiplying."""
+    import pytest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(li, o, "l_orderkey", how="full")

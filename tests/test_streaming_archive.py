@@ -265,3 +265,13 @@ def test_available_now_backfill_drains_and_terminates(spark, staged_messages, tm
     assert q.awaitTermination(120), "availableNow query did not self-terminate"
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == n_msgs
+
+
+def test_metrics_listener_from_env():
+    """Daemon telemetry parity: STATSD_HOST/STATSD_PORT env configure the
+    emitter; unset host leaves metrics in-memory only."""
+    on = MetricsListener.from_env({"STATSD_HOST": "127.0.0.1", "STATSD_PORT": "9125"})
+    assert on._statsd == ("127.0.0.1", 9125)
+    assert on._sock is not None
+    off = MetricsListener.from_env({})
+    assert off._statsd is None and off._sock is None
