@@ -56,6 +56,9 @@ HEADLINE = [
     "q_merge_upsert",
     "q_tfidf",
     "q_chunking",
+    "q_bloom_prune",
+    "q_pipeline_e2e",
+    "q_stratified_sample",
 ]
 
 

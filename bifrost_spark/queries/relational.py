@@ -244,7 +244,16 @@ def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the flagship hash aggregate (scan → pushed filter →
     project → partial+final hash agg).  Partial aggregation (map-side
     combine) reduces the shuffle to |groups|×partitions rows — the plan that
-    survives 100 TB."""
+    survives 100 TB.
+
+    Cost audit (sf0.1, local[32], warm): scan+count 0.22 s; the full
+    7-decimal-aggregate query 0.78 s — the delta is the per-row
+    double→DECIMAL(28,6) accumulation that buys bit-stable sums.  A
+    scaled-long rewrite (round(x·100) → long/decimal sums) measures
+    0.55 s, but the final unscale would cast >2^53 integer sums to double
+    where Spark and DuckDB round differently (see _util) — rejected:
+    ~0.2 s at sf0.1 for a latent cross-engine divergence class is a bad
+    trade, and at cluster scale this stage is scan/shuffle-bound anyway."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

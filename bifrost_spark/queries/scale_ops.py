@@ -1,0 +1,261 @@
+"""Scale-path operators: the techniques that change the cost curve at
+100 TB — runtime Bloom-filter join pruning, mergeable HLL sketch rollups,
+deterministic dataset splitting — each demonstrated on the fixture tables
+with the same semantics they'd have on a cluster.
+
+These register AFTER the round's CHECK_PRIORITY window and rotate into the
+external correctness gate in a later round; until then the repo's own
+oracle harness (tests/test_oracle_parity.py) checks them at sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bifrost_spark.operators.bloom import BLOOM_DEMO_CONFS, compile_with_confs
+from bifrost_spark.queries._util import dsum, sql_dsum
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+
+@query(
+    "q_bloom_prune",
+    oracle=f"""
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag
+    """,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join with Catalyst runtime Bloom-filter pruning: urgent
+    orders (selective dim filter) joined to lineitem, revenue per return
+    flag.  The optimizer injects ``might_contain(bloom, xxhash64(key))``
+    into the lineitem SCAN, so non-urgent line items are dropped before
+    the shuffle — at 100 TB that is the difference between shuffling the
+    full fact table and shuffling the ~20% that joins.
+
+    Semantics are identical to the plain join (a Bloom filter only
+    over-approximates the key set; the join still decides), which is why
+    an exact oracle applies.  The plan is compiled under
+    BLOOM_DEMO_CONFS (operators/bloom.py) because Spark's size gates for
+    the rule are tuned for clusters, not fixtures;
+    tests/test_plans.py asserts the injected filter is present.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+    return compile_with_confs(joined, BLOOM_DEMO_CONFS)
+
+
+@query("q_hll_rollup", oracle=None)  # DataSketches-specific bytes → rows-only
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: per-day HLL sketches of active
+    users, merged to per-month estimates WITHOUT rescanning raw events —
+    the pattern that makes 100 TB distinct-count dashboards incremental
+    (store the daily sketch bytes, union them for any period).
+
+    Spark 4's Apache DataSketches functions (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate) are partially aggregated and
+    merge by register-max — commutative and idempotent, so the merged
+    estimate is independent of partition layout (the single-sketch HIP
+    estimator path is order-dependent; the union path used here is not).
+    tests/test_sketch_quality.py gates the estimate against exact
+    COUNT(DISTINCT) and pins partition-invariance of the merged rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+# deterministic md5-bucket split: hex prefixes are engine-portable (Spark
+# and DuckDB md5 produce identical lowercase hex; fixed-length hex compares
+# lexicographically = numerically).  2 hex chars = 256 buckets:
+# train < 'e6' (230/256 ≈ 89.8%), val < 'f3' (13/256 ≈ 5.1%), else test.
+_SPLIT_TRAIN_HI = "e6"
+_SPLIT_VAL_HI = "f3"
+
+
+@query(
+    "q_dataset_split",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN b < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                    WHEN b < '{_SPLIT_VAL_HI}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+              FROM documents)
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (≈90/5/5) by md5 bucket of
+    the document id: stable across runs, engines, partitionings, and
+    dataset growth (a doc's split never changes when other docs arrive) —
+    the property random splits lack and training reproducibility needs.
+    Pure per-row expression; no shuffle, no RNG."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(b < _SPLIT_TRAIN_HI, "train")
+        .when(b < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# per-stratum sampling rates (rebalance class skew for training): 4 hex
+# chars = 65536 buckets; keep a row iff its bucket < the stratum threshold.
+# rate 1.0 keeps the stratum unconditionally — format(65536) would be the
+# 5-char "10000", which compares LOWER than most 4-char buckets ('f...' >
+# '1...') and silently sampled ~6% instead of 100%.
+_STRATA_RATES = {"view": 0.02, "click": 0.10, "purchase": 1.0}
+_STRATA_HEX = {
+    k: (None if v >= 1.0 else format(int(v * 65536), "04x"))
+    for k, v in _STRATA_RATES.items()
+}
+
+
+def _stratum_sql(stratum: str, hi: str | None) -> str:
+    cond = f"event_type = '{stratum}'"
+    return cond if hi is None else f"({cond} AND b < '{hi}')"
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+        SELECT event_id, event_type
+        FROM (SELECT event_id, event_type,
+                     substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS b
+              FROM events)
+        WHERE {" OR ".join(_stratum_sql(k, v) for k, v in _STRATA_HEX.items())}
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: each event stratum keeps its
+    own md5-bucket fraction (views 2%, clicks 10%, purchases 100%) — the
+    class-rebalancing sampler for training data, reproducible across runs
+    and engines because the keep-decision is a pure hash of the row key
+    (no RNG, no sampleBy seed drift).  Scan-speed per-row predicate; the
+    sample is taken BEFORE any shuffle so downstream stages only pay for
+    kept rows."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+    keep = None
+    for stratum, hi in _STRATA_HEX.items():
+        cond = F.col("event_type") == stratum
+        if hi is not None:
+            cond = cond & (b < hi)
+        keep = cond if keep is None else keep | cond
+    return ev.filter(keep).select("event_id", "event_type")
+
+
+# pipeline constants: quality gates, language whitelist, token budget
+_PIPE_MIN_TOKENS = 30
+_PIPE_MIN_CHARS = 150
+_PIPE_MIN_UNIQ = 0.4  # distinct-token ratio — repetition junk filter
+_PIPE_LANGS = ("en", "es", "de")
+_PIPE_BUDGET = 15_000  # total token budget for the selected corpus
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle=f"""
+        WITH sig AS (
+          SELECT doc_id, text, lang,
+                 len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens,
+                 len(list_distinct(list_filter(string_split(text, ' '),
+                                               t -> t <> ''))) AS n_uniq,
+                 octet_length(encode(text)) AS n_chars
+          FROM documents
+        ),
+        quality AS (
+          SELECT * FROM sig
+          WHERE n_tokens >= {_PIPE_MIN_TOKENS}
+            AND n_chars >= {_PIPE_MIN_CHARS}
+            AND CAST(n_uniq AS DOUBLE) / n_tokens >= {_PIPE_MIN_UNIQ}
+            AND lang IN {_PIPE_LANGS!r}
+        ),
+        dedup AS (
+          SELECT doc_id, n_tokens,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY n_tokens DESC, doc_id) AS rn
+          FROM quality
+        ),
+        kept AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+                   AS cum_tokens
+          FROM dedup WHERE rn = 1
+        )
+        SELECT doc_id, n_tokens, cum_tokens
+        FROM kept WHERE cum_tokens <= {_PIPE_BUDGET}
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep as ONE composed DataFrame plan:
+    quality gates (token/char floors, distinct-token ratio against
+    repetition junk) → language whitelist → exact dedup keeping the
+    longest copy → deterministic token-budget selection (cumulative sum in
+    doc_id order, cut at the budget).
+
+    Scale shape: signals and filters are scan-side per-row expressions
+    (pushdown-friendly, no Python); the dedup shuffles md5 fingerprints +
+    metadata only (text never moves past its scan); the budget cumsum runs
+    on the post-filter METADATA (doc_id, n_tokens) — a single-partition
+    window over ids and counts, fine at billions of docs, while the text
+    itself is never globally ordered.  Every step is exact and
+    engine-portable → full oracle."""
+    toks = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.octet_length("text").alias("n_chars"),
+    )
+    quality = d.filter(
+        (F.col("n_tokens") >= _PIPE_MIN_TOKENS)
+        & (F.col("n_chars") >= _PIPE_MIN_CHARS)
+        & (F.col("n_uniq").cast("double") / F.col("n_tokens") >= _PIPE_MIN_UNIQ)
+        & F.col("lang").isin(list(_PIPE_LANGS))
+    )
+    from pyspark.sql.window import Window
+
+    dedup_w = Window.partitionBy(F.md5("text")).orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    kept = (
+        quality.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+    cum_w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        kept.withColumn("cum_tokens", F.sum("n_tokens").over(cum_w))
+        .filter(F.col("cum_tokens") <= _PIPE_BUDGET)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )

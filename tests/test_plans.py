@@ -135,3 +135,15 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "ShuffledHashJoin" in shuffle_hash
     merge = plan_of(c.join(n.hint("merge"), c.c_nationkey == n.n_nationkey))
     assert "SortMergeJoin" in merge
+
+
+def test_bloom_prune_injects_runtime_filter(spark, sf_dir):
+    """q_bloom_prune's compiled plan must carry Catalyst's injected runtime
+    Bloom filter on the fact side (might_contain over the join key), and
+    compiling it must not leak its conf window into the session."""
+    from bifrost_spark.operators.bloom import has_bloom_filter
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = registry.queries()["q_bloom_prune"](spark, sf_dir)
+    assert has_bloom_filter(df), "runtime bloom filter missing from plan"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before

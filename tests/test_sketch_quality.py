@@ -148,3 +148,57 @@ def test_simhash_blocking_guard():
 
     with pytest.raises(ValueError, match="guaranteed-recall bound"):
         simhash_near_pairs(None, "doc_id", max_hamming=8)
+
+
+def test_hll_rollup_close_to_exact(spark):
+    """Merged per-month HLL estimates must land within DataSketches' ~2%
+    relative error of exact COUNT(DISTINCT user) per month."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.tables import load_table
+
+    got = {
+        r.month: r.approx_users
+        for r in registry.queries()["q_hll_rollup"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.month: r.ex
+        for r in ev.groupBy(
+            F.date_trunc("month", F.to_date("ts")).cast("date").alias("month")
+        )
+        .agg(F.countDistinct("user_id").alias("ex"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for month, est in got.items():
+        assert abs(est - exact[month]) <= max(2, 0.03 * exact[month]), (
+            month, est, exact[month],
+        )
+
+
+def test_hll_rollup_partition_invariant(spark):
+    """The union-merged rollup must not depend on partition layout
+    (register-max merging is commutative/idempotent)."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+
+    def rollup(nparts):
+        daily = (
+            ev.repartition(nparts)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        )
+        return {
+            r.month: r.approx
+            for r in daily.groupBy(
+                F.date_trunc("month", "day").cast("date").alias("month")
+            )
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
+            .collect()
+        }
+
+    assert rollup(4) == rollup(32)
