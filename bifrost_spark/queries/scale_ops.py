@@ -259,3 +259,81 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _PIPE_BUDGET)
         .select("doc_id", "n_tokens", "cum_tokens")
     )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+        WITH RECURSIVE anc(part, node, depth) AS (
+          SELECT p_partkey, p_partkey // 2, CAST(1 AS BIGINT)
+          FROM part WHERE p_partkey >= 2
+          UNION ALL
+          SELECT part, node // 2, depth + 1 FROM anc WHERE node >= 2
+        )
+        SELECT part, CAST(MAX(depth) AS BIGINT) AS depth_to_root
+        FROM anc GROUP BY part
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): ancestor-chain walk over a
+    synthetic binary hierarchy on part keys (parent = key div 2), emitting
+    each part's depth to the root — the BOM-explosion / org-chart
+    traversal shape SQL engines historically needed iterative drivers for.
+
+    Spark executes the recursion as iterative UNION ALL steps inside ONE
+    SQL statement (depth here ≈ log₂ max key ≈ 15 rounds); each round is a
+    distributed scan+filter, so the pattern holds at any fan-out.  The
+    driver-loop twin (operators/dedup.py connected_components) remains the
+    right tool when per-round dedup/aggregation must bound state."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("brc_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(part, node, depth) AS (
+          SELECT p_partkey, p_partkey div 2, CAST(1 AS BIGINT)
+          FROM brc_part WHERE p_partkey >= 2
+          UNION ALL
+          SELECT part, node div 2, depth + 1 FROM anc WHERE node >= 2
+        )
+        SELECT part, MAX(depth) AS depth_to_root
+        FROM anc GROUP BY part
+        """
+    )
+
+
+# fuzzy decontamination: benchmark set = every 10th doc (deterministic
+# stand-in for an eval suite); flag corpus docs whose MinHash est_jaccard
+# vs ANY benchmark doc crosses the threshold.
+_DECON_THRESHOLD = 0.5
+
+
+@query("q_decontaminate_fuzzy", oracle=None)  # hash-family → rows-only
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy eval-set decontamination: MinHash+LSH near-dup detection of
+    corpus docs against a benchmark set (here: doc_id ≡ 7 mod 10), flagging
+    near-copies that exact decontamination (q_decontaminate) misses when
+    the leaked text is lightly edited.
+
+    One signature pass over corpus ∪ benchmark, LSH banding, then
+    candidates filtered to corpus×benchmark pairs — candidate volume
+    tracks true contamination, not |corpus|×|benchmark|.
+    tests/test_sketch_quality.py gates recall against the exact-Jaccard
+    contamination set."""
+    from bifrost_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        d, "text", "doc_id", num_hashes=64, winnow_mod=2, shingle="word"
+    )
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=16, rows_per_band=4).filter(
+        F.col("est_jaccard") >= _DECON_THRESHOLD
+    )
+    is_bench_a = F.col("id_a") % 10 == 7
+    is_bench_b = F.col("id_b") % 10 == 7
+    flagged = (
+        pairs.filter(is_bench_a != is_bench_b)
+        .select(
+            F.when(is_bench_b, F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id")
+        )
+        .distinct()
+    )
+    return flagged.select("doc_id").orderBy("doc_id")

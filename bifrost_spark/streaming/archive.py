@@ -77,6 +77,11 @@ class ArchiveConfig:
     topic_blacklist: tuple[str, ...] = ()
     # consumer-group analog, used in object keys (A11)
     group_id: str = "bifrost-group"
+    # extra Kafka source options, passed through verbatim (kafka.clj consumer
+    # opts parity): consumer properties use the "kafka." prefix
+    # (kafka.security.protocol, kafka.sasl.jaas.config, …), source options
+    # are bare (failOnDataLoss, minPartitions, …)
+    kafka_options: dict[str, str] = field(default_factory=dict)
     # uploader concurrency analog (A17): sink task parallelism
     sink_partitions: int | None = None
     # sink wire format: "parquet" (columnar, default) | "baldr"
@@ -84,17 +89,28 @@ class ArchiveConfig:
     sink_format: str = "parquet"
 
 
+def kafka_reader_options(cfg: ArchiveConfig) -> dict[str, str]:
+    """The Kafka source option set for ``cfg`` — one place, unit-testable
+    without a broker (the connector jar is absent in this sandbox).
+    ``kafka_options`` passthrough lets deployments set consumer properties
+    (security.protocol, SASL) and source options (failOnDataLoss,
+    minPartitions) without code changes, like the reference's config-driven
+    consumer opts (kafka.clj)."""
+    opts = {
+        "kafka.bootstrap.servers": cfg.bootstrap_servers,
+        "subscribePattern": cfg.subscribe_pattern,
+        "startingOffsets": cfg.starting_offsets,
+    }
+    if cfg.max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(cfg.max_offsets_per_trigger)
+    opts.update(cfg.kafka_options)
+    return opts
+
+
 def build_source(spark: SparkSession, cfg: ArchiveConfig) -> DataFrame:
     """readStream in the message shape (topic/partition/offset/value/ts)."""
     if cfg.source == "kafka":
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
-            .option("subscribePattern", cfg.subscribe_pattern)
-            .option("startingOffsets", cfg.starting_offsets)
-        )
-        if cfg.max_offsets_per_trigger:
-            reader = reader.option("maxOffsetsPerTrigger", str(cfg.max_offsets_per_trigger))
+        reader = spark.readStream.format("kafka").options(**kafka_reader_options(cfg))
         df = reader.load()
         return df.select(
             "topic",

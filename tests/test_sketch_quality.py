@@ -202,3 +202,21 @@ def test_hll_rollup_partition_invariant(spark):
         }
 
     assert rollup(4) == rollup(32)
+
+
+def test_fuzzy_decontaminate_recall(spark, exact_jaccard):
+    """Every corpus doc that is exact-Jaccard-contaminated by a benchmark
+    doc (doc_id ≡ 7 mod 10) must be flagged by the MinHash-based fuzzy
+    decontamination."""
+    truth = set()
+    for a, b in exact_jaccard:
+        a_bench, b_bench = a % 10 == 7, b % 10 == 7
+        if a_bench != b_bench:
+            truth.add(b if a_bench else a)
+    got = {
+        r.doc_id
+        for r in registry.queries()["q_decontaminate_fuzzy"](spark, SF_DIR).collect()
+    }
+    assert truth, "fixture has no cross-set contamination — test is vacuous"
+    missed = truth - got
+    assert not missed, f"contaminated docs missed: {sorted(missed)[:10]}"

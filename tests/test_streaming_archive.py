@@ -275,3 +275,31 @@ def test_metrics_listener_from_env():
     assert on._sock is not None
     off = MetricsListener.from_env({})
     assert off._statsd is None and off._sock is None
+
+
+def test_kafka_reader_options_passthrough():
+    """A3 config surface: base options (bootstrap/pattern/offsets/
+    backpressure) plus verbatim passthrough of consumer properties and
+    source options — deployments configure security without code changes."""
+    from bifrost_spark.streaming.archive import kafka_reader_options
+
+    cfg = ArchiveConfig(
+        output_path="/tmp/o",
+        checkpoint_path="/tmp/c",
+        source="kafka",
+        bootstrap_servers="b1:9092,b2:9092",
+        subscribe_pattern="events\\..*",
+        max_offsets_per_trigger=5000,
+        kafka_options={
+            "kafka.security.protocol": "SASL_SSL",
+            "kafka.sasl.mechanism": "SCRAM-SHA-512",
+            "failOnDataLoss": "false",
+            "minPartitions": "64",
+        },
+    )
+    opts = kafka_reader_options(cfg)
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribePattern"] == "events\\..*"
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert opts["minPartitions"] == "64"
