@@ -461,3 +461,192 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query("q_sim_ann_ivfpq", oracle=None)  # approximate by design → rows-only
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: the IVF coarse quantizer of q_sim_ann_ivf plus
+    product-quantized RESIDUAL codes — the memory-bounded third scale
+    path.  Each unit vector stores only its cell id + 8 one-byte codes
+    (vs 64 float64s): 64× smaller state, which at 100 TB is the
+    difference between an index that fits in executor memory and one
+    that doesn't.
+
+    Pipeline (all JVM-side after training):
+      1. coarse k-means (k=16, fixed seed) on unit vectors → cell;
+         residual r = u − center[cell];
+      2. per-subspace k-means (8 subspaces × 8 dims, 16 codes each) on
+         residuals → codebooks, plan-time LITERAL arrays like the IVF
+         centroids;
+      3. encode: code_m = argmin‖r_m − c‖² per subspace (struct-sort
+         argmin, 16 folds per subspace per row, one corpus scan);
+      4. query: probe the nprobe nearest cells; ADC score each candidate
+         from its codes alone — cos ≈ q·center[cell] + Σ_m q_m·sub_m[code_m]
+         (no corpus embeddings touched);
+      5. refine: exact-cosine rescore of the top ``refine`` ADC
+         candidates per query (joins back |queries|·refine embedding
+         rows, not the corpus), then top-k.
+
+    Training is MLlib k-means (distributed, iteration-bounded; at scale,
+    fit on a sample).  Recall vs the exact q_sim_topk gated in
+    tests/test_sketch_quality.py alongside the LSH and IVF-flat paths."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k_c, nprobe = 16, 10
+    # refine sizing: on the near-uniform fixture the PQ distortion is at
+    # its worst case (residuals are near-full-norm), so the exact-rescore
+    # shortlist is sized at ~half the probed candidates (150 of ~310);
+    # clustered real corpora need far less — tune with the recall gate.
+    m_sub, d_sub, k_pq, refine = 8, 8, 16, 150
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = e.select(
+        "vec_id", "embedding", F.sqrt(norm2_fast(F.col("embedding"))).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    unit = nrm.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias(
+            "unit"
+        ),
+    )
+    coarse = KMeans(
+        k=k_c, seed=7, maxIter=10, featuresCol="feat", predictionCol="cell"
+    ).fit(unit.select(array_to_vector("unit").alias("feat")))
+    centers = [[float(v) for v in c] for c in coarse.clusterCenters()]
+    centers_lit = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in centers]
+    )
+
+    def cell_ranking(col):
+        return F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        (-dot_fast(col, F.array(*[F.lit(v) for v in c]))).alias(
+                            "negd"
+                        ),
+                        F.lit(i).alias("cell"),
+                    )
+                    for i, c in enumerate(centers)
+                ]
+            )
+        )
+
+    with_res = unit.select(
+        "vec_id",
+        "embedding",
+        "unit",
+        F.element_at(cell_ranking(F.col("unit")), 1).cell.alias("cell"),
+    ).withColumn(
+        "res",
+        F.zip_with(
+            "unit",
+            F.element_at(centers_lit, F.col("cell") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    with_res = with_res.localCheckpoint(eager=True)  # train 8 codebooks off one pass
+
+    codebooks = []  # codebooks[m][code] = list of d_sub floats
+    for m in range(m_sub):
+        sl = F.slice("res", m * d_sub + 1, d_sub)
+        km = KMeans(
+            k=k_pq, seed=11 + m, maxIter=10, featuresCol="feat", predictionCol="c"
+        ).fit(with_res.select(array_to_vector(sl).alias("feat")))
+        codebooks.append([[float(v) for v in c] for c in km.clusterCenters()])
+
+    def sub_argmin(m):
+        sl = F.slice("res", m * d_sub + 1, d_sub)
+        return F.element_at(
+            F.sort_array(
+                F.array(
+                    *[
+                        F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    sl,
+                                    F.array(*[F.lit(v) for v in c]),
+                                    lambda a, b: (a - b) * (a - b),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            ).alias("d2"),
+                            F.lit(j).alias("code"),
+                        )
+                        for j, c in enumerate(codebooks[m])
+                    ]
+                )
+            ),
+            1,
+        ).code
+
+    corpus = with_res.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.array(*[sub_argmin(m) for m in range(m_sub)]).alias("codes"),
+    )
+
+    probes = F.broadcast(
+        unit.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("unit").alias("q_unit"),
+            F.explode(
+                F.transform(
+                    F.slice(cell_ranking(F.col("unit")), 1, nprobe), lambda s: s.cell
+                )
+            ).alias("cell"),
+        )
+    )
+
+    # ADC: approx cos = q·center[cell] + Σ_m q_m · codebook_m[code_m]
+    sub_lits = [
+        F.array(*[F.array(*[F.lit(v) for v in c]) for c in codebooks[m]])
+        for m in range(m_sub)
+    ]
+    adc = dot_fast(F.col("q_unit"), F.element_at(centers_lit, F.col("cell") + 1))
+    for m in range(m_sub):
+        adc = adc + dot_fast(
+            F.slice("q_unit", m * d_sub + 1, d_sub),
+            F.element_at(sub_lits[m], F.element_at("codes", m + 1) + 1),
+        )
+    cand = (
+        corpus.join(probes, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = cand.select(
+        "query_id", "neighbor_id", F.row_number().over(wa).alias("arnk")
+    ).filter(F.col("arnk") <= refine)
+
+    # exact rescore of the shortlist only
+    q_side = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c_side = unit.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        shortlist.join(F.broadcast(q_side), "query_id")
+        .join(c_side, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_fast(F.col("q_emb"), F.col("c_emb"))
+                / (
+                    F.sqrt(norm2_fast(F.col("q_emb")))
+                    * F.sqrt(norm2_fast(F.col("c_emb")))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).filter(F.col("rnk") <= TOP_K)

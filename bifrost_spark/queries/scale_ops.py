@@ -337,3 +337,156 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return flagged.select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+        WITH edges AS (
+          SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        tri AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM edges e1
+          JOIN edges e2 ON e2.a = e1.b
+          JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS node FROM tri UNION ALL
+              SELECT b FROM tri UNION ALL
+              SELECT c FROM tri)
+        GROUP BY node
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the co-purchase support graph —
+    the clustering-coefficient primitive of distributed graph analytics.
+    Edges are canonically ordered (a<b), so each triangle (a<b<c) is
+    enumerated exactly once by two equi-joins on node ids: e(a,b), e(b,c),
+    closing e(a,c).  All joins are key-equi (shuffle-hash-able, AQE
+    skew-splittable); candidate volume is Σ deg(b choose-2-ish), bounded
+    by the support floor that keeps the edge set sparse.  At 100 TB you'd
+    additionally order by degree (lowest-degree vertex enumerates) — the
+    standard halving optimization; edge lists here are small enough not to
+    bother, and the plan shape is identical."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join as a first-class query: the large side's key is
+    salted (deterministic xxhash64 of row content, 8 salts), the small
+    side replicated once per salt, joined on (key, salt) — spreading any
+    hot key across 8 tasks.  The oracle is the PLAIN join aggregate:
+    salting must never change semantics, and the deterministic salt makes
+    task retries reproduce identical output (operators/skew.py; AQE's
+    skew-join split handles most cases, salting is the explicit fallback
+    for broadcast-ineligible power-law keys)."""
+    from bifrost_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        l.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        num_salts=8,
+        salt_source=("k",),
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+@query(
+    "q_lm_score",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                            t -> t <> '')) AS tok
+          FROM documents
+        ),
+        freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(log2((SELECT t FROM tot))
+                     - CAST(SUM(CAST(round(log2(f.c), 12)
+                                     AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*), 9) AS avg_neg_log2_p
+        FROM tok JOIN freq f USING (tok)
+        GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal score per document —
+    avg −log₂ p(token) under the corpus unigram distribution, the
+    perplexity-style quality signal (low = templated/common text, high =
+    rare-token or noisy text).  Two scan-side shuffles: corpus token
+    counts, then per-doc aggregation of log-counts.
+
+    Determinism: the score decomposes as log₂T − (Σ log₂ c_t)/n, where
+    c_t are INTEGER counts — each log₂(c_t) is rounded to 12 dp and
+    accumulated in DECIMAL(28,12) (order-independent), and the output is
+    rounded at 9 dp, far above both the per-addend 1-ulp cross-engine
+    log divergence (≤1e-12 after addend rounding) and the final division
+    ulp."""
+    toks = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(toks).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # corpus total as a broadcast 1-row join, not a driver-side action —
+    # the whole score stays one lazy distributed plan
+    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    per_doc = (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.round(F.log2("c"), 12).cast("decimal(28,12)")
+            ).alias("sum_log"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log2("t") - F.col("sum_log").cast("double") / F.col("n_tokens"),
+            9,
+        ).alias("avg_neg_log2_p"),
+    )

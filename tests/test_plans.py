@@ -98,7 +98,10 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     broadcast-side × corpus scoring scan in q_sim_topk and q_knn_eval
     (tiny broadcast side, documented in their docstrings).  Catches an
     accidental non-equi join in ANY future operator the moment it lands."""
-    allowed_bnlj = {"q_sim_topk", "q_knn_eval"}
+    # q_sim_topk/q_knn_eval: tiny broadcast query side × corpus scoring
+    # scan; q_lm_score: broadcast ONE-ROW corpus-total joined to every doc
+    # (scalar join — the nested "loop" is a single row)
+    allowed_bnlj = {"q_sim_topk", "q_knn_eval", "q_lm_score"}
     offenders = {}
     for name, fn in sorted(registry.queries().items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()

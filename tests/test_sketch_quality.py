@@ -220,3 +220,20 @@ def test_fuzzy_decontaminate_recall(spark, exact_jaccard):
     assert truth, "fixture has no cross-set contamination — test is vacuous"
     missed = truth - got
     assert not missed, f"contaminated docs missed: {sorted(missed)[:10]}"
+
+
+def test_ann_ivfpq_recall(spark):
+    """IVF-PQ (coarse cells + product-quantized residual ADC + exact
+    refine) must keep >=0.8 of the exact top-k set, like the other ANN
+    paths."""
+    qs = registry.queries()
+    top = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["q_sim_topk"](spark, SF_DIR).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["q_sim_ann_ivfpq"](spark, SF_DIR).collect()
+    }
+    recall = len(top & pq) / len(top)
+    assert recall >= 0.8, f"ivfpq recall {recall:.2f} < 0.8"
