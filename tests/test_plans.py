@@ -150,3 +150,24 @@ def test_bloom_prune_injects_runtime_filter(spark, sf_dir):
     df = registry.queries()["q_bloom_prune"](spark, sf_dir)
     assert has_bloom_filter(df), "runtime bloom filter missing from plan"
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_llm_queries_prune_document_columns(spark, sf_dir):
+    """The documents table carries text + metadata (source, n_chars, lang);
+    each LLM query's scan must read ONLY what it uses — at 100 TB an
+    unpruned text/metadata column is terabytes of wasted IO."""
+    split_plan = _plan(spark, sf_dir, "q_dataset_split")
+    read = [l for l in split_plan.splitlines() if "ReadSchema" in l]
+    assert read and "text" not in read[0], "q_dataset_split must not read text"
+
+    lm_plan = _plan(spark, sf_dir, "q_lm_score")
+    reads = [l for l in lm_plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("source" not in l and "lang" not in l for l in reads), (
+        "q_lm_score reads only doc_id+text"
+    )
+
+    pipe_plan = _plan(spark, sf_dir, "q_pipeline_e2e")
+    reads = [l for l in pipe_plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("source" not in l for l in reads), (
+        "q_pipeline_e2e must prune the unused source column"
+    )
