@@ -490,3 +490,33 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("avg_neg_log2_p"),
     )
+
+
+@query(
+    "q_dataset_split_grouped",
+    oracle=f"""
+        SELECT doc_id, source,
+               CASE WHEN b < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                    WHEN b < '{_SPLIT_VAL_HI}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, source, substr(md5(source), 1, 2) AS b
+              FROM documents)
+    """,
+)
+def q_dataset_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: the md5 bucket hashes the SOURCE
+    (domain/site/provider), so every document from one source lands in the
+    SAME split — the leakage guard plain per-doc splitting lacks (near-dup
+    documents cluster within a source; splitting them across train and
+    test inflates eval).  Same scan-speed, RNG-free determinism as
+    q_dataset_split."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5("source"), 1, 2)
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(b < _SPLIT_TRAIN_HI, "train")
+        .when(b < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
