@@ -520,3 +520,55 @@ def q_dataset_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query("q_theta_overlap", oracle=None)  # DataSketches bytes → rows-only
+def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap set algebra on theta sketches: distinct users per
+    event segment, then |A∩B| / |A∪B| / |A∖B| ESTIMATED FROM THE SKETCHES
+    for every segment pair — the cross-segment question HLL cannot answer
+    (HLL only unions).  At 100 TB: one sketch per segment per partition
+    (mergeable, bytes-sized), pairwise algebra on the driver-sized final
+    sketches, raw users never re-scanned per pair.
+    tests/test_sketch_quality.py gates the estimates against exact
+    distinct-intersection counts."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    a = sk.select(F.col("event_type").alias("seg_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("seg_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b"))
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).alias("n_both"),
+        F.theta_sketch_estimate(F.theta_union(F.col("sk_a"), F.col("sk_b"))).alias(
+            "n_either"
+        ),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+        ).alias("n_only_a"),
+    )
+
+
+@query("q_heavy_hitters", oracle=None)  # sketch order/ties → rows-only
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items (heavy hitters) over the document token stream via
+    ``approx_top_k`` — the mergeable top-k sketch for 100 TB vocabularies
+    where an exact groupBy-then-sort of every distinct token is the
+    bottleneck.  The sketch state is maxItemsTracked counters (mergeable
+    across partitions); output is exploded to scalar (item, count) rows.
+    tests/test_sketch_quality.py checks every reported count against the
+    exact token counts and the reported set against the true top-k."""
+    toks = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(toks).alias("tok")
+    )
+    tok.createOrReplaceTempView("brc_tokens")
+    sketch = spark.sql(
+        "SELECT approx_top_k(tok, 10, 10000) AS top FROM brc_tokens"
+    )
+    return sketch.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("n")
+    )

@@ -100,8 +100,10 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     accidental non-equi join in ANY future operator the moment it lands."""
     # q_sim_topk/q_knn_eval: tiny broadcast query side × corpus scoring
     # scan; q_lm_score: broadcast ONE-ROW corpus-total joined to every doc
-    # (scalar join — the nested "loop" is a single row)
-    allowed_bnlj = {"q_sim_topk", "q_knn_eval", "q_lm_score"}
+    # (scalar join — the nested "loop" is a single row); q_theta_overlap:
+    # |segments|×|segments| pairing of final per-segment sketches (both
+    # sides are segment-count-sized, never data-sized)
+    allowed_bnlj = {"q_sim_topk", "q_knn_eval", "q_lm_score", "q_theta_overlap"}
     offenders = {}
     for name, fn in sorted(registry.queries().items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()

@@ -237,3 +237,61 @@ def test_ann_ivfpq_recall(spark):
     }
     recall = len(top & pq) / len(top)
     assert recall >= 0.8, f"ivfpq recall {recall:.2f} < 0.8"
+
+
+def test_theta_overlap_close_to_exact(spark):
+    """Theta-sketch |A∩B| / |A∪B| / |A\\B| estimates per segment pair must
+    land within ~5% of the exact distinct counts."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.tables import load_table
+
+    got = {
+        (r.seg_a, r.seg_b): (r.n_both, r.n_either, r.n_only_a)
+        for r in registry.queries()["q_theta_overlap"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    users = {
+        r.event_type: set(r.us)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    assert got, "no segment pairs"
+    for (a, b), (n_both, n_either, n_only_a) in got.items():
+        ua, ub = users[a], users[b]
+        for est, exact in (
+            (n_both, len(ua & ub)),
+            (n_either, len(ua | ub)),
+            (n_only_a, len(ua - ub)),
+        ):
+            assert abs(est - exact) <= max(2, 0.05 * exact), (a, b, est, exact)
+
+
+def test_heavy_hitters_exact_on_fixture(spark):
+    """With maxItemsTracked far above the fixture vocabulary, approx_top_k
+    counts are exact and its item set must equal the true top-10 (modulo
+    boundary-count ties, which the fixture's count distribution decides)."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.tables import load_table
+
+    got = {
+        r.item: r.n
+        for r in registry.queries()["q_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    toks = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    exact = {
+        r.tok: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(got) == 10
+    for item, n in got.items():
+        assert exact[item] == n, (item, n, exact.get(item))
+    # every reported item's count is >= the 10th-largest true count
+    floor = sorted(exact.values(), reverse=True)[9]
+    assert all(n >= floor for n in got.values())
