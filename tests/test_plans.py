@@ -102,8 +102,20 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     # scan; q_lm_score: broadcast ONE-ROW corpus-total joined to every doc
     # (scalar join — the nested "loop" is a single row); q_theta_overlap:
     # |segments|×|segments| pairing of final per-segment sketches (both
-    # sides are segment-count-sized, never data-sized)
-    allowed_bnlj = {"q_sim_topk", "q_knn_eval", "q_lm_score", "q_theta_overlap"}
+    # sides are segment-count-sized, never data-sized); the TPC-H
+    # threshold queries join a broadcast ONE-ROW scalar aggregate
+    # (global value / max revenue / avg balance) to a pre-aggregated
+    # side — same single-row scalar-join shape as q_lm_score
+    allowed_bnlj = {
+        "q_sim_topk",
+        "q_knn_eval",
+        "q_lm_score",
+        "q_theta_overlap",
+        "q_tpch11",
+        "q_tpch15",
+        "q_tpch20",
+        "q_tpch22",
+    }
     offenders = {}
     for name, fn in sorted(registry.queries().items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -173,3 +185,62 @@ def test_llm_queries_prune_document_columns(spark, sf_dir):
     assert reads and all("source" not in l for l in reads), (
         "q_pipeline_e2e must prune the unused source column"
     )
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is pure scan-filter-agg: every predicate (date window, discount
+    band, quantity cap) must reach the parquet scan as PushedFilters, and
+    the scan must read only the four referenced columns."""
+    plan = _plan(spark, sf_dir, "q_tpch06")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters in Q6 plan"
+    line = pushed[0]
+    for expected in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert expected in line, f"missing {expected} in {line}"
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_tax" not in read, (
+        "Q6 scan must prune to shipdate/discount/quantity/extendedprice"
+    )
+
+
+def test_tpch_q5_dims_broadcast(spark, sf_dir):
+    """Q5's region/nation dims broadcast (bounded by geography at every
+    SF); the fact-side joins must not nest-loop."""
+    plan = _plan(spark, sf_dir, "q_tpch05")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q3_topk_not_full_sort(spark, sf_dir):
+    """Q3's LIMIT 10 must plan as TakeOrderedAndProject (only K rows leave
+    each partition), with the segment filter pushed to the customer scan."""
+    plan = _plan(spark, sf_dir, "q_tpch03")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,MACHINERY)" in plan
+
+
+def test_tpch_q19_single_equi_join(spark, sf_dir):
+    """Q19's three OR-ed bands must stay a residual condition on ONE
+    partkey hash join — not a union of three joins, not a nested loop."""
+    plan = _plan(spark, sf_dir, "q_tpch19")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") <= 4, "Q19 exploded into multiple joins"
+
+
+def test_tpch_q21_quantifiers_are_semi_anti(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS must decorrelate to semi/anti hash joins
+    on l_orderkey — three lineitem scans, zero nested loops."""
+    plan = _plan(spark, sf_dir, "q_tpch21")
+    low = plan.lower()
+    assert "leftsemi" in low.replace(" ", "") or "semi" in low
+    assert "leftanti" in low.replace(" ", "") or "anti" in low
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
