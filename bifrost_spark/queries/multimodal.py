@@ -1,14 +1,18 @@
 """Multimodal-column operators (driver mandate): image/audio/video payloads
 as opaque ``binary`` columns with typed metadata.
 
-The fixture set has no real media, so the *payload* is a deterministic
-UTF-8-encoded stand-in built from ``documents.text`` — exactly how the
-reference treats Kafka payloads as opaque bytes it never inspects
-(kafka.clj:58).  What IS real and tested here is the Spark-side plumbing:
-binary schema, metadata projection, md5 integrity, and the Arrow-batched
-``mapInPandas`` feature-extraction shape.  The actual media decode is a
-clearly-marked stub (see ``decode_media``) because codec libraries are not
-in this container.
+The fixture set has no real media, so payloads are built deterministically
+from ``documents.text``: ``media_table`` keeps the raw UTF-8 bytes (the
+opaque-blob discipline — exactly how the reference treats Kafka payloads
+it never inspects, kafka.clj:58), while ``encoded_media_table`` wraps the
+same bytes into REAL containers — binary PPM (P6) images and RIFF/PCM16
+WAV audio — that the engine then genuinely decodes, resizes, and
+feature-extracts with the pure-numpy codecs in ``operators/media.py``.
+Compressed codecs (the "video" payloads carry a fake MJPG container)
+remain a documented ``NotImplementedError``: swapping that fallthrough for
+a real codec call is the only production change, and every Spark-side
+piece — schema, Arrow batching, partitioning, round-trip — is exercised
+for real on the uncompressed path.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -51,44 +56,110 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, media_type: str):
-    """STUB — real media decode (PIL/ffmpeg/librosa) is not available in this
-    container.  The Spark plumbing around it (schema, batching, partitioning)
-    is real; swap this body for the actual decoder in production."""
-    raise NotImplementedError(
-        "media decode requires codec libraries not present in this environment"
-    )
+    """Decode an opaque binary payload: REAL for uncompressed formats
+    (binary PPM images, PCM16 WAV audio — pure-numpy codecs in
+    operators/media.py), ``NotImplementedError`` for compressed codecs
+    (JPEG/H.264/MP3 need libraries absent in this container)."""
+    from bifrost_spark.operators.media import decode_media as _decode
+
+    return _decode(payload, media_type)
+
+
+_IMG_W = 16  # encoded image width (3 bytes/pixel → 48 payload bytes per row)
+_WAV_RATE = 8000  # PCM sample rate for encoded audio
+
+
+def _encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched media ENCODE: text bytes → real containers.
+
+    * image: bytes as RGB pixels, width 16, zero-padded to full rows →
+      binary PPM (P6).
+    * audio: each byte → a centered int16 sample, 8 kHz mono → RIFF/PCM16.
+    * video: fake MJPG container (compressed-codec stand-in; decode raises).
+    """
+    import numpy as np
+
+    from bifrost_spark.operators.media import encode_ppm, encode_wav
+
+    for pdf in batches:
+        payloads = []
+        for raw, kind in zip(pdf["payload"], pdf["media_type"]):
+            b = np.frombuffer(raw, dtype=np.uint8)
+            if kind == "image":
+                h = max(1, -(-len(b) // (_IMG_W * 3)))
+                buf = np.zeros(h * _IMG_W * 3, dtype=np.uint8)
+                buf[: len(b)] = b
+                payloads.append(encode_ppm(buf.reshape(h, _IMG_W, 3)))
+            elif kind == "audio":
+                samples = (b.astype(np.int16) - 128) * 256
+                payloads.append(encode_wav(samples, _WAV_RATE))
+            else:
+                payloads.append(b"MJPG" + len(b).to_bytes(8, "big") + raw)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].values,
+                "media_type": pdf["media_type"].values,
+                "payload": payloads,
+            }
+        )
+
+
+_ENCODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_table with payloads wrapped in REAL containers (PPM/WAV/fake
+    MJPG) — the input side of the decode/resize/feature kernels."""
+    m = media_table(spark, sf_dir).select("media_id", "media_type", "payload")
+    return m.mapInPandas(_encode_media, _ENCODED_SCHEMA)
 
 
 _FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
-        StructField("n_bytes", LongType()),
-        StructField("mean_byte", DoubleType()),
-        StructField("max_byte", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_values", LongType()),
+        StructField("mean_val", DoubleType()),
+        StructField("rms_val", DoubleType()),
     ]
 )
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extraction over binary payloads.
-
-    Deterministic byte-level stats stand in for the decoded-media features
-    (embedding, resolution, duration…).  This is the exact mapInPandas shape
-    a real extractor uses: binary column in, fixed-schema features out, one
-    Python worker per partition, Arrow transfer both ways.
-    """
+    """Arrow-batched feature extraction with REAL decode on the
+    uncompressed path: images → pixel mean + RMS over the decoded raster,
+    audio → sample mean + RMS (the classic loudness signal).  Compressed
+    payloads (fake-MJPG "video") fall back to opaque byte stats — exactly
+    what a production extractor does with an undecodable blob.  All sums
+    accumulate in int64 (exact), so the emitted doubles are deterministic
+    regardless of batch split."""
     import numpy as np
 
+    from bifrost_spark.operators.media import decode_media as _decode
+
     for pdf in batches:
-        arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+        rows = []
+        for mid, kind, payload in zip(
+            pdf["media_id"], pdf["media_type"], pdf["payload"]
+        ):
+            try:
+                decoded_kind, value = _decode(payload, kind)
+                arr = value.ravel() if decoded_kind == "image" else value[0]
+            except NotImplementedError:
+                decoded_kind, arr = "opaque", np.frombuffer(payload, dtype=np.uint8)
+            a = arr.astype(np.int64)
+            n = len(a)
+            mean = float(int(a.sum()) / n) if n else 0.0
+            rms = float(int((a * a).sum()) / n) ** 0.5 if n else 0.0
+            rows.append((mid, decoded_kind, n, mean, rms))
         yield pd.DataFrame(
-            {
-                "media_id": pdf["media_id"].values,
-                "n_bytes": [len(a) for a in arrs],
-                # int sum / int len: single exact division, deterministic
-                "mean_byte": [float(int(a.sum()) / len(a)) if len(a) else 0.0 for a in arrs],
-                "max_byte": [int(a.max()) if len(a) else 0 for a in arrs],
-            }
+            rows, columns=["media_id", "kind", "n_values", "mean_val", "rms_val"]
         )
 
 
@@ -129,34 +200,43 @@ _RESIZE_SCHEMA = StructType(
 )
 
 
-def _resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Binary-in/binary-out Arrow transform — the resize pipeline shape.
+_RESIZE_H, _RESIZE_W = 8, 8
 
-    A real implementation decodes, resizes to (out_w, out_h), re-encodes
-    (see decode_media for why that is stubbed); the stand-in emits a
-    deterministic byte prefix so the full binary round-trip through Arrow
-    (bytes → Python → bytes) is exercised and testable."""
+
+def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Binary-in/binary-out Arrow transform: REAL decode (PPM) →
+    nearest-neighbor resize to 8×8 → re-encode (PPM).  Deterministic: same
+    payload → same resized bytes on every executor."""
+    from bifrost_spark.operators.media import decode_ppm, encode_ppm, resize_nearest
+
     for pdf in batches:
+        out = [
+            encode_ppm(resize_nearest(decode_ppm(p), _RESIZE_H, _RESIZE_W))
+            for p in pdf["payload"]
+        ]
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"].values,
-                "resized_payload": [bytes(p[:256]) for p in pdf["payload"]],
-                "out_w": [256] * len(pdf),
-                "out_h": [256] * len(pdf),
+                "resized_payload": out,
+                "out_w": [_RESIZE_W] * len(pdf),
+                "out_h": [_RESIZE_H] * len(pdf),
             }
         )
 
 
-@query("q_multimodal_resize", oracle=None)  # stubbed kernel → rows-only
+@query("q_multimodal_resize", oracle=None)  # binary md5 output → rows-only
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize pipeline shape: binary payloads through an Arrow-batched
-    transform and back out as binary + typed dimensions.  The decode/encode
-    kernel is stubbed (decode_media); the schema, batching, and round-trip
-    are real.  The binary result is projected to digest+length at the query
-    boundary (the external checker canonicalizes via pandas sort/hash; the
-    raw bytes stay inside the pipeline)."""
-    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
-    resized = m.select("media_id", "payload").mapInPandas(_resize_stub, _RESIZE_SCHEMA)
+    """Image-resize pipeline: PPM payloads through an Arrow-batched
+    decode → nearest-neighbor 8×8 → re-encode kernel (operators/media.py —
+    a real codec path, not a stub; tests/test_media.py pins the resized
+    bytes against an independent numpy reference).  The binary result is
+    projected to digest+length at the query boundary (the external checker
+    canonicalizes via pandas sort/hash; raw bytes stay inside the
+    pipeline)."""
+    m = encoded_media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    resized = m.select("media_id", "payload").mapInPandas(
+        _resize_kernel, _RESIZE_SCHEMA
+    )
     return resized.select(
         "media_id",
         F.md5("resized_payload").alias("resized_md5"),
@@ -164,6 +244,85 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_w",
         "out_h",
     )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def _decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode of every uncompressed payload → typed geometry."""
+    from bifrost_spark.operators.media import decode_media as _decode
+
+    for pdf in batches:
+        rows = []
+        for mid, kind, payload in zip(
+            pdf["media_id"], pdf["media_type"], pdf["payload"]
+        ):
+            decoded_kind, value = _decode(payload, kind)
+            if decoded_kind == "image":
+                h, w = value.shape[:2]
+                rows.append((mid, kind, w, h, None, None))
+            else:
+                samples, rate = value
+                n = len(samples)
+                rows.append((mid, kind, None, None, n, n * 1000 // rate))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id",
+                "media_type",
+                "width",
+                "height",
+                "n_samples",
+                "duration_ms",
+            ],
+        )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' ELSE 'audio'
+               END AS media_type,
+               CASE WHEN CAST(doc_id % 3 AS INT) = 0
+                    THEN CAST({_IMG_W} AS BIGINT) END AS width,
+               CASE WHEN CAST(doc_id % 3 AS INT) = 0
+                    THEN CAST(ceil(octet_length(encode(text)) / {_IMG_W * 3}.0)
+                              AS BIGINT) END AS height,
+               CASE WHEN CAST(doc_id % 3 AS INT) = 1
+                    THEN CAST(octet_length(encode(text)) AS BIGINT)
+               END AS n_samples,
+               CASE WHEN CAST(doc_id % 3 AS INT) = 1
+                    -- integer floor division: DuckDB CAST(double) ROUNDS,
+                    -- the decode kernel floors (n * 1000 // rate)
+                    THEN CAST((octet_length(encode(text)) * 1000) // {_WAV_RATE}
+                              AS BIGINT) END AS duration_ms
+        FROM documents
+        WHERE CAST(doc_id % 3 AS INT) IN (0, 1)
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end codec round-trip, oracle-checked: encode text bytes into
+    real PPM/WAV containers, then DECODE them back in an Arrow-batched
+    kernel and emit the decoded geometry (image width/height, audio
+    sample count/duration).  The DuckDB oracle predicts every value
+    arithmetically from the text's byte length — so a hash match proves
+    the encoder, the decoder, and the byte layout all agree.  Compressed
+    ("video") payloads are excluded: their decode raises by design."""
+    m = encoded_media_table(spark, sf_dir).filter(
+        F.col("media_type").isin("image", "audio")
+    )
+    return m.mapInPandas(_decode_meta, _DECODE_SCHEMA)
 
 
 @query(
@@ -209,15 +368,19 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features", oracle=None)  # mapInPandas path → rows-only
+@query("q_multimodal_features", oracle=None)  # float features → rows-only
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads via Arrow-batched mapInPandas
-    (decode step stubbed — see decode_media).  Repartitions by media_id so
-    extraction parallelism is independent of the source file layout — at
-    100 TB the decode is the bottleneck, so partition count is sized to the
+    """Feature extraction over binary payloads via Arrow-batched
+    mapInPandas, with REAL decode of the PPM/WAV payloads (see
+    _extract_features; tests/test_media.py pins values against an
+    independent numpy reference).  Repartitions by media_id so extraction
+    parallelism is independent of the source file layout — at 100 TB the
+    decode is the bottleneck, so partition count is sized to the
     Python-worker fleet, not to input splits."""
-    m = media_table(spark, sf_dir).repartition(F.col("media_id"))
-    return m.select("media_id", "payload").mapInPandas(_extract_features, _FEATURE_SCHEMA)
+    m = encoded_media_table(spark, sf_dir).repartition(F.col("media_id"))
+    return m.select("media_id", "media_type", "payload").mapInPandas(
+        _extract_features, _FEATURE_SCHEMA
+    )
 
 
 @query(
