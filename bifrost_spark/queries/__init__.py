@@ -11,3 +11,4 @@ import bifrost_spark.queries.llm_similarity  # noqa: F401
 import bifrost_spark.queries.multimodal  # noqa: F401
 import bifrost_spark.queries.scale_ops  # noqa: F401
 import bifrost_spark.queries.tpch  # noqa: F401
+import bifrost_spark.queries.llm_clean  # noqa: F401

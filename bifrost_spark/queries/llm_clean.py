@@ -1,0 +1,200 @@
+"""Web-corpus cleaning operators — the curation steps between raw crawl
+and training mix that the dedup/quality families don't cover:
+
+* **per-domain caps** (``q_domain_cap``) — bound any single source's share
+  of the corpus with a deterministic hash-ordered sample per domain.
+* **Gopher-style document gates** (``q_gopher_rules``) — the classic
+  rule-based quality filters (word-count bounds, mean-word-length band,
+  stopword evidence) as per-rule booleans + a keep verdict, so downstream
+  can audit WHY a document dropped (the difference between a filter and a
+  black box).
+* **CCNet perplexity buckets** (``q_ccnet_bucket``) — per-language
+  head/middle/tail terciles of the unigram-LM surprisal score, the
+  standard quality stratification before mixing.
+
+All three are pure JVM DataFrame plans (no Python on the hot path):
+domain caps are one window shuffle on source; Gopher gates are scan-local
+array aggregates (zero shuffle); CCNet buckets reuse the surprisal frame
+(scale_ops.unigram_surprisal) plus one per-language window.  Bucket
+assignment uses rank-exact ``ntile(3)`` over a UNIQUE total order
+(score, doc_id) rather than interpolated percentiles — integer arithmetic
+on ranks is engine-exact where percentile interpolation is 1-ulp fragile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+_DOMAIN_CAP = 15
+
+# Gopher-style gate parameters (Rae et al. 2021 §A1.1.2, rescaled to the
+# fixture's short synthetic docs: the paper uses 50..100k words, mean word
+# length 3..10)
+_MIN_WORDS, _MAX_WORDS = 20, 100_000
+_MIN_MWL, _MAX_MWL = 2.0, 10.0
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_MIN_STOPWORD_KINDS = 2
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+        SELECT doc_id, source, cap_rank
+        FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS BIGINT) AS cap_rank
+          FROM documents
+        )
+        WHERE cap_rank <= {_DOMAIN_CAP}
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most {cap} docs per source, chosen
+    by md5-of-id order — an unbiased deterministic sample, not
+    first-N-by-id (which would bias toward old documents).  One window
+    shuffle on source; at 100 TB a skewed mega-domain is exactly the
+    partition this bounds, and row_number short-circuits: Spark's window
+    TopK pushdown (rank limit) stops accumulating past the cap."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("cap_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("cap_rank") <= _DOMAIN_CAP)
+    )
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS words
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(words, t -> length(t)))
+                      AS DOUBLE) / len(words) AS mean_word_len,
+                 CAST(len(list_distinct(list_filter(words,
+                      t -> list_contains({list(_STOPWORDS)!r}, t))))
+                      AS BIGINT) AS n_stopword_kinds
+          FROM w
+        )
+        SELECT doc_id, n_words, mean_word_len, n_stopword_kinds,
+               CAST(CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                          AND mean_word_len >= {_MIN_MWL}
+                          AND mean_word_len <= {_MAX_MWL}
+                          AND n_stopword_kinds >= {_MIN_STOPWORD_KINDS}
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate: word-count bounds, mean word
+    length band, and stopword evidence, with the per-rule measurements in
+    the output so a dropped document is auditable.
+
+    Entirely scan-local (zero shuffle): the word array, its length, its
+    summed character length (F.aggregate — int accumulation, exact), and
+    the distinct-stopword count all evaluate inside the scan's project.
+    mean_word_len = int/int single IEEE division — deterministic on both
+    engines."""
+    words = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words.alias("words")
+    )
+    n_words = F.size("words").cast("bigint")
+    total_chars = F.aggregate(
+        "words", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = total_chars.cast("double") / n_words
+    stop_kinds = F.size(
+        F.array_distinct(
+            F.filter("words", lambda t: t.isin(*_STOPWORDS))
+        )
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_kinds.alias("n_stopword_kinds"),
+    )
+    keep = (
+        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+        & (F.col("mean_word_len") >= _MIN_MWL)
+        & (F.col("mean_word_len") <= _MAX_MWL)
+        & (F.col("n_stopword_kinds") >= _MIN_STOPWORD_KINDS)
+    )
+    return m.withColumn("keep", F.when(keep, 1).otherwise(0).cast("bigint"))
+
+
+@query(
+    "q_ccnet_bucket",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                            t -> t <> '')) AS tok
+          FROM documents
+        ),
+        freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+        score AS (
+          SELECT doc_id,
+                 round(log2((SELECT t FROM tot))
+                       - CAST(SUM(CAST(round(log2(f.c), 12)
+                                       AS DECIMAL(28,12))) AS DOUBLE)
+                         / COUNT(*), 9) AS avg_neg_log2_p
+          FROM tok JOIN freq f USING (tok)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, s.avg_neg_log2_p AS score,
+               CASE ntile(3) OVER (PARTITION BY d.lang
+                                   ORDER BY s.avg_neg_log2_p, d.doc_id)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+        FROM documents d JOIN score s USING (doc_id)
+    """,
+)
+def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality stratification: per-language head/middle/tail
+    terciles of the unigram-LM surprisal score (low surprisal = common,
+    fluent text → head).  The real CCNet uses a KenLM perplexity; the
+    unigram surprisal frame (scale_ops.unigram_surprisal, engine-exact)
+    is the same signal class computed corpus-internally.
+
+    Buckets come from ntile(3) over the UNIQUE order (score, doc_id) —
+    pure rank arithmetic, so the tercile boundaries are engine-exact
+    (interpolated percentiles would be 1-ulp fragile).  One window
+    shuffle on lang; languages are few, so at 100 TB this window is the
+    skew point — the production spelling re-partitions by (lang,
+    score-range) first, which this plan's two-level shuffle (agg then
+    window) already bounds."""
+    from bifrost_spark.queries.scale_ops import unigram_surprisal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    s = unigram_surprisal(spark, sf_dir).select(
+        "doc_id", F.col("avg_neg_log2_p").alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    tercile = F.ntile(3).over(w)
+    return (
+        d.join(s, "doc_id")
+        .withColumn(
+            "bucket",
+            F.when(tercile == 1, "head")
+            .when(tercile == 2, "middle")
+            .otherwise("tail"),
+        )
+    )

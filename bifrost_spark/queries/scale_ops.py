@@ -451,19 +451,10 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
     """,
 )
-def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram language-model surprisal score per document —
-    avg −log₂ p(token) under the corpus unigram distribution, the
-    perplexity-style quality signal (low = templated/common text, high =
-    rare-token or noisy text).  Two scan-side shuffles: corpus token
-    counts, then per-doc aggregation of log-counts.
-
-    Determinism: the score decomposes as log₂T − (Σ log₂ c_t)/n, where
-    c_t are INTEGER counts — each log₂(c_t) is rounded to 12 dp and
-    accumulated in DECIMAL(28,12) (order-independent), and the output is
-    rounded at 9 dp, far above both the per-addend 1-ulp cross-engine
-    log divergence (≤1e-12 after addend rounding) and the final division
-    ulp."""
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, avg_neg_log2_p) — the shared surprisal frame
+    behind q_lm_score and llm_clean.q_ccnet_bucket; see q_lm_score for
+    the determinism contract."""
     toks = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
     tok = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(toks).alias("tok")
@@ -490,6 +481,22 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("avg_neg_log2_p"),
     )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal score per document —
+    avg −log₂ p(token) under the corpus unigram distribution, the
+    perplexity-style quality signal (low = templated/common text, high =
+    rare-token or noisy text).  Two scan-side shuffles: corpus token
+    counts, then per-doc aggregation of log-counts.
+
+    Determinism: the score decomposes as log₂T − (Σ log₂ c_t)/n, where
+    c_t are INTEGER counts — each log₂(c_t) is rounded to 12 dp and
+    accumulated in DECIMAL(28,12) (order-independent), and the output is
+    rounded at 9 dp, far above both the per-addend 1-ulp cross-engine
+    log divergence (≤1e-12 after addend rounding) and the final division
+    ulp."""
+    return unigram_surprisal(spark, sf_dir)
 
 
 @query(
