@@ -242,3 +242,104 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh, "doc_id", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
     ).select("id_a", "id_b")
     return connected_components(pairs)
+
+
+DUP_SPAN_K = 8  # tokens per gram for duplicated-span detection
+
+
+@query(
+    "q_dup_spans",
+    oracle=f"""
+        WITH words AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(ws[i:i + {DUP_SPAN_K - 1}], ' ') AS gram
+          FROM words,
+               UNNEST(range(1, len(ws) - {DUP_SPAN_K} + 2)) AS t(i)
+          WHERE len(ws) >= {DUP_SPAN_K}
+        ),
+        dup AS (
+          SELECT gram FROM grams
+          GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        hits AS (
+          SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos)
+                           <= {DUP_SPAN_K} THEN 0 ELSE 1 END AS new_island
+          FROM hits
+        ),
+        lab AS (
+          SELECT doc_id, pos,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {DUP_SPAN_K - 1} AS BIGINT) AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+        FROM lab GROUP BY doc_id, island
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate-SPAN detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find the
+    regions of each document whose {k}-token grams also occur in OTHER
+    documents, merged into maximal spans — the operator that removes
+    repeated boilerplate/quotes without dropping whole documents (which
+    whole-doc exact/minhash dedup cannot do).
+
+    Plan: gram construction is scan-local (transform over the word array —
+    no window, no shuffle); one shuffle groups grams to find cross-doc
+    duplicates; a semi join brings dup positions back; one per-doc window
+    merges overlapping/adjacent positions into islands (gaps-and-islands,
+    pure integer arithmetic — engine-exact).  Grams join on their text
+    here so the oracle is exact; the production spelling joins on
+    xxhash64(gram) (8 bytes vs ~50, identical spans modulo 2⁻⁶⁴
+    collisions).  1-based positions: span [span_start, span_end] covers
+    span_end − span_start + 1 tokens of the filtered word sequence."""
+    from pyspark.sql.window import Window
+
+    k = DUP_SPAN_K
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    base = d.select("doc_id", words.alias("ws")).filter(F.size("ws") >= k)
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - k + 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("pos"),
+            F.array_join(F.slice("ws", i, k), " ").alias("gram"),
+        ),
+    )
+    grams = base.select(
+        "doc_id", F.explode(gram_structs).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "leftsemi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1),
+    )
+    labeled = lagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return labeled.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    ).drop("island")
