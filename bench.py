@@ -59,6 +59,16 @@ HEADLINE = [
     "q_bloom_prune",
     "q_pipeline_e2e",
     "q_stratified_sample",
+    # TPC-H heavies: the join/agg/quantifier shapes that dominate at scale
+    "q_tpch02",
+    "q_tpch05",
+    "q_tpch08",
+    "q_tpch18",
+    "q_tpch21",
+    # corpus-cleaning additions
+    "q_dup_spans",
+    "q_ccnet_bucket",
+    "q_domain_cap",
 ]
 
 

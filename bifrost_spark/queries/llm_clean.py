@@ -198,3 +198,70 @@ def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("tail"),
         )
     )
+
+
+_MIX_TEMPERATURE = 0.7  # classic multilingual/multi-source smoothing exponent
+_MIX_TOKEN_BUDGET = 1_000_000
+
+
+@query(
+    "q_mixture_weights",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                                          t -> t <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        powed AS (
+          SELECT source, n_tokens,
+                 round(power(n_tokens, {_MIX_TEMPERATURE}), 9) AS w
+          FROM tok
+        ),
+        tot AS (
+          SELECT CAST(SUM(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS z
+          FROM powed
+        )
+        SELECT source, n_tokens,
+               round(w / (SELECT z FROM tot), 9) AS sample_prob,
+               round(({_MIX_TOKEN_BUDGET} * (w / (SELECT z FROM tot)))
+                     / n_tokens, 6) AS epochs
+        FROM powed
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixture solver (the T5/LLaMA multi-source
+    smoothing step): per-source sampling probability ∝ n_tokens^T with
+    T = {T}, plus the implied epochs-per-source for a fixed token budget —
+    upweighting small sources without letting any source dominate.
+
+    One scan-local token count per doc (no explode — array length only),
+    one groupBy source, then a 1-row normalizer broadcast back.
+    Determinism: pow/div are rounded at 9 dp before the decimal-sum
+    normalizer and at the output (double pow differs by ≤1 ulp across
+    engines; 9 dp is far above it)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    tok = (
+        d.select("source", F.size(words).cast("bigint").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    powed = tok.select(
+        "source",
+        "n_tokens",
+        F.round(F.pow("n_tokens", F.lit(_MIX_TEMPERATURE)), 9).alias("w"),
+    )
+    z = powed.agg(
+        F.sum(F.round("w", 9).cast("decimal(28,9)")).cast("double").alias("z")
+    )
+    return powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("w") / F.col("z"), 9).alias("sample_prob"),
+        F.round(
+            (F.lit(_MIX_TOKEN_BUDGET) * (F.col("w") / F.col("z")))
+            / F.col("n_tokens"),
+            6,
+        ).alias("epochs"),
+    )
