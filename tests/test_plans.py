@@ -115,6 +115,8 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_tpch15",
         "q_tpch20",
         "q_tpch22",
+        "q_mixture_weights",  # 1-row normalizer broadcast
+        "q_ccnet_bucket",  # inherits unigram_surprisal's 1-row total join
     }
     offenders = {}
     for name, fn in sorted(registry.queries().items()):

@@ -203,3 +203,101 @@ def test_dsum_equals_exact_decimal_model(spark, values):
     for nparts in (1, 7):
         got = df.repartition(nparts).agg(dsum("x", "s")).collect()[0].s
         assert got == expect, (nparts, got, expect)
+
+
+# ---------------------------------------------------------------------------
+# Media codecs: round-trip on arbitrary shapes/samples (no Spark needed)
+
+import numpy as np
+
+image_arrays = st.tuples(
+    st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1)
+)
+
+
+@given(image_arrays)
+@settings(max_examples=50, deadline=None)
+def test_ppm_round_trip_any_shape(dims):
+    from bifrost_spark.operators.media import decode_ppm, encode_ppm
+
+    h, w, seed = dims
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+       st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=50, deadline=None)
+def test_wav_round_trip_any_samples(samples, rate):
+    from bifrost_spark.operators.media import decode_wav, encode_wav
+
+    arr = np.asarray(samples, dtype=np.int16)
+    out, r = decode_wav(encode_wav(arr, rate))
+    assert r == rate
+    assert np.array_equal(out, arr)
+
+
+@given(image_arrays, st.integers(1, 8), st.integers(1, 8))
+@settings(max_examples=50, deadline=None)
+def test_resize_nearest_properties(dims, oh, ow):
+    """Output pixels are a subset of input pixels (nearest-neighbor never
+    invents values) and the shape contract holds for any geometry."""
+    from bifrost_spark.operators.media import resize_nearest
+
+    h, w, seed = dims
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = resize_nearest(img, oh, ow)
+    assert out.shape == (oh, ow, 3)
+    in_px = {tuple(p) for p in img.reshape(-1, 3)}
+    assert all(tuple(p) in in_px for p in out.reshape(-1, 3))
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span island merge: positions -> maximal spans invariants
+
+positions_lists = st.lists(st.integers(1, 60), min_size=1, max_size=25)
+
+
+@given(positions_lists, st.integers(2, 10))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_span_island_merge_matches_reference(spark, positions, k):
+    """The window-based gaps-and-islands merge in q_dup_spans equals a
+    straightforward sequential merge for ANY hit-position set: spans are
+    disjoint, separated by > k, cover every hit, and end exactly
+    max(pos)+k-1 per island."""
+    pos = sorted(set(positions))
+    # sequential reference merge
+    ref = []
+    for p in pos:
+        if ref and p - ref[-1][1] <= k:
+            ref[-1][1] = p
+            ref[-1][2] += 1
+        else:
+            ref.append([p, p, 1])
+    expected = {(a, b + k - 1, n) for a, b, n in ref}
+
+    df = spark.createDataFrame([(1, p) for p in pos], "doc_id long, pos long")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = df.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1),
+    )
+    labeled = lagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    got = {
+        (r.span_start, r.span_end, r.n)
+        for r in labeled.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == expected
