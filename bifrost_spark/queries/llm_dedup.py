@@ -301,11 +301,15 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window, no shuffle); one shuffle groups grams to find cross-doc
     duplicates; a semi join brings dup positions back; one per-doc window
     merges overlapping/adjacent positions into islands (gaps-and-islands,
-    pure integer arithmetic — engine-exact).  Grams join on their text
-    here so the oracle is exact; the production spelling joins on
-    xxhash64(gram) (8 bytes vs ~50, identical spans modulo 2⁻⁶⁴
-    collisions).  1-based positions: span [span_start, span_end] covers
-    span_end − span_start + 1 tokens of the filtered word sequence."""
+    pure integer arithmetic — engine-exact).  Grams group/join on
+    xxhash64(gram) — 8 bytes through both shuffles instead of ~50-byte
+    strings (measured 1.8 → 1.6 s at sf0.1; the residual cost is the
+    scan-side gram string construction feeding the hash); identical
+    spans to the
+    string-keyed oracle modulo 2⁻⁶⁴ hash collisions, the same accepted
+    risk as the minhash family's hash-identity.  1-based positions: span
+    [span_start, span_end] covers span_end − span_start + 1 tokens of the
+    filtered word sequence."""
     from pyspark.sql.window import Window
 
     k = DUP_SPAN_K
@@ -316,19 +320,19 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("ws") - k + 1),
         lambda i: F.struct(
             i.cast("bigint").alias("pos"),
-            F.array_join(F.slice("ws", i, k), " ").alias("gram"),
+            F.xxhash64(F.array_join(F.slice("ws", i, k), " ")).alias("gh"),
         ),
     )
     grams = base.select(
         "doc_id", F.explode(gram_structs).alias("g")
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
     dup = (
-        grams.groupBy("gram")
+        grams.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") > 1)
-        .select("gram")
+        .select("gh")
     )
-    hits = grams.join(dup, "gram", "leftsemi").select("doc_id", "pos")
+    hits = grams.join(dup, "gh", "leftsemi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     lagged = hits.withColumn(
         "new_island",
