@@ -612,3 +612,44 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_b").cast("bigint").alias("conv_b"),
         z.alias("z_stat"),
     )
+
+
+_EWMA_ALPHA = 0.2
+
+
+def _ewma_kernel(pdf):
+    """Per-user EWMA over the event sequence — the inherently sequential
+    recursion EWMA_t = α·x_t + (1−α)·EWMA_{t−1}, seeded with the first
+    value (pandas ewm(adjust=False) semantics), vectorized by pandas
+    inside one Arrow batch per group."""
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    ewma = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
+    out = pdf[["user_id", "event_id", "ts", "value"]].copy()
+    out["ewma"] = ewma.round(9)
+    return out
+
+
+@query("q_ewma", oracle=None)  # sequential recursion → rows-only + property test
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value per user —
+    the classic smoothing signal whose recursion (EWMA_t = α·x_t +
+    (1−α)·EWMA_{t−1}) no built-in window function expresses without an
+    exponent-overflow closed form.  This is the canonical applyInPandas
+    case from the build guidance: per-key sequential semantics, Arrow
+    batch per group, pandas' vectorized ewm inside.
+
+    Scale: one shuffle on user_id (the groupBy key); each group is one
+    user's events — bounded and independent, so 100 TB parallelism is
+    |users|, with AQE handling user skew.  Output rounded at 9 dp so any
+    future oracle (or cross-run compare) is ulp-safe.
+    tests/test_properties.py pins the kernel against the exact recursion
+    on arbitrary inputs."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            _ewma_kernel,
+            "user_id long, event_id long, ts timestamp, value double, ewma double",
+        )
+    )

@@ -301,3 +301,34 @@ def test_span_island_merge_matches_reference(spark, positions, k):
         .collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# EWMA kernel: pandas ewm(adjust=False) must equal the exact recursion
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_ewma_kernel_matches_recursion(values):
+    import pandas as pd
+
+    from bifrost_spark.queries.analytics import _EWMA_ALPHA, _ewma_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * len(values),
+            "event_id": range(len(values)),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(len(values)), unit="s"),
+            "value": values,
+        }
+    )
+    out = _ewma_kernel(pdf)
+    # exact sequential recursion, seeded with the first value
+    ref, acc = [], None
+    for v in values:
+        acc = v if acc is None else _EWMA_ALPHA * v + (1 - _EWMA_ALPHA) * acc
+        ref.append(acc)
+    for got, want in zip(out["ewma"], ref):
+        assert abs(got - round(want, 9)) <= 1e-8 * max(1.0, abs(want))
