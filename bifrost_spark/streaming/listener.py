@@ -44,6 +44,10 @@ class MetricsListener(StreamingQueryListener):
     # -- listener callbacks -------------------------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         self._emit("bifrost.query.started", 1)
+        # A24 parity: the reference gauges its build number at startup
+        # (version.clj:1-12 + telemetry reporter); encode semver as one
+        # numeric gauge (major·10⁴ + minor·10² + patch)
+        self._emit("bifrost.build", _build_number())
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = json.loads(event.progress.json)
@@ -73,3 +77,17 @@ class MetricsListener(StreamingQueryListener):
     # -- convenience --------------------------------------------------------
     def total_input_rows(self) -> int:
         return int(sum(p.get("numInputRows", 0) for p in self.progress))
+
+
+def _build_number() -> int:
+    """Semver → single gauge value (0.2.1 → 201), tolerant of suffixes."""
+    from bifrost_spark import __version__
+
+    parts = []
+    for p in __version__.split(".")[:3]:
+        digits = "".join(ch for ch in p if ch.isdigit())
+        parts.append(int(digits or 0))
+    while len(parts) < 3:
+        parts.append(0)
+    major, minor, patch = parts
+    return major * 10_000 + minor * 100 + patch

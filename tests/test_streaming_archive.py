@@ -277,6 +277,26 @@ def test_metrics_listener_from_env():
     assert off._statsd is None and off._sock is None
 
 
+def test_build_number_gauge_emitted_on_start():
+    """A24 parity: query start gauges the build number (reference
+    version.clj + telemetry reporter).  Captured via a real UDP socket."""
+    import socket as _socket
+
+    from bifrost_spark.streaming.listener import _build_number
+
+    rx = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5)
+    port = rx.getsockname()[1]
+    listener = MetricsListener(statsd_host="127.0.0.1", statsd_port=port)
+    listener.onQueryStarted(None)
+    seen = {rx.recvfrom(1024)[0].decode(), rx.recvfrom(1024)[0].decode()}
+    rx.close()
+    assert "bifrost.query.started:1|g" in seen
+    assert f"bifrost.build:{_build_number()}|g" in seen
+    assert _build_number() >= 100  # 0.1.0 → 100
+
+
 def test_kafka_reader_options_passthrough():
     """A3 config surface: base options (bootstrap/pattern/offsets/
     backpressure) plus verbatim passthrough of consumer properties and
