@@ -81,3 +81,25 @@ def start_attribution_join(
         .outputMode("append")
         .start()
     )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str,
+                  broadcast_dim: bool = True) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    the (slowly-changing) static dimension — the classic lookup-table
+    pattern (user → segment, topic → owner) the archival path needs the
+    moment payloads get attributed.
+
+    Semantics Spark guarantees: the STATIC side is re-evaluated per
+    micro-batch, so a dim-table update between triggers is visible to the
+    next batch without restarting the query.  No watermark and no state
+    store — nothing is buffered, because the static side is always fully
+    available.
+
+    Scale: dims that fit the broadcast threshold ship once per batch to
+    every executor (zero shuffle of the stream).  For SF-scaled dims set
+    ``broadcast_dim=False`` and pre-bucket the dim on the join key so the
+    per-batch shuffle hits co-located buckets (io.py::write_bucketed_table).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, "left")
