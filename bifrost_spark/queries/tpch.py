@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bifrost_spark.queries._util import DEC, davg, dsum, sql_davg, sql_dsum
+from bifrost_spark.queries._util import DEC, davg, dsum, sql_dsum
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
