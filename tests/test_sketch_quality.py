@@ -295,3 +295,47 @@ def test_heavy_hitters_exact_on_fixture(spark):
     # every reported item's count is >= the 10th-largest true count
     floor = sorted(exact.values(), reverse=True)[9]
     assert all(n >= floor for n in got.values())
+
+
+def test_ann_ivfpq_recall_on_clustered_corpus(spark, tmp_path):
+    """The fixture embeddings are near-uniform — PQ's worst case, hence the
+    wide refine shortlist and the 0.8 gate above.  On a CLUSTERED corpus
+    (the realistic regime IVF-PQ is built for: 16 true clusters, small
+    in-cluster noise) the same operator must clear a strictly higher bar.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n, dim, k_true = 500, 64, 16
+    centers = rng.normal(size=(k_true, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, k_true, size=n)
+    vecs = centers[assign] + 0.15 * rng.normal(size=(n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.astype(np.float32) for v in vecs],
+            "label": assign.astype(np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    # exact ground truth (numpy, float64): top-5 cosine per query vec_id<10
+    f32 = vecs.astype(np.float32).astype(np.float64)
+    f32 /= np.linalg.norm(f32, axis=1, keepdims=True)
+    sims = f32[:10] @ f32.T
+    truth = set()
+    for q in range(10):
+        order = [j for j in np.argsort(-sims[q]) if j != q][:5]
+        truth.update((q, int(j)) for j in order)
+
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.queries()["q_sim_ann_ivfpq"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"clustered ivfpq recall {recall:.2f} < 0.9"
