@@ -332,3 +332,33 @@ def test_ewma_kernel_matches_recursion(values):
         ref.append(acc)
     for got, want in zip(out["ewma"], ref):
         assert abs(got - round(want, 9)) <= 1e-8 * max(1.0, abs(want))
+
+
+# ---------------------------------------------------------------------------
+# Partition-count invariance: the decimal-accumulation discipline means the
+# SAME bytes come back at any parallelism — the local stand-in for "same
+# result on 32 local threads and a 1000-executor cluster".
+
+def test_results_invariant_across_partition_counts(spark):
+    from bifrost_spark import registry
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = registry.queries()
+    probes = ["q_agg_hash", "q_tpch08", "q_tpch14", "q_mixture_weights"]
+    baseline = {}
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in probes:
+                rows = sorted(
+                    map(str, qs[name](spark, sf_dir).collect())
+                )
+                if name in baseline:
+                    assert rows == baseline[name], (
+                        f"{name} drifted at shuffle.partitions={parts}"
+                    )
+                else:
+                    baseline[name] = rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
