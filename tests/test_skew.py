@@ -65,3 +65,45 @@ def test_salted_join_rejects_outer_flavors(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     with pytest.raises(ValueError, match="inner.*left"):
         salted_join(li, o, "l_orderkey", how="full")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """SCALE.md claims AQE handles hot keys the salting helpers don't need
+    to cover: prove it — a 90%-one-key join under tightened skew
+    thresholds must execute as SortMergeJoin(skew=true) with an
+    AQEShuffleRead that reports skew splitting in the FINAL adaptive
+    plan (the plan only finalizes after an action on the same
+    QueryExecution)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(150000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pay"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        j = big.join(small, "k")
+        assert len(j.collect()) == 150000  # every big row matches exactly once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
