@@ -350,3 +350,83 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
         F.count(F.lit(1)).alias("n_dup_grams"),
     ).drop("island")
+
+
+SEMDEDUP_K = 16
+
+
+@query("q_dedup_semantic", oracle=None)  # kmeans path → rows-only + gates
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    embedding space (k-means, fixed seed) and removing near-duplicates
+    WITHIN each cluster — the scale path that replaces the all-pairs
+    cosine self-join with |cluster|² work per cluster (clusters are
+    corpus/k on average; k grows with the corpus).
+
+    Output: one row per dropped document — (drop_id, keeper_id, cluster,
+    cos_sim rounded 6dp) with the keeper = lowest vec_id in the near-dup
+    pair, so downstream subtracts drops from the corpus.  Pairs that
+    straddle a cluster boundary are missed BY DESIGN (the recall/cost
+    trade SemDeDup makes); tests/test_sketch_quality.py measures recall
+    against the exact pair set on both the fixture and a clustered
+    synthetic corpus, and pins precision 1.0 (every emitted pair IS an
+    exact near-dup — cosines are genuine, only candidate generation is
+    approximate).
+
+    Plan: one k-means fit (MLlib, bounded iterations; sample-fit at
+    scale), one scan to assign cells (plan-time literal centroids, JVM
+    dot folds), one self-join per cell on the cell key — shuffle volume
+    is Σ|cell|², never |corpus|²."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from bifrost_spark.operators.vectors import dot_fast, norm2_fast
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = e.select(
+        "vec_id", "embedding", F.sqrt(norm2_fast(F.col("embedding"))).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    unit = nrm.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias(
+            "unit"
+        ),
+    )
+    km = KMeans(
+        k=SEMDEDUP_K, seed=13, maxIter=10, featuresCol="feat", predictionCol="cell"
+    ).fit(unit.select(array_to_vector("unit").alias("feat")))
+    centers = [[float(v) for v in c] for c in km.clusterCenters()]
+    best_cell = F.element_at(
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        (-dot_fast(F.col("unit"), F.array(*[F.lit(v) for v in c])))
+                        .alias("negd"),
+                        F.lit(i).alias("cell"),
+                    )
+                    for i, c in enumerate(centers)
+                ]
+            )
+        ),
+        1,
+    ).cell
+    assigned = unit.select("vec_id", "unit", best_cell.alias("cell"))
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("unit").alias("u_a")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("unit").alias("u_b")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", dot_fast(F.col("u_a"), F.col("u_b")))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+    return pairs.select(
+        F.col("id_b").alias("drop_id"),
+        F.col("id_a").alias("keeper_id"),
+        F.col("cell").cast("bigint").alias("cluster"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )

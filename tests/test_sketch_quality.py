@@ -339,3 +339,74 @@ def test_ann_ivfpq_recall_on_clustered_corpus(spark, tmp_path):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"clustered ivfpq recall {recall:.2f} < 0.9"
+
+
+def test_semdedup_precision_on_fixture(spark):
+    """Every pair SemDeDup emits must be a true near-dup (candidate
+    generation is approximate, the cosine itself is genuine).  Recall on
+    the near-uniform fixture is LOW by design (borderline pairs straddle
+    clusters) — the clustered-corpus test below gates recall in the
+    operator's design regime."""
+    sem = {
+        (r.keeper_id, r.drop_id)
+        for r in registry.queries()["q_dedup_semantic"](spark, SF_DIR).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in registry.queries()["q_dedup_embedding"](spark, SF_DIR).collect()
+    }
+    assert sem, "no semantic near-dups found at all"
+    assert sem <= exact, f"false positives: {sorted(sem - exact)[:5]}"
+
+
+def test_semdedup_recall_on_clustered_corpus(spark, tmp_path):
+    """On a clustered corpus near-dups co-cluster, so SemDeDup must find
+    nearly all of them: recall ≥ 0.95 over pairs safely above threshold
+    (cos ≥ 0.5), precision 1.0 against a 1e-9-margin exact set."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(99)
+    # k_true matches SEMDEDUP_K: SemDeDup's contract is that the cluster
+    # count tracks the corpus's natural granularity (over-clustering
+    # splits true near-dup groups — measured: k=16 over 8 true clusters
+    # halves recall, exactly the failure mode the paper tunes k against)
+    n, dim, k_true = 400, 64, 16
+    centers = rng.normal(size=(k_true, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, k_true, size=n)
+    # noise norm ≈ σ·√dim = 0.64 → in-cluster cosine ≈ 1/(1+0.41) ≈ 0.7,
+    # cross-cluster ≈ 0: every within-cluster pair is a strong near-dup
+    vecs = centers[assign] + 0.08 * rng.normal(size=(n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.astype(np.float32) for v in vecs],
+            "label": assign.astype(np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    u = vecs.astype(np.float32).astype(np.float64)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    sims = u @ u.T
+    iu = np.triu_indices(n, k=1)
+    strong = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.5], iu[1][sims[iu] >= 0.5])
+    }
+    loose = {
+        (int(a), int(b))
+        for a, b in zip(
+            iu[0][sims[iu] >= 0.45 - 1e-9], iu[1][sims[iu] >= 0.45 - 1e-9]
+        )
+    }
+    got = {
+        (r.keeper_id, r.drop_id)
+        for r in registry.queries()["q_dedup_semantic"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got <= loose, f"false positives: {sorted(got - loose)[:5]}"
+    recall = len(got & strong) / len(strong)
+    assert recall >= 0.95, f"clustered semdedup recall {recall:.2f} < 0.95"
