@@ -44,11 +44,53 @@ def load_config(path: str) -> ArchiveConfig:
     return ArchiveConfig(**raw)
 
 
+def run_compact(args) -> int:
+    """Maintenance subcommand: fold small archive leaves/files (OPTIMIZE).
+
+    ``--layout offset`` compacts the offset-named layout
+    (streaming/compact.py); ``--layout manifest`` compacts a
+    ``_spark_metadata`` file-sink directory (streaming/manifest_compact.py
+    — run with the writing query stopped).  Prints one JSON stats line.
+    """
+    from pyspark.sql import SparkSession
+
+    from bifrost_spark.streaming.compact import compact_archive
+    from bifrost_spark.streaming.manifest_compact import compact_manifest_sink
+
+    # reuse a caller's session (in-process/maintenance-script use); only
+    # stop what this command itself created
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark("bifrost-compact")
+    try:
+        if args.layout == "offset":
+            stats = compact_archive(spark, args.path,
+                                    target_bytes=args.target_bytes)
+        else:
+            stats = compact_manifest_sink(spark, args.path,
+                                          target_bytes=args.target_bytes)
+        print(json.dumps(stats.__dict__))
+    finally:
+        if existing is None:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="bifrost_spark archival daemon")
     ap.add_argument("-c", "--config", default="./etc/archive.json",
                     help="JSON config path (default ./etc/archive.json)")
+    sub = ap.add_subparsers(dest="command")
+    comp = sub.add_parser(
+        "compact", help="fold small archive files (maintenance window)"
+    )
+    comp.add_argument("--path", required=True, help="archive root / sink dir")
+    comp.add_argument("--layout", choices=("offset", "manifest"),
+                      default="offset")
+    comp.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     args = ap.parse_args(argv)
+
+    if args.command == "compact":
+        return run_compact(args)
 
     cfg = load_config(args.config)
     spark = get_spark("bifrost-archive")

@@ -166,3 +166,40 @@ def test_cli_baldr_sink_format(staged_input, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_cli_compact_manifest_subcommand(spark, tmp_path, capsys):
+    """End-to-end maintenance path: archive via the daemon's default sink,
+    then `compact --layout manifest` folds the small files and prints one
+    JSON stats line; the archive reads back identically."""
+    import glob as _glob
+    import json as _json
+
+    from bifrost_spark.main import main as cli_main
+
+    in_path, out = tmp_path / "in", tmp_path / "out"
+    for b in range(3):
+        spark.createDataFrame(
+            [(b * 10 + i, float(i)) for i in range(8)], "event_id long, v double"
+        ).coalesce(1).write.mode("append").parquet(str(in_path))
+    stream = (
+        spark.readStream.schema("event_id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_path))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    before = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
+
+    rc = cli_main(["compact", "--path", str(out), "--layout", "manifest"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["bins_written"] >= 1
+    assert {tuple(r) for r in spark.read.parquet(str(out)).collect()} == before
+    assert not _glob.glob(f"{out}/part-*.parquet")
