@@ -89,13 +89,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # Round-1 canonicalizer crashes, outputs now scalarized — re-check
     "q_collect_sorted",
     "q_agg_approx_quantile",
-    # Addendum queries past round-1's window, rotated in while slots remain
-    "q_gap_fill",
-    "q_bitwise_agg",
-    "q_percentile_cont",
-    "q_sliding_window",
+    # Remaining slots: this round's flagship additions (decode round-trip,
+    # span dedup, corpus cleaning) + API-surface representatives rotated
+    # in from the round-1 addendum
+    "q_multimodal_decode",
+    "q_dup_spans",
+    "q_domain_cap",
+    "q_ccnet_bucket",
+    "q_mixture_weights",
     "q_fuzzy_join",
-    "q_map_ops",
     "q_variant",
     "q_udaf_pandas",
     "q_sql_api",
