@@ -412,21 +412,32 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).cell
     assigned = unit.select("vec_id", "unit", best_cell.alias("cell"))
-    a = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("unit").alias("u_a")
-    )
-    b = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("unit").alias("u_b")
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", dot_fast(F.col("u_a"), F.col("u_b")))
-        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
-    )
-    return pairs.select(
-        F.col("id_b").alias("drop_id"),
-        F.col("id_a").alias("keeper_id"),
-        F.col("cell").cast("bigint").alias("cluster"),
-        F.round("cos_sim", 6).alias("cos_sim"),
+
+    def _cell_pairs(pdf):
+        """Per-cluster numpy kernel: one |cell|×|cell| float64 matmul, emit
+        pairs above threshold.  This is SemDeDup's actual inner loop — a
+        JVM self-join spelling was measured 26 s at sf0.1 (per-pair
+        higher-order-function dots run outside codegen at ~100 µs each);
+        the BLAS matmul does the same cell in milliseconds."""
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        u = np.vstack(pdf["unit"].to_numpy())
+        sims = u @ u.T
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = sims[ia, ib] >= COSINE_DUP_THRESHOLD
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "drop_id": ids[ib[keep]],
+                "keeper_id": ids[ia[keep]],
+                "cluster": pdf["cell"].iloc[0] if len(pdf) else 0,
+                "cos_sim": np.round(sims[ia[keep], ib[keep]], 6),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _cell_pairs,
+        "drop_id long, keeper_id long, cluster bigint, cos_sim double",
     )
