@@ -362,3 +362,37 @@ def test_results_invariant_across_partition_counts(spark):
                     baseline[name] = rows
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
+
+
+def test_ewma_scan_carry_across_arrow_batches(spark):
+    """The mapInPandas EWMA scan must continue a user's recursion exactly
+    when their rows straddle an Arrow batch boundary — forced here with a
+    37-row batch size, compared against the per-group kernel (which never
+    splits a group)."""
+    from bifrost_spark import registry
+    from bifrost_spark.queries.analytics import _ewma_kernel
+
+    from bifrost_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        scan = {
+            (r.user_id, r.event_id, r.ewma)
+            for r in registry.queries()["q_ewma"](spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    ref = {
+        (r.user_id, r.event_id, r.ewma)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            _ewma_kernel,
+            "user_id long, event_id long, ts timestamp, value double, ewma double",
+        )
+        .collect()
+    }
+    assert scan == ref
