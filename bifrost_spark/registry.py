@@ -36,71 +36,70 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The external correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order, so ordering is part of the driver contract.  Queries
 # named here are yielded first (in this order); everything else follows in
-# registration order.  Round 2 window = every query without a round-1
-# CORRECTNESS row (SURVEY §2 parity ids + the LLM/multimodal families) plus
-# re-checks of the two queries whose array-typed output crashed the round-1
-# canonicalizer (now scalarized).  Round-1 greens (relational core + ext)
-# keep their standing rows and rotate to the back.
+# registration order.  Round 3 window = the ids still without any driver
+# CORRECTNESS row after rounds 1-2: the full TPC-H suite, the analytics
+# family, scale_ops, q_dedup_semantic / q_sim_ann_ivfpq / q_gopher_rules,
+# and two relational_ext2 ids.  The 11 remaining relational_ext2 ids
+# (q_bitwise_agg q_sliding_window q_map_ops q_integrity_check q_zscore
+# q_feature_hash q_profile q_zorder q_percent_of_total q_lateral_topn
+# q_copurchase) rotate in for round 4.  Rounds-1/2 greens keep their
+# standing rows and rotate to the back.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # SURVEY §2 declared ids with no round-1 driver row: parity family
-    "q_topic_discovery",
-    "q_topic_filter",
-    "q_partition_demux",
-    "q_offset_bounds",
-    "q_tumbling_window",
-    "q_session_window",
-    "q_object_keys",
-    "q_commit_offsets",
-    # LLM dedup family
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
-    "q_dedup_cluster",
-    # LLM similarity family
-    "q_sim_topk",
-    "q_embedding_norm",
-    "q_embedding_quant",
-    "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
-    "q_knn_eval",
-    # LLM text family
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    "q_quality_score",
-    "q_sample_mixture",
-    "q_fingerprint",
-    "q_tfidf",
-    "q_repetition",
-    "q_chunking",
-    "q_pii_redact",
-    "q_pack_sequences",
-    "q_decontaminate",
-    "q_entropy",
-    # Multimodal family
-    "q_multimodal_meta",
-    "q_multimodal_resize",
-    "q_multimodal_frames",
-    "q_multimodal_features",
-    "q_multimodal_dedup",
-    "q_multimodal_pair",
-    # Round-1 canonicalizer crashes, outputs now scalarized — re-check
-    "q_collect_sorted",
-    "q_agg_approx_quantile",
-    # Remaining slots: this round's flagship additions (decode round-trip,
-    # span dedup, corpus cleaning) + API-surface representatives rotated
-    # in from the round-1 addendum
-    "q_multimodal_decode",
-    "q_dup_spans",
-    "q_domain_cap",
-    "q_ccnet_bucket",
-    "q_mixture_weights",
-    "q_fuzzy_join",
-    "q_variant",
-    "q_udaf_pandas",
-    "q_sql_api",
+    # Full TPC-H decision-support suite (Q1 ≡ q_agg_hash, already green r1)
+    "q_tpch02",
+    "q_tpch03",
+    "q_tpch04",
+    "q_tpch05",
+    "q_tpch06",
+    "q_tpch07",
+    "q_tpch08",
+    "q_tpch09",
+    "q_tpch10",
+    "q_tpch11",
+    "q_tpch12",
+    "q_tpch13",
+    "q_tpch14",
+    "q_tpch15",
+    "q_tpch16",
+    "q_tpch17",
+    "q_tpch18",
+    "q_tpch19",
+    "q_tpch20",
+    "q_tpch21",
+    "q_tpch22",
+    # Analytics family (flagship q_ewma last-verified locally only)
+    "q_ewma",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_scd2",
+    "q_merge_upsert",
+    "q_running_distinct",
+    "q_interval_merge",
+    "q_seq_pattern",
+    "q_pagerank",
+    "q_outlier_iqr",
+    "q_ab_test",
+    # scale_ops family
+    "q_bloom_prune",
+    "q_recursive_cte",
+    "q_join_skew_salted",
+    "q_hll_rollup",
+    "q_dataset_split",
+    "q_dataset_split_grouped",
+    "q_stratified_sample",
+    "q_pipeline_e2e",
+    "q_decontaminate_fuzzy",
+    "q_triangle_count",
+    "q_lm_score",
+    "q_theta_overlap",
+    "q_heavy_hitters",
+    # Remaining family stragglers
+    "q_dedup_semantic",
+    "q_sim_ann_ivfpq",
+    "q_gopher_rules",
+    # Two relational_ext2 ids (rest queued for round 4)
+    "q_gap_fill",
+    "q_percentile_cont",
 )
 
 

@@ -10,20 +10,19 @@ from bifrost_spark import registry
 
 WINDOW = 50
 
-# SURVEY §2 declared ids that had no driver CORRECTNESS row in round 1.
-DECLARED_UNCHECKED = {
-    "q_topic_discovery",
-    "q_topic_filter",
-    "q_partition_demux",
-    "q_offset_bounds",
-    "q_tumbling_window",
-    "q_session_window",
-    "q_object_keys",
-    "q_commit_offsets",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_sim_topk",
-    "q_text_stats",
+# Ids with no driver CORRECTNESS row after rounds 1-2 that the round-3
+# window must cover (VERDICT r2 "Next round" item 1).
+ROUND3_MUST_COVER = {
+    *(f"q_tpch{n:02d}" for n in range(2, 23)),
+    "q_ewma",
+    "q_dedup_semantic",
+    "q_sim_ann_ivfpq",
+    "q_recursive_cte",
+    "q_bloom_prune",
+    "q_join_skew_salted",
+    "q_gopher_rules",
+    "q_funnel",
+    "q_pagerank",
 }
 
 
@@ -43,6 +42,6 @@ def test_window_is_check_priority_in_order():
     assert first == list(registry.CHECK_PRIORITY)
 
 
-def test_declared_unchecked_ids_inside_window():
+def test_round3_targets_inside_window():
     window = set(list(registry.queries())[:WINDOW])
-    assert DECLARED_UNCHECKED <= window
+    assert ROUND3_MUST_COVER <= window
