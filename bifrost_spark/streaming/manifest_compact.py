@@ -21,8 +21,13 @@ contract as OPTIMIZE on a table format):
 
   1. replays the log to the live file set;
   2. greedily bins small files per partition directory and rewrites each
-     bin as ONE file (``compacted-<stem-of-first-source>.parquet``,
-     deterministic → idempotent re-runs);
+     bin as ONE file (``compacted-g<generation>-<stem-of-first-source>
+     .parquet``, deterministic → idempotent re-runs).  The generation
+     number is 1 + the highest generation among the bin's sources, so a
+     RE-compaction (compact → stream appends → compact) always writes a
+     FRESH name: no live listed file is ever renamed over or deleted
+     before the WAL commit, which is what makes "crash at ANY point
+     converges" actually hold across compaction cycles;
   3. rewrites the log HISTORY in place: the latest valid log file gets
      the complete new live set, every earlier valid log file becomes an
      empty batch (version line only).  Spark 4's replay unions the adds
@@ -97,6 +102,22 @@ def _write_lines(fs, jvm, jpath, lines: list[str]) -> None:
         out.write(("\n".join(lines) + "\n").encode("utf-8"))
     finally:
         out.close()
+
+
+def _parse_generation(first_segment: str) -> tuple[int, str]:
+    """(generation, stem) from a basename's first dot-segment.
+
+    ``compacted-g<N>-<stem>`` → (N, stem); legacy ``compacted-<stem>``
+    (pre-generation output) → (1, stem); anything else → (0, segment).
+    """
+    if not first_segment.startswith("compacted-"):
+        return 0, first_segment
+    rest = first_segment.removeprefix("compacted-")
+    if rest.startswith("g"):
+        gen_str, _, stem = rest[1:].partition("-")
+        if gen_str.isdigit() and stem:
+            return int(gen_str), stem
+    return 1, rest
 
 
 def _log_batches(fs, jvm, meta_dir) -> list[tuple[int, bool, str]]:
@@ -215,10 +236,23 @@ def compact_manifest_sink(
             if len(group) < 2:
                 continue
             srcs = [s["path"] for s in group]
-            stem = posixpath.basename(srcs[0]).split(".")[0]
-            stem = stem.removeprefix("compacted-")
-            out_name = f"compacted-{stem}.parquet"
+            gens = [
+                _parse_generation(posixpath.basename(p).split(".")[0])
+                for p in srcs
+            ]
+            stem = gens[0][1]
+            out_gen = 1 + max(g for g, _ in gens)
+            # a fresh name every generation: never the same as a live
+            # listed file (this run's outputs included), so we never
+            # rename over or delete live data before the WAL commit
+            while (
+                f"{d}/compacted-g{out_gen}-{stem}.parquet" in new_live
+                or f"{d}/compacted-g{out_gen}-{stem}.parquet" in live
+            ):
+                out_gen += 1
+            out_name = f"compacted-g{out_gen}-{stem}.parquet"
             out_path = f"{d}/{out_name}"
+            assert out_path not in live and out_path not in srcs
             tmp_dir = f"{d}/.{out_name}.tmp"
             (
                 spark.read.parquet(*srcs)
@@ -287,6 +321,13 @@ def compact_manifest_sink(
 def _sweep_dir(fs, st, listed: set[str], stats: ManifestCompactStats) -> None:
     name = st.getPath().getName()
     if st.isDirectory():
+        # our own crashed bin-rewrite staging dirs (".compacted-*.tmp")
+        # are garbage by construction — a completed rewrite always
+        # deletes its tmp dir before the WAL commit
+        if name.startswith(".compacted-") and name.endswith(".tmp"):
+            fs.delete(st.getPath(), True)
+            stats.garbage_removed += 1
+            return
         if name.startswith("_") or name.startswith("."):
             return
         for sub in fs.listStatus(st.getPath()) or []:

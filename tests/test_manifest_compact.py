@@ -136,6 +136,56 @@ def test_compaction_after_sparks_own_compact_batch(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.fileSink.log.compactInterval")
 
 
+def test_recompaction_after_append_keeps_all_rows(spark, manifest_sink):
+    """compact → stream appends → compact again.  The second cycle bins a
+    LIVE compacted file together with the new small files; its output must
+    get a fresh generation-stamped name, never delete the merged file it
+    just wrote (the round-2 data-loss bug), and the view must stay exact
+    through a third cycle."""
+    in_path, out, rerun = manifest_sink
+    compact_manifest_sink(spark, out)
+    expected = _rows(spark, out)
+    assert len(expected) == 40
+
+    for round_no in range(2):
+        spark.createDataFrame(
+            [(1000 + round_no * 100 + i, f"t{i % 2}", float(i)) for i in range(10)],
+            "event_id long, topic string, value double",
+        ).coalesce(1).write.mode("append").parquet(in_path)
+        rerun()
+        expected = expected | {
+            (1000 + round_no * 100 + i, f"t{i % 2}", float(i)) for i in range(10)
+        }
+        assert _rows(spark, out) == expected
+        stats = compact_manifest_sink(spark, out)
+        assert stats.bins_written >= 2
+        assert _rows(spark, out) == expected
+        # every manifest-listed file physically exists (the bug deleted
+        # the re-compaction output while the manifest still listed it)
+        for part in glob.glob(f"{out}/topic=*/compacted-*.parquet"):
+            assert spark.read.parquet(part).count() > 0
+    # folded down to one file per partition dir again
+    assert not glob.glob(f"{out}/topic=*/part-*.parquet")
+    assert len(glob.glob(f"{out}/topic=*/compacted-*.parquet")) == 2
+
+
+def test_crashed_staging_dirs_are_swept(spark, manifest_sink, tmp_path):
+    """A bin rewrite that crashed mid-write leaves '.compacted-*.tmp'
+    staging dirs; the next compaction's garbage sweep must remove them."""
+    import pathlib
+
+    _in, out, _rerun = manifest_sink
+    topic_dir = pathlib.Path(glob.glob(f"{out}/topic=*")[0])
+    stale = topic_dir / ".compacted-g1-deadbeef.parquet.tmp"
+    stale.mkdir()
+    (stale / "part-orphan.parquet").write_bytes(b"junk")
+    before = _rows(spark, out)
+    stats = compact_manifest_sink(spark, out)
+    assert not stale.exists()
+    assert stats.garbage_removed >= 1
+    assert _rows(spark, out) == before
+
+
 def test_crash_mid_swap_recovers(spark, manifest_sink, monkeypatch):
     """Kill the swap after the FIRST rename (latest log already carries the
     new live set, earlier logs still hold the old adds, WAL on disk) — the
