@@ -29,9 +29,6 @@ one row per key.
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -83,28 +80,61 @@ def start_keyed_upsert(stream: DataFrame, path: str, checkpoint: str,
 
 def read_state(spark: SparkSession, path: str, key_cols: list[str],
                ts_col: str, tiebreak_cols: list[str] | None = None) -> DataFrame:
-    """Current-state view: latest (ts, batch_id) row per key across all
-    delta directories.  batch_id (partition column from the layout) breaks
-    same-timestamp ties in arrival order — a later batch's write wins,
-    matching compacted-topic semantics."""
+    """Current-state view: latest row per key across all delta directories.
+
+    Ties are resolved by the DECLARED total order (ts_col, tiebreak_cols)
+    first — the same order ``upsert_batch`` uses within a batch — so the
+    winning row for a key never depends on how rows were split across
+    micro-batches (or on compaction re-basing rows to a synthetic
+    batch_id).  batch_id (the layout's partition column) is only the final
+    tiebreak between byte-identical copies of the same logical row living
+    in multiple deltas."""
     df = spark.read.option("basePath", f"{path}/delta").parquet(f"{path}/delta")
-    order = ([F.desc(ts_col), F.desc("batch_id")]
-             + [F.desc(c) for c in (tiebreak_cols or [])])
+    order = ([F.desc(ts_col)]
+             + [F.desc(c) for c in (tiebreak_cols or [])]
+             + [F.desc("batch_id")])
     return _latest_per_key(df, key_cols, order).drop("batch_id")
+
+
+_STAGING_NAME = ".base-staging"
 
 
 def compact_state(spark: SparkSession, path: str, key_cols: list[str],
                   ts_col: str, tiebreak_cols: list[str] | None = None) -> int:
-    """Fold all deltas into one base delta (batch_id=-1 sorts below every
-    real batch, and each kept row is already the global latest).  Crash-safe:
-    the new base is fully written to a staging dir, then deltas are swapped
-    out; a crash before the swap leaves the old layout intact."""
+    """Fold all deltas into one base delta (an OPTIMIZE for the state view).
+
+    The new base gets batch_id = (min existing batch_id) - 1 — a FRESH
+    directory that sorts below every real batch, so repeated compactions
+    step -1, -2, ... and never rename over a live delta.  The swap is one
+    rename: the base is fully written to a dot-prefixed staging dir
+    (invisible to readers), renamed into place, and only THEN are the
+    superseded deltas deleted.  A crash before the rename leaves the old
+    layout intact (stale staging is overwritten by the next run); a crash
+    mid-delete leaves the new base plus some superseded deltas, which
+    read_state resolves to the identical view (every superseded row is
+    also in the base with equal order keys and content).  All paths go
+    through the Hadoop FileSystem API so the same code works on object
+    stores (s3a/abfss), matching the rest of the streaming layer."""
+    jvm = spark.sparkContext._jvm
+    delta_root = jvm.org.apache.hadoop.fs.Path(f"{path}/delta")
+    fs = delta_root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    superseded, min_id = [], 0
+    for st in fs.listStatus(delta_root) or []:
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            superseded.append(name)
+            min_id = min(min_id, int(name.split("=", 1)[1]))
+
     state = read_state(spark, path, key_cols, ts_col, tiebreak_cols)
     n = state.count()
-    staging = f"{path}/_staging_base"
+    staging = f"{path}/delta/{_STAGING_NAME}"
     state.write.mode("overwrite").parquet(staging)
-    root = Path(path) / "delta"
-    for d in root.glob("batch_id=*"):
-        shutil.rmtree(d)
-    Path(staging).rename(root / "batch_id=-1")
+    # commit point: one rename makes the new base visible
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(staging),
+        jvm.org.apache.hadoop.fs.Path(f"{path}/delta/batch_id={min_id - 1}"),
+    )
+    for name in superseded:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/delta/{name}"), True)
     return n

@@ -107,6 +107,93 @@ def test_compaction_preserves_state(spark, staged_updates, tmp_path):
     assert after == before
 
 
+def test_repeated_compaction_steps_base_generation(spark, staged_updates, tmp_path):
+    """compact -> new batch -> compact: the second base must get a FRESH
+    batch_id (-2), never rename over the live -1 base, and keep the view
+    exact."""
+    import glob
+
+    _run(spark, staged_updates, tmp_path)
+    p = str(tmp_path / "state")
+    compact_state(spark, p, ["key"], "version", ["payload"])
+    update = spark.createDataFrame(
+        [(2, "b9", 40, 220.0), (5, "e", 40, 500.0)],
+        "key long, payload string, version long, value double",
+    )
+    upsert_batch(update, 3, p, ["key"], "version", ["payload"])
+    n = compact_state(spark, p, ["key"], "version", ["payload"])
+    assert n == 5
+    deltas = sorted(d.rsplit("=", 1)[1] for d in glob.glob(f"{p}/delta/batch_id=*"))
+    assert deltas == ["-2"]
+    got = {
+        (r.key, r.payload, r.version)
+        for r in read_state(spark, p, ["key"], "version", ["payload"]).collect()
+    }
+    assert got == {(1, "a3", 30), (2, "b9", 40), (3, "c", 10), (4, "d", 30),
+                   (5, "e", 40)}
+
+
+def test_compaction_crash_mid_delete_keeps_view(spark, staged_updates, tmp_path):
+    """Crash after the base rename but before the superseded deltas are
+    deleted: readers must still resolve the identical view, and the next
+    compaction converges.  The crash state is reproduced directly: a
+    compacted layout plus a surviving superseded delta."""
+    import glob
+
+    _run(spark, staged_updates, tmp_path)
+    p = str(tmp_path / "state")
+    before = {
+        (r.key, r.payload, r.version)
+        for r in read_state(spark, p, ["key"], "version", ["payload"]).collect()
+    }
+
+    compact_state(spark, p, ["key"], "version", ["payload"])
+    stale = spark.createDataFrame(
+        [(1, "a2", 20, 110.0), (2, "b2", 20, 210.0)],
+        "key long, payload string, version long, value double",
+    )
+    stale.write.mode("overwrite").parquet(f"{p}/delta/batch_id=1")
+
+    assert {
+        (r.key, r.payload, r.version)
+        for r in read_state(spark, p, ["key"], "version", ["payload"]).collect()
+    } == before
+    compact_state(spark, p, ["key"], "version", ["payload"])
+    deltas = sorted(d.rsplit("=", 1)[1] for d in glob.glob(f"{p}/delta/batch_id=*"))
+    assert deltas == ["-2"]
+    assert {
+        (r.key, r.payload, r.version)
+        for r in read_state(spark, p, ["key"], "version", ["payload"]).collect()
+    } == before
+
+
+def test_tie_resolution_is_batch_split_invariant(spark, tmp_path):
+    """Two rows with the SAME (key, ts) must resolve by tiebreak_cols
+    regardless of whether they arrived in one batch or two — and the
+    winner must survive compaction + replay unchanged."""
+    p = str(tmp_path / "state")
+    schema = "key long, payload string, version long, value double"
+    r_lo = [(1, "aaa", 10, 1.0)]
+    r_hi = [(1, "zzz", 10, 2.0)]
+
+    def winner():
+        df = read_state(spark, p, ["key"], "version", ["payload"])
+        return [(r.key, r.payload) for r in df.collect()]
+
+    # split across two batches, lower-tiebreak row in the LATER batch
+    upsert_batch(spark.createDataFrame(r_hi, schema), 0, p, ["key"],
+                 "version", ["payload"])
+    upsert_batch(spark.createDataFrame(r_lo, schema), 1, p, ["key"],
+                 "version", ["payload"])
+    assert winner() == [(1, "zzz")]
+    # compaction re-bases the winner to batch_id=-1; a replayed batch 1
+    # (uncommitted before a crash) must not flip the resolved tie
+    compact_state(spark, p, ["key"], "version", ["payload"])
+    upsert_batch(spark.createDataFrame(r_lo, schema), 1, p, ["key"],
+                 "version", ["payload"])
+    assert winner() == [(1, "zzz")]
+
+
 def test_enrich_stream_per_batch_dim_visibility(spark, staged_updates, tmp_path):
     """Stream-static join: output carries dim attributes; updating the dim
     between runs is visible without restarting from scratch (static side
