@@ -297,7 +297,11 @@ def _decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                CASE WHEN CAST(doc_id % 3 AS INT) = 0
                     THEN CAST({_IMG_W} AS BIGINT) END AS width,
                CASE WHEN CAST(doc_id % 3 AS INT) = 0
-                    THEN CAST(ceil(octet_length(encode(text)) / {_IMG_W * 3}.0)
+                    -- greatest(1, ...) mirrors the encoder's height clamp:
+                    -- a PPM raster has at least one row even for an empty
+                    -- payload (zero-padded), so decode reports height 1
+                    THEN CAST(greatest(1, ceil(
+                             octet_length(encode(text)) / {_IMG_W * 3}.0))
                               AS BIGINT) END AS height,
                CASE WHEN CAST(doc_id % 3 AS INT) = 1
                     THEN CAST(octet_length(encode(text)) AS BIGINT)

@@ -133,3 +133,40 @@ def test_encoded_table_and_kernels_end_to_end(spark, sf_dir):
         .count()
     )
     assert vid > 0
+
+
+def test_empty_payload_decode_agrees_with_oracle(spark):
+    """Empty-text image documents: the encoder clamps the raster to one row,
+    so the decoded height is 1 — and the DuckDB oracle must predict the
+    same (greatest(1, ceil(...)) mirror of the encode-side max(1, ...))."""
+    import duckdb
+
+    from bifrost_spark.queries.multimodal import (
+        _DECODE_SCHEMA,
+        _decode_meta,
+        _encode_media,
+        _ENCODED_SCHEMA,
+    )
+    from bifrost_spark.registry import REGISTRY
+
+    src = spark.createDataFrame(
+        [(0, "image", bytearray(b"")), (3, "image", bytearray(b"x"))],
+        "media_id long, media_type string, payload binary",
+    )
+    decoded = (
+        src.mapInPandas(_encode_media, _ENCODED_SCHEMA)
+        .mapInPandas(_decode_meta, _DECODE_SCHEMA)
+        .orderBy("media_id")
+        .collect()
+    )
+    assert [(r.media_id, r.height) for r in decoded] == [(0, 1), (3, 1)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES (0, 'src', ''),"
+        " (3, 'src', 'x')) t(doc_id, source, text)"
+    )
+    oracle = con.execute(
+        REGISTRY["q_multimodal_decode"].oracle + " ORDER BY media_id"
+    ).fetchall()
+    assert [(r[0], r[3]) for r in oracle] == [(0, 1), (3, 1)]
