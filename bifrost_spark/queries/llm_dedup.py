@@ -352,7 +352,17 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("island")
 
 
-SEMDEDUP_K = 16
+# Target mean cluster size: k = clamp(n / TARGET, 4, 4096) keeps the
+# within-cluster Σ|cell|² work ≈ n·TARGET as the corpus grows — the
+# property that makes SemDeDup beat the |corpus|² self-join at any scale.
+SEMDEDUP_TARGET_CELL = 25
+SEMDEDUP_K_MIN, SEMDEDUP_K_MAX = 4, 4096
+SEMDEDUP_FIT_SAMPLE = 100_000  # k-means fit rows cap (sample-fit beyond)
+
+
+def semdedup_k(n: int) -> int:
+    """Cluster count derived from corpus size (VERDICT r2 item 4)."""
+    return max(SEMDEDUP_K_MIN, min(SEMDEDUP_K_MAX, n // SEMDEDUP_TARGET_CELL))
 
 
 @query("q_dedup_semantic", oracle=None)  # kmeans path → rows-only + gates
@@ -360,8 +370,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
     embedding space (k-means, fixed seed) and removing near-duplicates
     WITHIN each cluster — the scale path that replaces the all-pairs
-    cosine self-join with |cluster|² work per cluster (clusters are
-    corpus/k on average; k grows with the corpus).
+    cosine self-join with |cluster|² work per cluster.  k is DERIVED
+    from the corpus size (``semdedup_k``: n / target-cell-size, clamped)
+    so Σ|cell|² stays ≈ n·target as the corpus grows; the fit runs on a
+    bounded deterministic sample once the corpus exceeds
+    ``SEMDEDUP_FIT_SAMPLE`` rows (assignment still covers every row).
 
     Output: one row per dropped document — (drop_id, keeper_id, cluster,
     cos_sim rounded 6dp) with the keeper = lowest vec_id in the near-dup
@@ -373,14 +386,16 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact near-dup — cosines are genuine, only candidate generation is
     approximate).
 
-    Plan: one k-means fit (MLlib, bounded iterations; sample-fit at
-    scale), one scan to assign cells (plan-time literal centroids, JVM
-    dot folds), one self-join per cell on the cell key — shuffle volume
-    is Σ|cell|², never |corpus|²."""
+    Plan: one k-means fit (MLlib, bounded iterations, sample-fit), one
+    scan to assign cells (operators/cells.py: literal JVM dot folds at
+    small k, one BLAS matmul per Arrow batch above LITERAL_K_MAX — O(1)
+    plan nodes at production k), one self-join per cell on the cell key
+    — shuffle volume is Σ|cell|², never |corpus|²."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from bifrost_spark.operators.vectors import dot_fast, norm2_fast
+    from bifrost_spark.operators.cells import assign_cell
+    from bifrost_spark.operators.vectors import norm2_fast
 
     e = load_table(spark, sf_dir, "embeddings")
     nrm = e.select(
@@ -392,26 +407,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit"
         ),
     )
+    n = unit.count()
+    fit_df = unit
+    if n > SEMDEDUP_FIT_SAMPLE:
+        fit_df = unit.sample(fraction=SEMDEDUP_FIT_SAMPLE / n, seed=13)
     km = KMeans(
-        k=SEMDEDUP_K, seed=13, maxIter=10, featuresCol="feat", predictionCol="cell"
-    ).fit(unit.select(array_to_vector("unit").alias("feat")))
+        k=semdedup_k(n), seed=13, maxIter=10, featuresCol="feat",
+        predictionCol="cell",
+    ).fit(fit_df.select(array_to_vector("unit").alias("feat")))
     centers = [[float(v) for v in c] for c in km.clusterCenters()]
-    best_cell = F.element_at(
-        F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        (-dot_fast(F.col("unit"), F.array(*[F.lit(v) for v in c])))
-                        .alias("negd"),
-                        F.lit(i).alias("cell"),
-                    )
-                    for i, c in enumerate(centers)
-                ]
-            )
-        ),
-        1,
-    ).cell
-    assigned = unit.select("vec_id", "unit", best_cell.alias("cell"))
+    assigned = unit.select(
+        "vec_id", "unit", assign_cell(F.col("unit"), centers).alias("cell")
+    )
 
     def _cell_pairs(pdf):
         """Per-cluster numpy kernel: one |cell|×|cell| float64 matmul, emit

@@ -286,10 +286,12 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path beside SRP-LSH (q_sim_ann_lsh).
 
     Vectors are unit-normalized first, so Euclidean k-means cells coincide
-    with cosine cells (argmin ‖u−c‖ = argmax u·c on the unit sphere).  The
-    k trained centroids are tiny (k×dim doubles) and become PLAN-TIME
-    LITERAL arrays: cell assignment is k JVM-side dot-product folds per row
-    — one corpus scan, no Python, no broadcast state.
+    with cosine cells (argmin ‖u−c‖ = argmax u·c on the unit sphere).
+    Cell assignment goes through operators/cells.py: at this k (16) the
+    centroids are plan-time literals (k JVM dot folds per row, zero
+    Python); above LITERAL_K_MAX the SAME call switches to one
+    Arrow-batched BLAS matmul per batch, so production coarse quantizers
+    (4k-64k cells) keep an O(1)-node plan.
 
     Scale shape (100 TB): train on a bounded sample (MLlib k-means is itself
     distributed, maxIter-bounded), then assignment is embarrassingly
@@ -317,40 +319,24 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
     )
+    from bifrost_spark.operators.cells import assign_cell, rank_cells
+
     model = KMeans(
         k=k, seed=7, maxIter=10, featuresCol="feat", predictionCol="cell"
     ).fit(unit.select(array_to_vector("unit").alias("feat")))
     centers = [[float(v) for v in c] for c in model.clusterCenters()]
 
-    def cell_ranking(col):
-        # array of (−dot, cell) structs; sort_array asc == cells by dot desc
-        return F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        (-dot_fast(col, F.array(*[F.lit(v) for v in c]))).alias("negd"),
-                        F.lit(i).alias("cell"),
-                    )
-                    for i, c in enumerate(centers)
-                ]
-            )
-        )
-
     corpus = unit.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        F.element_at(cell_ranking(F.col("unit")), 1).cell.alias("cell"),
+        assign_cell(F.col("unit"), centers).alias("cell"),
     )
     probes = F.broadcast(
         unit.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            F.explode(
-                F.transform(
-                    F.slice(cell_ranking(F.col("unit")), 1, nprobe), lambda s: s.cell
-                )
-            ).alias("cell"),
+            F.explode(rank_cells(F.col("unit"), centers, nprobe)).alias("cell"),
         )
     )
     scored = (
@@ -476,8 +462,9 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
       1. coarse k-means (k=16, fixed seed) on unit vectors → cell;
          residual r = u − center[cell];
       2. per-subspace k-means (8 subspaces × 8 dims, 16 codes each) on
-         residuals → codebooks, plan-time LITERAL arrays like the IVF
-         centroids;
+         residuals → codebooks, plan-time LITERAL arrays (always small:
+         k_pq ≤ 256 since codes are one byte; the coarse assignment is
+         the part that grows with k and routes through operators/cells.py);
       3. encode: code_m = argmin‖r_m − c‖² per subspace (struct-sort
          argmin, 16 folds per subspace per row, one corpus scan);
       4. query: probe the nprobe nearest cells; ADC score each candidate
@@ -511,34 +498,28 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit"
         ),
     )
+    from bifrost_spark.operators.cells import assign_cell, rank_cells
+
     coarse = KMeans(
         k=k_c, seed=7, maxIter=10, featuresCol="feat", predictionCol="cell"
     ).fit(unit.select(array_to_vector("unit").alias("feat")))
     centers = [[float(v) for v in c] for c in coarse.clusterCenters()]
+    # the residual/ADC lookups below index centers by the ALREADY-assigned
+    # cell id, so they stay O(k_c·d) literals only in this lookup table —
+    # the per-row k_c-way argmin (the part that explodes at production
+    # k_c) goes through cells.py and is O(1) plan nodes above its cap.
+    # The PQ codebooks are inherently small (m_sub·k_pq·d_sub = 1024
+    # floats here; k_pq ≤ 256 by construction — codes are one byte), so
+    # literal codebook lookups never face the production-k problem.
     centers_lit = F.array(
         *[F.array(*[F.lit(v) for v in c]) for c in centers]
     )
-
-    def cell_ranking(col):
-        return F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        (-dot_fast(col, F.array(*[F.lit(v) for v in c]))).alias(
-                            "negd"
-                        ),
-                        F.lit(i).alias("cell"),
-                    )
-                    for i, c in enumerate(centers)
-                ]
-            )
-        )
 
     with_res = unit.select(
         "vec_id",
         "embedding",
         "unit",
-        F.element_at(cell_ranking(F.col("unit")), 1).cell.alias("cell"),
+        assign_cell(F.col("unit"), centers).alias("cell"),
     ).withColumn(
         "res",
         F.zip_with(
@@ -593,11 +574,7 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("unit").alias("q_unit"),
-            F.explode(
-                F.transform(
-                    F.slice(cell_ranking(F.col("unit")), 1, nprobe), lambda s: s.cell
-                )
-            ).alias("cell"),
+            F.explode(rank_cells(F.col("unit"), centers, nprobe)).alias("cell"),
         )
     )
 

@@ -1,0 +1,105 @@
+"""operators/cells.py: the coarse-quantizer assignment dispatcher.
+
+Pins VERDICT r2 item 3: plan node count stays O(1) in k above the
+literal cap (no centroid-literal blowup at production k), and the two
+spellings agree exactly — including nprobe rankings and tie-breaks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from bifrost_spark.operators import cells
+
+
+def _vec_df(spark, n=40, dim=8, seed=5):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, unit array<double>",
+    )
+    return df, v
+
+
+def _centers(k, dim=8, seed=9):
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(k, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c], c
+
+
+def test_plan_size_is_o1_in_k_above_literal_cap(spark):
+    """k=256 must NOT embed 256 centroid arrays as plan literals: its plan
+    text is bounded and smaller than the k=64 literal-path plan."""
+    df, _ = _vec_df(spark)
+    lit_k = cells.LITERAL_K_MAX
+    plan_literal = df.select(
+        cells.assign_cell(F.col("unit"), _centers(lit_k)[0]).alias("cell")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    plan_pandas = df.select(
+        cells.assign_cell(F.col("unit"), _centers(256)[0]).alias("cell")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_pandas) < len(plan_literal)
+    assert len(plan_pandas) < 5_000, len(plan_pandas)
+    # and k=4096 costs the same plan as k=256
+    plan_big = df.select(
+        cells.assign_cell(F.col("unit"), _centers(4096)[0]).alias("cell")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert abs(len(plan_big) - len(plan_pandas)) < 100
+
+
+@pytest.mark.parametrize("nprobe", [1, 5])
+def test_paths_agree_with_numpy_ground_truth(spark, nprobe):
+    """Literal (k=16) and pandas (k=70) paths both match a float64 numpy
+    argsort of the dot products."""
+    df, v = _vec_df(spark)
+    for k in (16, 70):
+        centers_list, c = _centers(k)
+        got = {
+            r.vec_id: list(r.cells)
+            for r in df.select(
+                "vec_id",
+                cells.rank_cells(F.col("unit"), centers_list, nprobe).alias("cells"),
+            ).collect()
+        }
+        scores = v @ c.T
+        for i in range(len(v)):
+            want = list(np.argsort(-scores[i], kind="stable")[:nprobe])
+            assert got[i] == want, (k, i, got[i], want)
+
+
+def test_tie_break_prefers_lower_cell_id(spark):
+    """Duplicate centroids produce exact score ties; both paths must rank
+    the LOWER cell id first."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, unit array<double>"
+    )
+    dup = [0.6, 0.8]
+    for k, pad_seed in ((4, 1), (cells.LITERAL_K_MAX + 6, 2)):
+        rng = np.random.default_rng(pad_seed)
+        pad = rng.normal(size=(k - 2, 2))
+        pad /= np.linalg.norm(pad, axis=1, keepdims=True) * 2  # strictly worse
+        centers = [dup, dup] + [[float(x) for x in r] for r in pad]
+        row = df.select(
+            cells.rank_cells(F.col("unit"), centers, 2).alias("cells")
+        ).collect()[0]
+        assert list(row.cells)[:2] == [0, 1], (k, row.cells)
+
+
+def test_semdedup_k_derivation():
+    from bifrost_spark.queries.llm_dedup import (
+        SEMDEDUP_K_MAX,
+        SEMDEDUP_K_MIN,
+        semdedup_k,
+    )
+
+    assert semdedup_k(0) == SEMDEDUP_K_MIN
+    assert semdedup_k(400) == 16  # the clustered-corpus gate's k_true
+    assert semdedup_k(500) == 20
+    assert semdedup_k(10**9) == SEMDEDUP_K_MAX
+    assert semdedup_k(5000) == 200  # sf0.1 → pandas assignment path

@@ -367,10 +367,11 @@ def test_semdedup_recall_on_clustered_corpus(spark, tmp_path):
     import pandas as pd
 
     rng = np.random.default_rng(99)
-    # k_true matches SEMDEDUP_K: SemDeDup's contract is that the cluster
-    # count tracks the corpus's natural granularity (over-clustering
+    # k_true matches semdedup_k(400) = 16: SemDeDup's contract is that the
+    # cluster count tracks the corpus's natural granularity (over-clustering
     # splits true near-dup groups — measured: k=16 over 8 true clusters
-    # halves recall, exactly the failure mode the paper tunes k against)
+    # halves recall, exactly the failure mode the paper tunes k against);
+    # the derived-k rule (n / target-cell-size) is pinned in test_cells.py
     n, dim, k_true = 400, 64, 16
     centers = rng.normal(size=(k_true, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
@@ -410,3 +411,40 @@ def test_semdedup_recall_on_clustered_corpus(spark, tmp_path):
     assert got <= loose, f"false positives: {sorted(got - loose)[:5]}"
     recall = len(got & strong) / len(strong)
     assert recall >= 0.95, f"clustered semdedup recall {recall:.2f} < 0.95"
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"]
+)
+def test_semdedup_precision_holds_with_derived_k(spark, sf_dir):
+    """VERDICT r2 item 4 gate: with k derived from corpus size the
+    precision-1.0 contract must hold at every SF (sf0.1's derived k=200
+    also exercises the pandas assignment path above LITERAL_K_MAX)."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.operators.vectors import norm2_fast
+    from bifrost_spark.tables import load_table
+
+    sem = [
+        (r.keeper_id, r.drop_id, r.cos_sim)
+        for r in registry.queries()["q_dedup_semantic"](spark, sf_dir).collect()
+    ]
+    assert sem, f"no semantic near-dups found at {sf_dir}"
+    # precision: every emitted cosine is a genuine >=threshold near-dup —
+    # recompute each emitted pair's cosine exactly in numpy
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ids = {i for a, b, _ in sem for i in (a, b)}
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in e.filter(F.col("vec_id").isin(list(ids))).collect()
+    }
+    from bifrost_spark.queries.llm_dedup import COSINE_DUP_THRESHOLD
+
+    for a, b, cos_sim in sem:
+        u, v = vecs[a], vecs[b]
+        true_cos = float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+        assert true_cos >= COSINE_DUP_THRESHOLD - 1e-9, (a, b, true_cos)
+        assert abs(true_cos - cos_sim) < 1e-5
