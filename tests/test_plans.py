@@ -246,3 +246,12 @@ def test_tpch_q21_quantifiers_are_semi_anti(spark, sf_dir):
     assert "leftanti" in low.replace(" ", "") or "anti" in low
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ntile_has_no_single_partition_stage(spark, sf_dir):
+    """The distributed NTILE spelling must never funnel all rows through
+    one task: no SinglePartition exchange, and the window is partitioned
+    by range bucket."""
+    plan = _plan(spark, sf_dir, "q_ntile")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # per-bucket local rank is still a window
