@@ -265,3 +265,104 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("epochs"),
     )
+
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_SOURCES = ("src1", "src2", "src3")  # the target-domain sample
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 (ascii(substr(md5(t), 1, 1)) * 256
+                  + ascii(substr(md5(t), 2, 1))) % {_DSIR_BUCKETS} AS bucket
+          FROM (SELECT doc_id, source,
+                       unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS t
+                FROM documents)
+        ),
+        bs AS (
+          SELECT bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cr,
+                 CAST(COUNT(*) FILTER (WHERE source IN
+                      {_DSIR_TARGET_SOURCES}) AS BIGINT) AS ct
+          FROM tok GROUP BY bucket
+        ),
+        tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM bs)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(CAST(round(log2(ct + 1), 12) AS DECIMAL(28,12))
+                              - CAST(round(log2(cr + 1), 12) AS DECIMAL(28,12)))
+                          AS DOUBLE) / COUNT(*)
+                     + log2((SELECT nr FROM tot) + {_DSIR_BUCKETS})
+                     - log2((SELECT nt FROM tot) + {_DSIR_BUCKETS}),
+                     9) AS avg_log2_ratio
+        FROM tok JOIN bs USING (bucket)
+        GROUP BY doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw
+    document by how target-like its hashed bag-of-words is — the
+    per-token average log₂ importance ratio between a target-domain
+    unigram model and the raw-corpus model, both add-1-smoothed over a
+    {B}-bucket hashed feature space.  Downstream resamples the corpus
+    with these weights (e.g. Gumbel top-k); the weight itself is the
+    deterministic, oracle-checkable core.
+
+    Plan: one token explode feeds (a) a {B}-row bucket-count aggregate
+    (map-side combined, broadcast back) and (b) the per-doc aggregation
+    — two shuffles, everything JVM-side.  The hashed feature space is
+    what makes DSIR corpus-scale: model state is 2·{B} longs, never a
+    vocabulary.
+
+    Determinism: the ratio decomposes into integer-count logs —
+    Σ[log₂(ct+1) − log₂(cr+1)] per token accumulates 12-dp-rounded
+    addends in DECIMAL(28,12) (order-free), and the smoothing constant
+    log₂(Nr+B) − log₂(Nt+B) shifts the per-token average after the sum
+    (same device as q_lm_score; output rounded 9 dp, far above the
+    ≤1e-12 cross-engine addend divergence)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+        ).alias("t"),
+    )
+    h = F.md5("t")
+    bucket = (
+        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
+        % _DSIR_BUCKETS
+    )
+    tok = toks.select("doc_id", "source", bucket.alias("bucket"))
+    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    bs = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count_if(is_target).alias("ct"),
+    )
+    tot = bs.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    per_doc = (
+        tok.join(F.broadcast(bs), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.round(F.log2(F.col("ct") + 1), 12).cast("decimal(28,12)")
+                - F.round(F.log2(F.col("cr") + 1), 12).cast("decimal(28,12)")
+            ).alias("sum_ratio"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("sum_ratio").cast("double") / F.col("n_tokens")
+            + F.log2(F.col("nr") + _DSIR_BUCKETS)
+            - F.log2(F.col("nt") + _DSIR_BUCKETS),
+            9,
+        ).alias("avg_log2_ratio"),
+    )
