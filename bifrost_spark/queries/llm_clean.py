@@ -271,9 +271,8 @@ _DSIR_BUCKETS = 64
 _DSIR_TARGET_SOURCES = ("src1", "src2", "src3")  # the target-domain sample
 
 
-@query(
-    "q_dsir_weights",
-    oracle=f"""
+# Shared by q_dsir_weights (verbatim oracle) and q_dsir_resample (CTE).
+_DSIR_WEIGHTS_SQL = f"""
         WITH tok AS (
           SELECT doc_id, source,
                  (ascii(substr(md5(t), 1, 1)) * 256
@@ -301,8 +300,10 @@ _DSIR_TARGET_SOURCES = ("src1", "src2", "src3")  # the target-domain sample
                      9) AS avg_log2_ratio
         FROM tok JOIN bs USING (bucket)
         GROUP BY doc_id
-    """,
-)
+"""
+
+
+@query("q_dsir_weights", oracle=_DSIR_WEIGHTS_SQL)
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al., "Data Selection for Language
     Models via Importance Resampling", NeurIPS 2023): score every raw
@@ -365,4 +366,63 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log2(F.col("nt") + _DSIR_BUCKETS),
             9,
         ).alias("avg_log2_ratio"),
+    )
+
+
+_RESAMPLE_K = 100
+# Knuth multiplicative hash constant (2654435761 = floor(2^32/phi)); the
+# modulus keeps the product within int64 for any fixture doc_id.
+_KNUTH, _U_MOD = 2654435761, 4294967296
+
+
+@query(
+    "q_dsir_resample",
+    oracle=f"""
+        WITH w AS ({_DSIR_WEIGHTS_SQL})
+        SELECT doc_id, rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS BIGINT)
+                   AS rnk
+          FROM (
+            SELECT doc_id,
+                   round(avg_log2_ratio
+                         - log2(-ln((CAST(doc_id * {_KNUTH} AS BIGINT)
+                                     % {_U_MOD} + 0.5) / {_U_MOD})),
+                         9) AS gkey
+            FROM w
+          )
+        ) WHERE rnk <= {_RESAMPLE_K}
+    """,
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling via Gumbel top-k (Xie et al. 2023 §2;
+    Vieira 2014 for the Gumbel-max trick): draw {K} documents WITHOUT
+    replacement with probability ∝ 2^weight by ranking key_i = w_i + g_i
+    and keeping the top {K}, where g_i is the doc's Gumbel noise.  One
+    ranking pass replaces sequential weighted draws — the only formulation
+    of weighted sampling-without-replacement that parallelizes.
+
+    The noise is DERIVED, not drawn: u_i = Knuth-multiplicative-hash
+    (doc_id) mapped to (0,1), g_i = −log₂(−ln u_i).  Exact integer
+    arithmetic feeds identical doubles to both engines' ln/log2, so the
+    sample is reproducible across retries, partitionings, and engines —
+    a task-retried executor regenerates the identical sample, which
+    RNG-based sampling cannot guarantee.
+
+    Scale shape: reuses the q_dsir_weights plan (two shuffles), adds one
+    scan-local key expression and a global top-{K} that Spark runs as
+    TakeOrderedAndProject (per-partition heaps, never a full sort).  The
+    final rank window touches {K} rows.  Determinism: key rounded to
+    9 dp (1-ulp libm guard), ties by doc_id; the float key stays out of
+    the output."""
+    w = q_dsir_weights(spark, sf_dir)
+    u = ((F.col("doc_id") * _KNUTH).cast("bigint") % _U_MOD + 0.5) / _U_MOD
+    keyed = w.select(
+        "doc_id",
+        F.round(F.col("avg_log2_ratio") - F.log2(-F.log(u)), 9).alias("gkey"),
+    )
+    top = keyed.orderBy(F.desc("gkey"), F.asc("doc_id")).limit(_RESAMPLE_K)
+    rw = Window.orderBy(F.desc("gkey"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", F.row_number().over(rw).cast("bigint").alias("rnk")
     )

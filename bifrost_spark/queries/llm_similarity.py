@@ -627,3 +627,72 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.row_number().over(w).cast("bigint").alias("rnk"),
     ).filter(F.col("rnk") <= TOP_K)
+
+
+_PCA_K = 8
+
+
+@query("q_embedding_pca", oracle=None)  # eigendecomposition → rows-only
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction for the embedding corpus: project every
+    vector onto the top-{k} principal components of the (mean-centered)
+    corpus — the standard pre-step before clustering/ANN when 64 dims of
+    float are wasteful, and the feature-decorrelation stage OPQ-style
+    quantizers build on.
+
+    Scale shape (100 TB): the expensive part is the d×d covariance, which
+    MLlib's PCA computes in ONE distributed pass over the corpus (the
+    Gramian aggregate is map-side combinable: d² = 4096 doubles of state
+    per task, merged associatively); the eigendecomposition runs on the
+    driver over that 64×64 matrix — O(d³) work INDEPENDENT of corpus
+    size.  Mean-centering subtracts a broadcast 64-double literal (one
+    scalar aggregate job).  The projection back over the corpus is
+    scan-local: k dot products per row, no shuffle, no Python.
+
+    Determinism: breeze's dense eigendecomposition is deterministic for a
+    fixed covariance matrix, and covariance is computed in one fixed
+    reduction tree... except partial-sum order can flip the last ulp under
+    repartitioning — so eigenvector SIGNS are canonicalized (each
+    component flipped so its largest-|loading| coordinate is positive)
+    and projections are rounded to 6 dp, far above any ulp drift.  No
+    DuckDB oracle (no eigensolver in SQL); the numpy cross-check in
+    tests/test_sketch_quality.py is the local oracle."""
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    d = len(dbl.select("emb").first()["emb"])
+    means = dbl.select(
+        *[F.avg(F.element_at("emb", i + 1)).alias(f"m{i}") for i in range(d)]
+    ).first()
+    mean_arr = F.array(*[F.lit(float(means[f"m{i}"])) for i in range(d)])
+    centered = dbl.select(
+        "vec_id",
+        F.zip_with("emb", mean_arr, lambda x, m: x - m).alias("cemb"),
+    )
+    feats = centered.select(
+        "vec_id", array_to_vector("cemb").alias("feat")
+    )
+    model = MLPCA(k=_PCA_K, inputCol="feat", outputCol="pc").fit(feats)
+
+    comps = model.pc.toArray()  # d × k loadings
+    signs = []
+    for j in range(comps.shape[1]):
+        col = comps[:, j]
+        signs.append(1.0 if col[abs(col).argmax()] >= 0 else -1.0)
+    sign_arr = F.array(*[F.lit(s) for s in signs])
+
+    return (
+        model.transform(feats)
+        .select(
+            "vec_id",
+            F.zip_with(
+                vector_to_array("pc"),
+                sign_arr,
+                lambda x, s: F.round(x * s, 6),
+            ).alias("pc"),
+        )
+    )

@@ -564,3 +564,141 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(p * F.log2(p)), 9).alias("char_entropy"),
         F.count(F.lit(1)).alias("n_distinct_chars"),
     )
+
+
+# BM25 retrieval constants (Robertson/Sparck Jones defaults) and a fixed
+# query-term set drawn from the fixture vocabulary.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("vector", "hash", "scan")
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, len(ws) AS dl, ws FROM t),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, dl,
+                 len(list_filter(ws, x -> x = 'vector')) AS tf_vector,
+                 len(list_filter(ws, x -> x = 'hash'))   AS tf_hash,
+                 len(list_filter(ws, x -> x = 'scan'))   AS tf_scan
+          FROM dl
+        ),
+        df AS (
+          SELECT CAST(COUNT(*) FILTER (WHERE tf_vector > 0) AS DOUBLE) AS df_vector,
+                 CAST(COUNT(*) FILTER (WHERE tf_hash > 0)   AS DOUBLE) AS df_hash,
+                 CAST(COUNT(*) FILTER (WHERE tf_scan > 0)   AS DOUBLE) AS df_scan
+          FROM tf
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST((tf_vector > 0)::INT + (tf_hash > 0)::INT
+                      + (tf_scan > 0)::INT AS BIGINT) AS n_terms_matched,
+                 CAST(round(ln(1 + (n - df_vector + 0.5) / (df_vector + 0.5))
+                        * (tf_vector * ({BM25_K1} + 1))
+                        / (tf_vector + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)),
+                      12) AS DECIMAL(28,12))
+                 + CAST(round(ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
+                        * (tf_hash * ({BM25_K1} + 1))
+                        / (tf_hash + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)),
+                      12) AS DECIMAL(28,12))
+                 + CAST(round(ln(1 + (n - df_scan + 0.5) / (df_scan + 0.5))
+                        * (tf_scan * ({BM25_K1} + 1))
+                        / (tf_scan + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)),
+                      12) AS DECIMAL(28,12)) AS score
+          FROM tf CROSS JOIN stats CROSS JOIN df
+          WHERE tf_vector + tf_hash + tf_scan > 0
+        )
+        SELECT doc_id, n_terms_matched,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rnk
+        FROM scored
+        ORDER BY rnk LIMIT 20
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval (Robertson et al., Okapi): rank the corpus
+    against a fixed query-term set with the classic
+    idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) score, k1=1.2 b=0.75.
+
+    Scale shape: with a bounded query-term set the whole score is
+    SCAN-LOCAL — per-term tf comes from `F.size(F.filter(ws, ...))`
+    column expressions (no explode, no (doc,term) shuffle), df/N/avgdl
+    are one tiny scalar aggregate collected once and folded back as
+    plan literals.  The only distributed ordering work is the global
+    top-20, which Spark executes as TakeOrderedAndProject (per-partition
+    heaps + driver merge of 20-row heads) — never a full sort.  At
+    100 TB the corpus text is read once, nothing else moves.
+
+    Determinism: tf/dl/df/N are exact integers and avgdl is a single
+    IEEE division of exact values, so both engines feed identical
+    doubles into ln(); each per-term addend is rounded to 12 dp (beyond
+    any 1-ulp libm divergence) and summed in DECIMAL(28,12)
+    (order-free), making the rank exact — ties break by doc_id.  The
+    float score itself stays OUT of the compared output, same
+    discipline as q_tfidf."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "").alias("ws"),
+    ).select("doc_id", "ws", F.size("ws").alias("dl"))
+
+    def _count_of(term: str):
+        # one-arg lambda on purpose: a second parameter would make PySpark
+        # pass the element INDEX, not the captured term
+        return F.size(F.filter("ws", lambda x: x == F.lit(term)))
+
+    tf_cols = {t: _count_of(t) for t in BM25_TERMS}
+    tf = toks.select(
+        "doc_id", "dl", *[c.alias(f"tf_{t}") for t, c in tf_cols.items()]
+    )
+
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}") for t in BM25_TERMS],
+    ).first()
+    n = float(stats["n"])
+    avgdl = float(stats["sdl"]) / float(stats["n"])
+
+    def addend(t: str) -> Column:
+        tf_c = F.col(f"tf_{t}")
+        df_t = float(stats[f"df_{t}"])
+        idf = F.lit(float('nan')) if n == 0 else F.log(
+            F.lit(1.0) + (F.lit(n) - F.lit(df_t) + 0.5) / (F.lit(df_t) + 0.5)
+        )
+        tfn = (tf_c * (BM25_K1 + 1)) / (
+            tf_c + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+        return F.round(idf * tfn, 12).cast("decimal(28,12)")
+
+    matched = tf.filter(
+        sum(F.col(f"tf_{t}") for t in BM25_TERMS) > 0
+    ).select(
+        "doc_id",
+        sum((F.col(f"tf_{t}") > 0).cast("int") for t in BM25_TERMS)
+        .cast("bigint")
+        .alias("n_terms_matched"),
+        sum(addend(t) for t in BM25_TERMS).alias("score"),
+    )
+    top = matched.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.select(
+            "doc_id",
+            "n_terms_matched",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )

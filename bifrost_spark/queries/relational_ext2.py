@@ -986,3 +986,82 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+        WITH snap_a AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0
+        ),
+        snap_b AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'R' ELSE o_orderstatus END
+                   AS o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 5 <> 0
+        )
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type
+        FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+        WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.o_custkey IS DISTINCT FROM b.o_custkey
+           OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every key across two table
+    snapshots as added / removed / changed (unchanged rows drop out) —
+    the core of incremental-pipeline reconciliation, audit tooling, and
+    change-feed derivation when the source offers only full snapshots.
+    The two snapshots are deterministic transforms of `orders` (B drops
+    keys ≡0 mod 5 and rewrites status/price for keys ≡0 mod 3; A drops
+    keys ≡0 mod 7), standing in for yesterday's/today's loads.
+
+    Scale shape: ONE full-outer shuffle join on the primary key; both
+    sides hash-partition on o_orderkey, so 100 TB snapshots stream
+    through sort-merge without any driver state.  Column comparison
+    happens post-join JVM-side; with wide rows, compare an xxhash64 over
+    the tracked columns instead so the shuffle carries (key, 8-byte
+    hash) — same plan, ~constant row width.  Snapshots bucketed on the
+    key skip the shuffle entirely (io.py::write_bucketed_table).
+
+    Determinism: the diff compares values with null-safe equality; the
+    only double column is compared (not emitted), and B's price edit
+    (+10.0) is exact in IEEE, so both engines agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    snap_a = base.filter(F.col("o_orderkey") % 7 != 0)
+    edited = F.col("o_orderkey") % 3 == 0
+    snap_b = base.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(edited, F.lit("R")).otherwise(F.col("o_orderstatus"))
+          .alias("o_orderstatus"),
+        F.when(edited, F.col("o_totalprice") + 10.0)
+          .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    a = snap_a.withColumn("in_a", F.lit(1)).alias("a")
+    b = snap_b.withColumn("in_b", F.lit(1)).alias("b")
+    joined = a.join(b, on="o_orderkey", how="full_outer")
+    added = F.col("in_a").isNull()
+    removed = F.col("in_b").isNull()
+    changed = (
+        ~F.col("a.o_custkey").eqNullSafe(F.col("b.o_custkey"))
+        | ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+        | ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice"))
+    )
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(added, "added").when(removed, "removed")
+             .when(changed, "changed"),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select("o_orderkey", "change_type")
+    )

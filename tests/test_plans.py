@@ -117,6 +117,8 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_tpch22",
         "q_mixture_weights",  # 1-row normalizer broadcast
         "q_ccnet_bucket",  # inherits unigram_surprisal's 1-row total join
+        "q_dsir_weights",  # 1-row (Nr, Nt) smoothing-total broadcast
+        "q_dsir_resample",  # reuses the q_dsir_weights frame
     }
     offenders = {}
     for name, fn in sorted(registry.queries().items()):

@@ -448,3 +448,63 @@ def test_semdedup_precision_holds_with_derived_k(spark, sf_dir):
         true_cos = float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
         assert true_cos >= COSINE_DUP_THRESHOLD - 1e-9, (a, b, true_cos)
         assert abs(true_cos - cos_sim) < 1e-5
+
+
+def test_pca_matches_numpy(spark):
+    """q_embedding_pca is PCA with no SQL oracle; numpy is the local
+    oracle: same mean-centering, covariance eigenvectors, sign
+    canonicalization, and 6-dp rounding, compared per coordinate.
+    |projection| must match to 1e-4 (breeze and LAPACK agree far below
+    that for a 64x64 well-separated spectrum)."""
+    import numpy as np
+
+    fn = registry.queries()["q_embedding_pca"]
+    rows = fn(spark, SF_DIR).collect()
+    got = {r["vec_id"]: np.array(r["pc"]) for r in rows}
+
+    import duckdb
+
+    X = np.array(
+        duckdb.connect()
+        .execute(
+            f"SELECT embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+        )
+        .fetchdf()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    ids = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT vec_id FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id")
+        .fetchall()
+    ]
+    Xc = X - X.mean(axis=0)
+    # sample covariance with the same normalization MLlib uses (n-1)
+    cov = Xc.T @ Xc / (X.shape[0] - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    W = evecs[:, order]
+    for j in range(W.shape[1]):
+        col = W[:, j]
+        if col[np.abs(col).argmax()] < 0:
+            W[:, j] = -col
+    expect = Xc @ W
+
+    assert len(got) == len(ids)
+    err = max(
+        float(np.max(np.abs(got[v] - expect[i]))) for i, v in enumerate(ids)
+    )
+    assert err < 1e-4, f"max |spark - numpy| projection gap {err}"
+
+
+def test_pca_components_explain_variance_in_order(spark):
+    """Projected coordinate variance must be (weakly) decreasing across
+    components — the defining PCA property, and a cheap end-to-end sanity
+    check on the centering + projection plumbing."""
+    import numpy as np
+
+    fn = registry.queries()["q_embedding_pca"]
+    P = np.array([r["pc"] for r in fn(spark, SF_DIR).collect()])
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1)), var
