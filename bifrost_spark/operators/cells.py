@@ -93,3 +93,131 @@ def rank_cells(
 def assign_cell(col: Column, centers: list[list[float]]) -> Column:
     """The single nearest cell id (int) for ``col``."""
     return F.element_at(rank_cells(col, centers, 1), 1)
+
+
+# Bounded training-sample size: k-means quality needs ~O(k·100) points, so
+# 64k covers every k this engine uses (≤ 4096) while keeping driver state
+# ≤ 64k·d doubles (32 MB at d=64) — INDEPENDENT of corpus size.
+TRAIN_SAMPLE_MAX = 65_536
+
+
+def sample_rows(df, vec_col: str, id_col: str, max_rows: int = TRAIN_SAMPLE_MAX):
+    """Deterministic bounded sample of a vector column as a numpy array.
+
+    xxhash64-ordered TakeOrdered: one corpus pass, per-partition heaps of
+    ``max_rows`` rows, deterministic under any partitioning / task retry
+    (content-derived order, no RNG) — the sampling half of the FAISS
+    train-on-a-sample discipline."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(max_rows)
+        .collect()
+    )
+    return np.asarray([r["v"] for r in rows], dtype=np.float64)
+
+
+def kmeans_fit(
+    X: np.ndarray, k: int, seed: int, iters: int = 25, n_init: int = 4
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means with k-means++ init on a driver-side
+    sample — the training half of the FAISS discipline (faiss trains its
+    coarse quantizers and PQ codebooks exactly this way: a bounded sample
+    on one node, never a distributed fit).  Replaces per-operator MLlib
+    fits whose ~2 s/job scheduling overhead dominated at fixture scale
+    (IVF-PQ ran 9 of them) and whose cluster-wide shuffles are wasted
+    work when the sample already fits in memory.
+
+    Deterministic: PCG64(seed) drives k-means++ (platform-stable),
+    Lloyd's iterations are pure argmin/means, ties in argmin go to the
+    lower center id (numpy argmin first-match), empty clusters re-seed to
+    the point farthest from its center (deterministic argmax).  Identical
+    input sample → identical centers, bit-for-bit, on every rerun.
+
+    ``n_init`` seeded restarts keep the best-inertia run (sklearn's
+    robustness device; a single k-means++ draw can split one true
+    cluster and starve another — measured as a 0.94-vs-0.95 recall miss
+    on the clustered SemDeDup gate).  Restarts multiply TRAINING cost
+    only, and training is sample-bounded."""
+    n = len(X)
+    k = min(k, n)
+    best, best_inertia = None, None
+    for run in range(max(1, n_init)):
+        centers, inertia = _kmeans_once(X, k, seed + 1000 * run, iters)
+        if best_inertia is None or inertia < best_inertia:
+            best, best_inertia = centers, inertia
+    return [[float(v) for v in c] for c in best]
+
+
+def _kmeans_once(X: np.ndarray, k: int, seed: int, iters: int):
+    n = len(X)
+    rng = np.random.default_rng(seed)
+    x2 = (X * X).sum(axis=1)
+
+    # GREEDY k-means++ seeding (Arthur & Vassilvitskii 2007 + the
+    # multiple-candidate refinement sklearn uses): at each step draw
+    # 2+⌈log₂k⌉ D²-weighted candidates and keep the one that most reduces
+    # the total potential.  Plain single-draw ++ left ~10-30% worse local
+    # optima on a 16-well-separated-cluster fixture (measured: inertia
+    # 123-163 vs the 111 global optimum); greedy seeding finds the basin.
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    n_trials = 2 + int(np.ceil(np.log2(max(k, 2))))
+    centers[0] = X[rng.integers(n)]
+    d2 = x2 - 2 * X @ centers[0] + centers[0] @ centers[0]
+    np.maximum(d2, 0, out=d2)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:
+            cand_idx = rng.integers(n, size=n_trials)
+        else:
+            cand_idx = rng.choice(n, size=n_trials, p=d2 / tot)
+        cand = X[cand_idx]  # (t, d)
+        nd = np.maximum(
+            x2[None, :] - 2 * cand @ X.T + (cand * cand).sum(axis=1)[:, None], 0
+        )  # (t, n)
+        pots = np.minimum(nd, d2).sum(axis=1)
+        best = int(pots.argmin())
+        centers[j] = cand[best]
+        d2 = np.minimum(d2, nd[best])
+
+    assign = None
+    dim = X.shape[1]
+    for _ in range(iters):
+        d = x2[:, None] - 2 * X @ centers.T + (centers * centers).sum(axis=1)
+        new_assign = d.argmin(axis=1)
+        counts = np.bincount(new_assign, minlength=k).astype(np.float64)
+        # vectorized centroid update: one weighted bincount per dimension
+        # (C-speed; a per-cluster boolean-mask loop is O(k·n) in Python and
+        # dominated the fit at k ≈ 1000)
+        sums = np.stack(
+            [np.bincount(new_assign, weights=X[:, c], minlength=k) for c in range(dim)],
+            axis=1,
+        )
+        for j in np.flatnonzero(counts == 0):
+            # re-seed empty cluster to the worst-served point
+            far = int(d[np.arange(n), new_assign].argmax())
+            new_assign[far] = j
+            sums[j] = X[far]
+            counts[j] = 1.0
+        centers = sums / counts[:, None]
+        # converged when <0.1% of points moved — exact convergence can take
+        # 100s of iterations on large samples for negligible center drift
+        if assign is not None and (new_assign != assign).sum() <= n // 1000:
+            break
+        assign = new_assign
+    d = x2[:, None] - 2 * X @ centers.T + (centers * centers).sum(axis=1)
+    inertia = float(np.maximum(d.min(axis=1), 0).sum())
+    return centers, inertia
+
+
+def train_kmeans(
+    df,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    seed: int,
+    max_rows: int = TRAIN_SAMPLE_MAX,
+) -> list[list[float]]:
+    """sample_rows + kmeans_fit: the one-call replacement for an MLlib
+    KMeans fit in the ANN/SemDeDup training steps."""
+    return kmeans_fit(sample_rows(df, vec_col, id_col, max_rows), k, seed)

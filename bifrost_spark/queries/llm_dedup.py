@@ -386,15 +386,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact near-dup — cosines are genuine, only candidate generation is
     approximate).
 
-    Plan: one k-means fit (MLlib, bounded iterations, sample-fit), one
-    scan to assign cells (operators/cells.py: literal JVM dot folds at
-    small k, one BLAS matmul per Arrow batch above LITERAL_K_MAX — O(1)
-    plan nodes at production k), one self-join per cell on the cell key
-    — shuffle volume is Σ|cell|², never |corpus|²."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from bifrost_spark.operators.cells import assign_cell
+    Plan: one k-means fit (cells.py::train_kmeans — deterministic
+    xxhash64-ordered sample collect + driver Lloyd's, the FAISS
+    discipline), one scan to assign cells (operators/cells.py: literal
+    JVM dot folds at small k, one BLAS matmul per Arrow batch above
+    LITERAL_K_MAX — O(1) plan nodes at production k), one self-join per
+    cell on the cell key — shuffle volume is Σ|cell|², never |corpus|²."""
+    from bifrost_spark.operators.cells import assign_cell, train_kmeans
     from bifrost_spark.operators.vectors import norm2_fast
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -408,14 +406,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     n = unit.count()
-    fit_df = unit
-    if n > SEMDEDUP_FIT_SAMPLE:
-        fit_df = unit.sample(fraction=SEMDEDUP_FIT_SAMPLE / n, seed=13)
-    km = KMeans(
-        k=semdedup_k(n), seed=13, maxIter=10, featuresCol="feat",
-        predictionCol="cell",
-    ).fit(fit_df.select(array_to_vector("unit").alias("feat")))
-    centers = [[float(v) for v in c] for c in km.clusterCenters()]
+    centers = train_kmeans(
+        unit, "unit", "vec_id", semdedup_k(n), seed=13,
+        max_rows=SEMDEDUP_FIT_SAMPLE,
+    )
     assigned = unit.select(
         "vec_id", "unit", assign_cell(F.col("unit"), centers).alias("cell")
     )

@@ -280,7 +280,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_sim_ann_ivf", oracle=None)  # approximate by design → rows-only
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: an MLlib k-means coarse quantizer (fixed seed) splits
+    """IVF-flat ANN: a k-means coarse quantizer (fixed seed) splits
     the corpus into k cells; each query probes the ``nprobe`` nearest
     centroids and scores ONLY those cells' vectors exactly — the second
     scale path beside SRP-LSH (q_sim_ann_lsh).
@@ -293,8 +293,10 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched BLAS matmul per batch, so production coarse quantizers
     (4k-64k cells) keep an O(1)-node plan.
 
-    Scale shape (100 TB): train on a bounded sample (MLlib k-means is itself
-    distributed, maxIter-bounded), then assignment is embarrassingly
+    Scale shape (100 TB): training follows the FAISS discipline — a
+    deterministic xxhash64-ordered sample (≤64k rows, driver-side Lloyd's,
+    operators/cells.py::train_kmeans) fits the quantizer in one corpus
+    pass regardless of corpus size; then assignment is embarrassingly
     parallel; the probe join shuffles only |queries|·nprobe rows against a
     corpus hash-partitioned by cell.  k grows with √N and nprobe tunes the
     recall/latency trade-off exactly as in FAISS IVF-flat.  Recall vs
@@ -306,9 +308,6 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.8 gate there.  Real embedding corpora are clustered, which is when
     IVF pays off (nprobe ≪ k at the same recall).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     k, nprobe = 16, 10
     e = load_table(spark, sf_dir, "embeddings")
     nrm = e.select(
@@ -319,12 +318,9 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
     )
-    from bifrost_spark.operators.cells import assign_cell, rank_cells
+    from bifrost_spark.operators.cells import assign_cell, rank_cells, train_kmeans
 
-    model = KMeans(
-        k=k, seed=7, maxIter=10, featuresCol="feat", predictionCol="cell"
-    ).fit(unit.select(array_to_vector("unit").alias("feat")))
-    centers = [[float(v) for v in c] for c in model.clusterCenters()]
+    centers = train_kmeans(unit, "unit", "vec_id", k, seed=7)
 
     corpus = unit.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -474,12 +470,13 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
          candidates per query (joins back |queries|·refine embedding
          rows, not the corpus), then top-k.
 
-    Training is MLlib k-means (distributed, iteration-bounded; at scale,
-    fit on a sample).  Recall vs the exact q_sim_topk gated in
-    tests/test_sketch_quality.py alongside the LSH and IVF-flat paths."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    Training follows the FAISS discipline (cells.py::train_kmeans /
+    kmeans_fit): ONE deterministic ≤64k-row sample collect trains the
+    coarse quantizer, and ONE residual-sample collect trains all 8
+    subspace codebooks as numpy slices — two bounded driver fits total,
+    never a per-codebook cluster job.  Recall vs the exact q_sim_topk
+    gated in tests/test_sketch_quality.py alongside the LSH and
+    IVF-flat paths."""
     k_c, nprobe = 16, 10
     # refine sizing: on the near-uniform fixture the PQ distortion is at
     # its worst case (residuals are near-full-norm), so the exact-rescore
@@ -498,12 +495,15 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit"
         ),
     )
-    from bifrost_spark.operators.cells import assign_cell, rank_cells
+    from bifrost_spark.operators.cells import (
+        assign_cell,
+        kmeans_fit,
+        rank_cells,
+        sample_rows,
+        train_kmeans,
+    )
 
-    coarse = KMeans(
-        k=k_c, seed=7, maxIter=10, featuresCol="feat", predictionCol="cell"
-    ).fit(unit.select(array_to_vector("unit").alias("feat")))
-    centers = [[float(v) for v in c] for c in coarse.clusterCenters()]
+    centers = train_kmeans(unit, "unit", "vec_id", k_c, seed=7)
     # the residual/ADC lookups below index centers by the ALREADY-assigned
     # cell id, so they stay O(k_c·d) literals only in this lookup table —
     # the per-row k_c-way argmin (the part that explodes at production
@@ -528,15 +528,14 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a - b,
         ),
     )
-    with_res = with_res.localCheckpoint(eager=True)  # train 8 codebooks off one pass
+    with_res = with_res.localCheckpoint(eager=True)  # reused: train + encode + refine
 
-    codebooks = []  # codebooks[m][code] = list of d_sub floats
-    for m in range(m_sub):
-        sl = F.slice("res", m * d_sub + 1, d_sub)
-        km = KMeans(
-            k=k_pq, seed=11 + m, maxIter=10, featuresCol="feat", predictionCol="c"
-        ).fit(with_res.select(array_to_vector(sl).alias("feat")))
-        codebooks.append([[float(v) for v in c] for c in km.clusterCenters()])
+    # ONE residual-sample collect; all 8 codebooks are numpy slice fits
+    R = sample_rows(with_res, "res", "vec_id")
+    codebooks = [
+        kmeans_fit(R[:, m * d_sub : (m + 1) * d_sub], k_pq, seed=11 + m)
+        for m in range(m_sub)
+    ]  # codebooks[m][code] = list of d_sub floats
 
     def sub_argmin(m):
         sl = F.slice("res", m * d_sub + 1, d_sub)
