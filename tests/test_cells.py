@@ -103,3 +103,60 @@ def test_semdedup_k_derivation():
     assert semdedup_k(500) == 20
     assert semdedup_k(10**9) == SEMDEDUP_K_MAX
     assert semdedup_k(5000) == 200  # sf0.1 → pandas assignment path
+
+
+def test_kmeans_fit_deterministic_and_order_robust():
+    """Same sample -> identical centers bit-for-bit; and the best-of-4
+    greedy-++ fit must land in the same inertia basin regardless of row
+    order (the sample arrives in xxhash64 order, which is arbitrary)."""
+    import numpy as np
+
+    from bifrost_spark.operators.cells import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    true_centers = rng.normal(size=(8, 16))
+    X = np.repeat(true_centers, 50, axis=0) + 0.05 * rng.normal(size=(400, 16))
+
+    c1 = kmeans_fit(X, 8, seed=13)
+    c2 = kmeans_fit(X, 8, seed=13)
+    assert c1 == c2, "kmeans_fit is not deterministic"
+
+    def inertia(C):
+        C = np.asarray(C)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return float(d.min(1).sum())
+
+    perm = np.random.default_rng(6).permutation(len(X))
+    c3 = kmeans_fit(X[perm], 8, seed=13)
+    i1, i3 = inertia(c1), inertia(c3)
+    assert abs(i1 - i3) / i1 < 0.05, f"order-sensitive fit: {i1} vs {i3}"
+
+
+def test_kmeans_fit_handles_k_ge_n_and_duplicates():
+    """k >= n_points must not crash or emit NaN centers (empty-cluster
+    reseeding path), including when the sample has exact duplicates."""
+    import numpy as np
+
+    from bifrost_spark.operators.cells import kmeans_fit
+
+    X = np.array([[0.0, 0.0], [0.0, 0.0], [1.0, 1.0]])
+    C = np.asarray(kmeans_fit(X, 5, seed=1))
+    assert C.shape[0] == 3  # clamped to n
+    assert np.isfinite(C).all()
+
+
+def test_train_kmeans_partition_invariant(spark):
+    """The xxhash64-ordered sample is content-derived, so training must
+    return identical centers under any input partitioning — the property
+    that makes retries/cluster-resizes reproducible."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.operators.cells import train_kmeans
+    from bifrost_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c1 = train_kmeans(e.repartition(3), "v", "vec_id", 4, seed=2)
+    c2 = train_kmeans(e.repartition(17, "vec_id"), "v", "vec_id", 4, seed=2)
+    assert c1 == c2

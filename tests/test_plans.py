@@ -257,3 +257,37 @@ def test_ntile_has_no_single_partition_stage(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_ntile")
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan  # per-bucket local rank is still a window
+
+
+def test_bm25_scan_local_topk(spark, sf_dir):
+    """BM25's whole score must stay scan-local: top-20 as TakeOrdered
+    (per-partition heaps), no Exchange anywhere, no explode-driven
+    (doc, term) shuffle."""
+    plan = _plan(spark, sf_dir, "q_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_snapshot_diff_single_outer_join(spark, sf_dir):
+    """Snapshot diff is ONE full-outer sort-merge join on the key — no
+    nested loop, no second join pass."""
+    # executedPlan string mentions each node once ("formatted" repeats the
+    # node in its detail section, breaking a ==1 count)
+    plan = (
+        registry.queries()["q_snapshot_diff"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_resample_topk_not_full_sort(spark, sf_dir):
+    """The Gumbel top-k must plan as TakeOrderedAndProject over the keyed
+    weight frame — a global Sort would single-partition the corpus."""
+    plan = _plan(spark, sf_dir, "q_dsir_resample")
+    assert "TakeOrderedAndProject" in plan
