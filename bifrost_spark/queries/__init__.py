@@ -12,3 +12,4 @@ import bifrost_spark.queries.multimodal  # noqa: F401
 import bifrost_spark.queries.scale_ops  # noqa: F401
 import bifrost_spark.queries.tpch  # noqa: F401
 import bifrost_spark.queries.llm_clean  # noqa: F401
+import bifrost_spark.queries.llm_web  # noqa: F401
