@@ -210,6 +210,99 @@ def _kmeans_once(X: np.ndarray, k: int, seed: int, iters: int):
     return centers, inertia
 
 
+def opq_fit(
+    X: np.ndarray,
+    m_sub: int,
+    k_pq: int,
+    seed: int,
+    iters: int = 10,
+) -> list[list[float]]:
+    """OPQ rotation (Ge et al., CVPR 2013, the non-parametric variant —
+    what FAISS's OPQMatrix trains): an orthogonal R minimizing the PQ
+    reconstruction error of ``X @ R``, fit by alternating
+
+      1. PQ codebooks on the rotated sample (per-subspace k-means), and
+      2. the orthogonal Procrustes solve R = U·Vᵀ from SVD(Xᵀ·Y) where
+         Y is the quantized reconstruction
+
+    on the SAME bounded driver-side sample as every other quantizer here
+    (FAISS discipline: transforms train on a sample, never distributed).
+    Deterministic end-to-end: seeded k-means (kmeans_fit) + SVD of a
+    fixed matrix; sign ambiguity in SVD columns cancels in U·Vᵀ.
+
+    Returns R as a d×d nested list (row-major: rotated = x @ R), ready
+    for ``rotate_vectors``.  Reduces quantization MSE exactly when the
+    data has cross-subspace correlation (anisotropic embeddings — the
+    realistic case); on isotropic data it converges to ~identity cost.
+    """
+    n, d = X.shape
+    d_sub = d // m_sub
+    assert m_sub * d_sub == d, "m_sub must divide d"
+    R = np.eye(d)
+    for _ in range(max(1, iters)):
+        Xr = X @ R
+        # few Lloyd iters per alternation — R and the codebooks co-converge
+        books = [
+            np.asarray(
+                kmeans_fit(
+                    Xr[:, m * d_sub : (m + 1) * d_sub], k_pq, seed + m, iters=8,
+                    n_init=1,
+                )
+            )
+            for m in range(m_sub)
+        ]
+        Y = np.empty_like(Xr)
+        for m in range(m_sub):
+            sl = Xr[:, m * d_sub : (m + 1) * d_sub]
+            C = books[m]  # (k, d_sub)
+            d2 = (
+                (sl * sl).sum(axis=1)[:, None]
+                - 2 * sl @ C.T
+                + (C * C).sum(axis=1)[None, :]
+            )
+            Y[:, m * d_sub : (m + 1) * d_sub] = C[d2.argmin(axis=1)]
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    return [[float(v) for v in row] for row in R]
+
+
+def pq_mse(X: np.ndarray, m_sub: int, k_pq: int, seed: int,
+           R: np.ndarray | None = None) -> float:
+    """Mean squared PQ reconstruction error of ``X`` (rotated by ``R``
+    if given) — the objective OPQ minimizes; used by the quality gates."""
+    n, d = X.shape
+    d_sub = d // m_sub
+    Xr = X @ np.asarray(R) if R is not None else X
+    err = 0.0
+    for m in range(m_sub):
+        sl = Xr[:, m * d_sub : (m + 1) * d_sub]
+        C = np.asarray(kmeans_fit(sl, k_pq, seed + m, iters=8, n_init=1))
+        d2 = (
+            (sl * sl).sum(axis=1)[:, None]
+            - 2 * sl @ C.T
+            + (C * C).sum(axis=1)[None, :]
+        )
+        err += float(np.maximum(d2.min(axis=1), 0).sum())
+    return err / n
+
+
+def rotate_vectors(R: list[list[float]]):
+    """pandas_udf applying the OPQ rotation: ONE BLAS matmul per Arrow
+    batch (same shape as the production-k cell assignment path) — the
+    plan holds a single expression node regardless of d."""
+    from pyspark.sql.types import DoubleType
+    from pyspark.sql.functions import pandas_udf
+
+    Rm = np.asarray(R, dtype=np.float64)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def rot(vec: pd.Series) -> pd.Series:
+        U = np.vstack(vec.to_numpy()).astype(np.float64) @ Rm
+        return pd.Series(list(U))
+
+    return rot
+
+
 def train_kmeans(
     df,
     vec_col: str,

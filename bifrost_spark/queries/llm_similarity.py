@@ -447,6 +447,47 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_sim_ann_ivfpq", oracle=None)  # approximate by design → rows-only
 def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — see _ivfpq_core for the full pipeline notes."""
+    return _ivfpq_core(spark, sf_dir, rotation=None)
+
+
+@query("q_sim_ann_opq", oracle=None)  # approximate by design → rows-only
+def q_sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ+IVF-PQ ANN (Ge et al. 2013 / FAISS ``OPQ..,IVF..,PQ..``): an
+    orthogonal rotation trained to minimize PQ reconstruction error is
+    applied BEFORE the IVF-PQ index of q_sim_ann_ivfpq, de-correlating
+    the subspaces so each codebook spends its 16 codes where the
+    variance is.  Rotation is cosine-preserving (orthogonal), so the
+    ground truth and the exact-rescore step are unchanged — only the
+    shortlist quality improves on anisotropic embeddings.
+
+    Training: cells.opq_fit on the SAME bounded driver-side unit-vector
+    sample (alternating codebook fit / Procrustes solve — the FAISS
+    OPQMatrix discipline); application: cells.rotate_vectors, one BLAS
+    matmul per Arrow batch, one plan node regardless of d.  The
+    MSE-improvement property (OPQ ≤ plain PQ on correlated data) is
+    gated in tests/test_cells.py; end-to-end recall shares the IVF-PQ
+    gate in tests/test_sketch_quality.py."""
+    from bifrost_spark.operators.cells import opq_fit, sample_rows
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = e.select(
+        "vec_id", F.sqrt(norm2_fast(F.col("embedding"))).alias("nrm"), "embedding"
+    ).filter(F.col("nrm") > 0)
+    unit = nrm.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias(
+            "unit"
+        ),
+    )
+    X = sample_rows(unit, "unit", "vec_id")
+    R = opq_fit(X, m_sub=8, k_pq=16, seed=23, iters=6)
+    return _ivfpq_core(spark, sf_dir, rotation=R)
+
+
+def _ivfpq_core(
+    spark: SparkSession, sf_dir: str, rotation: list[list[float]] | None
+) -> DataFrame:
     """IVF-PQ ANN: the IVF coarse quantizer of q_sim_ann_ivf plus
     product-quantized RESIDUAL codes — the memory-bounded third scale
     path.  Each unit vector stores only its cell id + 8 one-byte codes
@@ -495,6 +536,12 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit"
         ),
     )
+    if rotation is not None:
+        # OPQ pretransform: index space is rotated, exact rescore below
+        # still uses the original "embedding" column (cosine-preserving)
+        from bifrost_spark.operators.cells import rotate_vectors
+
+        unit = unit.withColumn("unit", rotate_vectors(rotation)(F.col("unit")))
     from bifrost_spark.operators.cells import (
         assign_cell,
         kmeans_fit,

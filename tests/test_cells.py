@@ -160,3 +160,45 @@ def test_train_kmeans_partition_invariant(spark):
     c1 = train_kmeans(e.repartition(3), "v", "vec_id", 4, seed=2)
     c2 = train_kmeans(e.repartition(17, "vec_id"), "v", "vec_id", 4, seed=2)
     assert c1 == c2
+
+
+def test_opq_rotation_is_orthogonal():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(400, 16))
+    R = np.asarray(cells.opq_fit(X, m_sub=4, k_pq=8, seed=1, iters=4))
+    assert np.allclose(R @ R.T, np.eye(16), atol=1e-8)
+
+
+def test_opq_reduces_pq_mse_on_correlated_data():
+    """The property OPQ exists for: on data whose variance structure is
+    misaligned with the subspace grid (anisotropic latent scales mixed by
+    a random rotation — the realistic embedding case), the learned
+    rotation must cut PQ reconstruction error vs identity."""
+    rng = np.random.default_rng(7)
+    n, d, m_sub, k_pq = 600, 32, 4, 8
+    scales = 1.0 / (1.0 + np.arange(d))  # strongly anisotropic spectrum
+    latent = rng.normal(size=(n, d)) * scales
+    Q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    X = latent @ Q  # correlation now crosses every subspace boundary
+    mse_id = cells.pq_mse(X, m_sub, k_pq, seed=2)
+    R = cells.opq_fit(X, m_sub, k_pq, seed=2, iters=8)
+    mse_opq = cells.pq_mse(X, m_sub, k_pq, seed=2, R=np.asarray(R))
+    assert mse_opq < 0.9 * mse_id, f"OPQ {mse_opq:.5f} vs identity {mse_id:.5f}"
+
+
+def test_opq_fit_deterministic():
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 16))
+    r1 = cells.opq_fit(X, m_sub=4, k_pq=8, seed=5, iters=3)
+    r2 = cells.opq_fit(X.copy(), m_sub=4, k_pq=8, seed=5, iters=3)
+    assert r1 == r2
+
+
+def test_rotate_vectors_matches_numpy(spark):
+    df, V = _vec_df(spark, n=30, dim=8)
+    rng = np.random.default_rng(13)
+    Q, _ = np.linalg.qr(rng.normal(size=(8, 8)))
+    R = [[float(x) for x in row] for row in Q]
+    rows = df.select("vec_id", cells.rotate_vectors(R)(F.col("unit")).alias("r")).collect()
+    got = np.vstack([r["r"] for r in sorted(rows, key=lambda r: r["vec_id"])])
+    assert np.allclose(got, V @ Q, atol=1e-12)

@@ -508,3 +508,44 @@ def test_pca_components_explain_variance_in_order(spark):
     P = np.array([r["pc"] for r in fn(spark, SF_DIR).collect()])
     var = P.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1)), var
+
+
+def test_ann_opq_recall_on_clustered_corpus(spark, tmp_path):
+    """OPQ+IVF-PQ must clear the same clustered-corpus bar as plain
+    IVF-PQ (the rotation may not hurt the design regime; its MSE win on
+    anisotropic data is gated separately in test_cells.py)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n, dim, k_true = 500, 64, 16
+    centers = rng.normal(size=(k_true, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, k_true, size=n)
+    vecs = centers[assign] + 0.15 * rng.normal(size=(n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.astype(np.float32) for v in vecs],
+            "label": assign.astype(np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    f32 = vecs.astype(np.float32).astype(np.float64)
+    f32 /= np.linalg.norm(f32, axis=1, keepdims=True)
+    sims = f32[:10] @ f32.T
+    truth = set()
+    for q in range(10):
+        order = [j for j in np.argsort(-sims[q]) if j != q][:5]
+        truth.update((q, int(j)) for j in order)
+
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.queries()["q_sim_ann_opq"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"clustered opq recall {recall:.2f} < 0.9"
