@@ -69,6 +69,11 @@ HEADLINE = [
     "q_dup_spans",
     "q_ccnet_bucket",
     "q_domain_cap",
+    # round-3 additions: crawl-level dedup, retrieval scoring, data selection
+    "q_url_dedup",
+    "q_dedup_paragraph",
+    "q_bm25",
+    "q_dsir_weights",
 ]
 
 

@@ -314,11 +314,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     with these weights (e.g. Gumbel top-k); the weight itself is the
     deterministic, oracle-checkable core.
 
-    Plan: one token explode feeds (a) a {B}-row bucket-count aggregate
-    (map-side combined, broadcast back) and (b) the per-doc aggregation
-    — two shuffles, everything JVM-side.  The hashed feature space is
-    what makes DSIR corpus-scale: model state is 2·{B} longs, never a
-    vocabulary.
+    Plan: two passes over the token explode — (a) the model fit, a
+    {B}-row map-side-combined bucket-count aggregate COLLECTED to the
+    driver (2·{B} longs — the whole point of hashed features is that the
+    model is this small), and (b) the per-doc aggregation, where the
+    per-token addend is a literal {B}-entry lookup (element_at on the
+    folded-back counts) — no join, no broadcast exchange, everything
+    JVM-side.  A broadcast-join spelling measured 2.06 s at sf0.1
+    because the explode was recomputed for the join build, the totals,
+    AND the probe; the literal fold-back removes both extra passes.
 
     Determinism: the ratio decomposes into integer-count logs —
     Σ[log₂(ct+1) − log₂(cr+1)] per token accumulates 12-dp-rounded
@@ -341,30 +345,40 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = toks.select("doc_id", "source", bucket.alias("bucket"))
     is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    bs = tok.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count_if(is_target).alias("ct"),
+    # model fit: ONE bounded collect of 2·B longs (the sample_rows /
+    # train_kmeans discipline — hashed features exist so the model fits
+    # on the driver at any corpus size)
+    stats = (
+        tok.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cr"), F.count_if(is_target).alias("ct"))
+        .collect()
     )
-    tot = bs.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
-    per_doc = (
-        tok.join(F.broadcast(bs), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(
-                F.round(F.log2(F.col("ct") + 1), 12).cast("decimal(28,12)")
-                - F.round(F.log2(F.col("cr") + 1), 12).cast("decimal(28,12)")
-            ).alias("sum_ratio"),
-        )
+    cr = [0] * _DSIR_BUCKETS
+    ct = [0] * _DSIR_BUCKETS
+    for r in stats:
+        cr[r["bucket"]] = r["cr"]
+        ct[r["bucket"]] = r["ct"]
+    nr, nt = sum(cr), sum(ct)
+    # per-token addend as a literal lookup — the log2/round/decimal chain
+    # is IDENTICAL to the former join spelling (Spark evaluates the same
+    # expressions on the same integer counts), so results are bit-equal
+    cr_arr = F.array(*[F.lit(v) for v in cr])
+    ct_arr = F.array(*[F.lit(v) for v in ct])
+    addend = F.round(
+        F.log2(F.element_at(ct_arr, F.col("bucket") + 1) + 1), 12
+    ).cast("decimal(28,12)") - F.round(
+        F.log2(F.element_at(cr_arr, F.col("bucket") + 1) + 1), 12
+    ).cast("decimal(28,12)")
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(addend).alias("sum_ratio"),
     )
-    return per_doc.crossJoin(F.broadcast(tot)).select(
+    shift = F.log2(F.lit(nr + _DSIR_BUCKETS)) - F.log2(F.lit(nt + _DSIR_BUCKETS))
+    return per_doc.select(
         "doc_id",
         "n_tokens",
         F.round(
-            F.col("sum_ratio").cast("double") / F.col("n_tokens")
-            + F.log2(F.col("nr") + _DSIR_BUCKETS)
-            - F.log2(F.col("nt") + _DSIR_BUCKETS),
-            9,
+            F.col("sum_ratio").cast("double") / F.col("n_tokens") + shift, 9
         ).alias("avg_log2_ratio"),
     )
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from bifrost_spark import registry
 from bifrost_spark.operators.web import canonicalize_url
+from bifrost_spark.queries.llm_web import PARA_WORDS
 
 CASES = [
     # scheme case + fragment + default https port + www + trailing slash
@@ -96,3 +97,142 @@ def test_dedup_paragraph_plan_shape(spark, sf_dir):
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert _n_exchanges(plan) <= 2, plan
+
+
+def test_dedup_paragraph_edge_cases(spark, tmp_path):
+    """Crafted corpus: doc 1 duplicates doc 0 entirely (loses ALL
+    paragraphs → empty clean_text), doc 2 shares one paragraph, doc 3 is
+    shorter than one paragraph, an empty doc is excluded."""
+    import pandas as pd
+
+    p0 = " ".join(f"w{i}" for i in range(PARA_WORDS))
+    p1 = " ".join(f"x{i}" for i in range(PARA_WORDS))
+    p2 = " ".join(f"y{i}" for i in range(5))  # short tail paragraph
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                f"{p0} {p1}",   # doc 0: both kept (first occurrence)
+                f"{p0} {p1}",   # doc 1: exact copy → loses everything
+                f"{p1} {p2}",   # doc 2: loses p1, keeps p2... but p1 is
+                                # doc 2's FIRST para (position 0) and was
+                                # first seen in doc 0 → dropped
+                p2,             # doc 3: single short para — dup of doc 2's tail
+                "",             # doc 4: empty → excluded from output
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [0] * 5,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    from bifrost_spark import registry
+
+    out = {
+        r["doc_id"]: r
+        for r in registry.queries()["q_dedup_paragraph"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert (out[0]["n_paras"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["clean_text"] == f"{p0} {p1}"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 0)
+    assert out[1]["clean_text"] == ""
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["clean_text"] == p2
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (1, 0)
+
+
+def test_url_dedup_keeps_min_doc_and_counts(spark, tmp_path):
+    """Ten docs collapsing to two canonical URLs (doc_id%25 ∈ {0,5} by
+    construction when ids are 0,5,25,30,50...): kept doc is the min id
+    and n_dups partitions the corpus."""
+    import pandas as pd
+
+    ids = [0, 5, 25, 30, 50, 55, 75, 80, 100, 105]
+    docs = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": ["t"] * 10,
+            "lang": ["en"] * 10,
+            "source": ["same"] * 10,
+            "n_chars": [1] * 10,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    from bifrost_spark import registry
+
+    rows = registry.queries()["q_url_dedup"](spark, str(tmp_path)).collect()
+    by_url = {r["canonical_url"]: r for r in rows}
+    assert len(by_url) == 2
+    assert sum(r["n_dups"] for r in rows) == 10
+    for r in rows:
+        assert r["doc_id"] in (0, 5)
+        assert r["canonical_url"].startswith("same.example.com/a/")
+        assert "?x=1&y=2" in r["canonical_url"]
+        assert "utm" not in r["canonical_url"] and "ref" not in r["canonical_url"]
+
+
+# ---- differential property test: Python reference model vs JVM chain ----
+
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TRACK = _re.compile(r"^(utm_[a-z]+|ref|fbclid|gclid)=")
+
+
+def _canon_model(url: str) -> str:
+    """Independent Python spelling of operators/web.py's contract."""
+    bare = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", url)
+    bare = _re.sub(r"#.*$", "", bare)
+    hostpath, _, q = bare.partition("?")
+    host = _re.sub(r"/.*$", "", hostpath).lower()
+    host = _re.sub(r"^www\.", "", host)
+    host = _re.sub(r":(80|443)$", "", host)
+    path = hostpath[hostpath.index("/"):] if "/" in hostpath else ""
+    path = _re.sub(r"/$", "", path)
+    kept = sorted(p for p in q.split("&") if p and not _TRACK.match(p))
+    return host + path + ("?" + "&".join(kept) if kept else "")
+
+
+_label = st.text("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-", min_size=1, max_size=8)
+_param = st.one_of(
+    st.tuples(st.sampled_from(["a", "b", "zz", "id", "referrer"]), _label),
+    st.tuples(st.sampled_from(["utm_source", "utm_campaign", "ref", "fbclid", "gclid"]), _label),
+)
+_url_parts = st.tuples(
+    st.sampled_from(["", "http://", "https://", "HTTPS://", "FTP://"]),
+    st.booleans(),  # www.
+    st.lists(_label, min_size=1, max_size=3),  # host labels
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(_label, min_size=0, max_size=3),  # path segments
+    st.booleans(),  # trailing slash
+    st.lists(_param, min_size=0, max_size=4),
+    st.sampled_from(["", "#frag", "#a?b=1"]),
+)
+
+
+def _mk_url(parts) -> str:
+    scheme, www, hlabels, port, psegs, tslash, params, frag = parts
+    host = ("www." if www else "") + ".".join(hlabels)
+    path = "".join("/" + s for s in psegs)
+    if tslash and path:
+        path += "/"
+    q = "&".join(f"{k}={v}" for k, v in params)
+    return scheme + host + port + path + ("?" + q if params else "") + frag
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_url_parts, min_size=1, max_size=12))
+def test_canonicalize_url_matches_python_model(spark, parts_list):
+    urls = [_mk_url(p) for p in parts_list]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i int, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _canon_model(u), f"{u!r}: jvm={got[i]!r} model={_canon_model(u)!r}"
