@@ -102,3 +102,54 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shuffle_cols: tuple[str, ...],
+    seed: int = 0,
+    fmt: str = "parquet",
+    mode: str = "error",
+    compression: str = "zstd",
+) -> None:
+    """Deterministically-shuffled shard writer — the LAST step of a
+    training-data pipeline: documents must reach the trainer in a fixed
+    pseudo-random order (SGD needs shuffled data; reproducible runs need
+    the SAME shuffle every time), sliced into ``n_shards`` balanced files.
+
+    The shuffle is content-derived, not RNG: order key =
+    ``xxhash64(shuffle_cols..., seed)``.  Shard assignment is
+    ``pmod(key, n_shards)`` and rows are sorted by the key WITHIN each
+    shard — so output bytes are a pure function of (input, seed),
+    identical under task retry, cluster size, and input partitioning
+    (the property RNG-based ``orderBy(rand())`` cannot give: a retried
+    stage would re-draw and produce different files).
+
+    One repartition shuffle on the 8-byte key; xxhash64 uniformity keeps
+    shards within ~√ of equal row counts at any scale.  Each shard is
+    exactly one file (``shard=<i>/part-*``), so the trainer's file list
+    is the shard list.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    if not shuffle_cols:
+        raise ValueError("shuffle_cols must name at least one column")
+    from pyspark.sql import functions as F
+
+    key = F.xxhash64(*shuffle_cols, F.lit(seed))
+    out = (
+        df.withColumn("_shuffle_key", key)
+        .withColumn("shard", F.pmod(F.col("_shuffle_key"), F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_shuffle_key")
+        .drop("_shuffle_key")
+    )
+    (
+        out.write.format(fmt)
+        .mode(mode)
+        .option("compression", compression)
+        .partitionBy("shard")
+        .save(path)
+    )

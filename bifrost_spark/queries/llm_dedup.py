@@ -442,3 +442,61 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cell_pairs,
         "drop_id long, keeper_id long, cluster bigint, cos_sim double",
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+        WITH existing AS (
+          SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 <> 0
+        ),
+        new_docs AS (
+          SELECT doc_id, md5(text) AS content_hash
+          FROM documents WHERE doc_id % 4 = 0
+        ),
+        new_first AS (
+          SELECT content_hash,
+                 CAST(min(doc_id) AS BIGINT) AS doc_id,
+                 CAST(count(*) AS BIGINT) AS n_new_copies
+          FROM new_docs GROUP BY content_hash
+        )
+        SELECT doc_id, content_hash, n_new_copies
+        FROM new_first
+        WHERE content_hash NOT IN (SELECT h FROM existing)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental exact dedup — the INGESTION-time shape: a new
+    batch of documents (fixture stand-in: doc_id % 4 = 0) is admitted
+    only if its content hash is unseen in the existing corpus (the other
+    3/4) AND it is the first copy within the new batch itself.
+
+    This is what a daily crawl drop runs: dedup |new| against
+    |corpus|+|new| WITHOUT re-deduping the corpus (q_dedup_exact
+    re-scores everything — correct for a full rebuild, quadratically
+    wasteful for a daily increment).
+
+    Shape: the new batch collapses via one 16-byte-hash groupBy
+    (min-doc_id argmin, map-side combined), then LEFT ANTI joins the
+    existing corpus's distinct hashes — both sides shuffle hashes only,
+    text never moves.  At 100 TB the existing-hash side is a static
+    artifact in practice: persist it bucketed by hash
+    (io.py::write_bucketed_table) and the anti join runs shuffle-free
+    against each daily drop."""
+    d = load_table(spark, sf_dir, "documents")
+    existing = (
+        d.filter(F.col("doc_id") % 4 != 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    new_first = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_new_copies"),
+        )
+    )
+    return new_first.join(existing, "content_hash", "left_anti").select(
+        "doc_id", "content_hash", "n_new_copies"
+    )

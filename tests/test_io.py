@@ -176,3 +176,70 @@ def test_zorder_layout_tightens_file_stats(spark, sf_dir, tmp_path):
     a_z, a_u = total_box_area(p_z), total_box_area(p_u)
     # measured ~3.9× at sf0.001 (77k vs 304k; the 8-file ideal is 65k)
     assert a_z * 3 <= a_u, f"zorder area {a_z} not ≪ unsorted {a_u}"
+
+
+def test_write_training_shards_deterministic_and_balanced(spark, sf_dir, tmp_path):
+    """Shard writer: same (input, seed) → byte-identical shard contents
+    under different input partitionings; shards are balanced; every row
+    lands in exactly one shard."""
+    from bifrost_spark.io import write_training_shards
+    from bifrost_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    out1 = str(tmp_path / "s1")
+    out2 = str(tmp_path / "s2")
+    write_training_shards(d, out1, n_shards=8, shuffle_cols=("doc_id",), seed=3)
+    # different input partitioning, same logical input
+    write_training_shards(
+        d.repartition(13), out2, n_shards=8, shuffle_cols=("doc_id",), seed=3
+    )
+
+    r1 = spark.read.parquet(out1)
+    r2 = spark.read.parquet(out2)
+    assert r1.count() == n and r2.count() == n
+    # per-shard ORDERED content identical across the two runs
+    a = [
+        (row["shard"], tuple(row["ids"]))
+        for row in r1.groupBy("shard")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .orderBy("shard")
+        .collect()
+    ]
+    b = [
+        (row["shard"], tuple(row["ids"]))
+        for row in r2.groupBy("shard")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .orderBy("shard")
+        .collect()
+    ]
+    # collect_list order within a shard follows file order = sorted key
+    assert a == b
+    counts = [len(ids) for _, ids in a]
+    assert len(counts) == 8
+    assert min(counts) > 0 and max(counts) <= 3 * (n // 8)
+    # one file per shard
+    import glob
+
+    for i in range(8):
+        files = glob.glob(f"{out1}/shard={i}/part-*")
+        assert len(files) == 1, files
+
+
+def test_write_training_shards_different_seed_reshuffles(spark, sf_dir, tmp_path):
+    from bifrost_spark.io import write_training_shards
+    from bifrost_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    write_training_shards(d, str(tmp_path / "a"), 4, ("doc_id",), seed=1)
+    write_training_shards(d, str(tmp_path / "b"), 4, ("doc_id",), seed=2)
+    pa = {
+        r["doc_id"]: r["shard"] for r in spark.read.parquet(str(tmp_path / "a")).collect()
+    }
+    pb = {
+        r["doc_id"]: r["shard"] for r in spark.read.parquet(str(tmp_path / "b")).collect()
+    }
+    moved = sum(1 for k in pa if pa[k] != pb[k])
+    assert moved > len(pa) // 2, "seed change should reassign most rows"
