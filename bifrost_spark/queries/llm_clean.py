@@ -242,10 +242,13 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; 9 dp is far above it)."""
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    # |sources| rows — checkpoint so the normalizer pass below reuses the
+    # aggregate instead of re-running the corpus token count
     tok = (
         d.select("source", F.size(words).cast("bigint").alias("n"))
         .groupBy("source")
         .agg(F.sum("n").alias("n_tokens"))
+        .localCheckpoint(eager=True)
     )
     powed = tok.select(
         "source",

@@ -510,8 +510,11 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptation: part "value" for a nation = discounted revenue shipped by
     that nation's suppliers (no ps_availqty*ps_supplycost in the fixture).
     The global threshold is a 1-row aggregate crossJoined back (broadcast
-    nested loop of 1 row — zero shuffle on the per-part side); Catalyst
-    reuses the val aggregation via the same shape both times it's needed."""
+    nested loop of 1 row — zero shuffle on the per-part side).  The val
+    aggregation feeds BOTH the threshold and the final filter, and neither
+    Catalyst nor AQE reuses the duplicate subtree (measured: lineitem
+    scanned twice in the executed plan) — so the |parts|-row aggregate is
+    localCheckpoint'd and the fact table is scanned ONCE."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = F.broadcast(
@@ -522,6 +525,7 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, n.n_nationkey == s.s_nationkey)
         .groupBy("l_partkey")
         .agg(dsum(_disc_price(), "value"))
+        .localCheckpoint(eager=True)
     )
     threshold = val.agg(
         (F.lit(0.001) * F.sum(F.col("value").cast(DEC)).cast("double")).alias(
@@ -683,7 +687,7 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_disc_price(), "total_revenue")
-    )
+    ).localCheckpoint(eager=True)  # reused by max + join: one lineitem scan
     best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
     s = load_table(spark, sf_dir, "supplier")
     return (
@@ -804,13 +808,18 @@ def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
         .filter(F.col("q") > 160)
         .select("l_orderkey")
+        # consumed by BOTH semi joins below, and neither Catalyst nor AQE
+        # reuses the duplicate aggregation subtree (measured: lineitem
+        # scanned 3x without this) — checkpoint the rare-key set so the
+        # heavy groupBy runs once and lineitem is scanned twice total
+        # (keys pass + probe pass, the canonical Q18 minimum)
+        .localCheckpoint(eager=True)
     )
     # Semi-filter BOTH fact sides by the rare big-order keys FIRST, so the
     # customer/orders join graph only ever sees qualifying rows — at 100 TB
     # this is the difference between joining all of lineitem and joining
     # the top-volume sliver (AQE broadcasts `big` once it materializes
-    # small).  The big-order aggregation and the semi joins share the
-    # l_orderkey partitioning.
+    # small).
     li_f = li.join(big, "l_orderkey", "leftsemi")
     o_f = o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
                  "o_orderkey", "leftsemi")
@@ -915,6 +924,7 @@ def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, p.p_partkey == li.l_partkey)
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity", "tot_qty"))
+        .localCheckpoint(eager=True)  # reused by threshold + join: one pass
     )
     threshold = shipped.agg(
         (
