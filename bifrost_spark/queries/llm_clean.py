@@ -271,6 +271,12 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DSIR_BUCKETS = 64
+
+
+def _hexval(c):
+    """0-15 value of one lowercase hex digit column (engine-portable)."""
+    a = F.ascii(c)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
 _DSIR_TARGET_SOURCES = ("src1", "src2", "src3")  # the target-domain sample
 
 
@@ -278,8 +284,13 @@ _DSIR_TARGET_SOURCES = ("src1", "src2", "src3")  # the target-domain sample
 _DSIR_WEIGHTS_SQL = f"""
         WITH tok AS (
           SELECT doc_id, source,
-                 (ascii(substr(md5(t), 1, 1)) * 256
-                  + ascii(substr(md5(t), 2, 1))) % {_DSIR_BUCKETS} AS bucket
+                 ((CASE WHEN ascii(substr(md5(t), 1, 1)) >= 97
+                        THEN ascii(substr(md5(t), 1, 1)) - 87
+                        ELSE ascii(substr(md5(t), 1, 1)) - 48 END) * 16
+                  + (CASE WHEN ascii(substr(md5(t), 2, 1)) >= 97
+                          THEN ascii(substr(md5(t), 2, 1)) - 87
+                          ELSE ascii(substr(md5(t), 2, 1)) - 48 END))
+                 % {_DSIR_BUCKETS} AS bucket
           FROM (SELECT doc_id, source,
                        unnest(list_filter(string_split(lower(text), ' '),
                                           x -> x <> '')) AS t
@@ -342,10 +353,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     h = F.md5("t")
+    # hex digits decoded to 0-15 before combining: the former
+    # ascii(c1)*256 + ascii(c2) spelling collapsed mod 64 to ascii(c2)
+    # alone (256 ≡ 0 mod 64) — 16 effective buckets, not 64
     bucket = (
-        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
-        % _DSIR_BUCKETS
-    )
+        _hexval(F.substring(h, 1, 1)) * 16 + _hexval(F.substring(h, 2, 1))
+    ) % _DSIR_BUCKETS
     tok = toks.select("doc_id", "source", bucket.alias("bucket"))
     is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
     # model fit: ONE bounded collect of 2·B longs (the sample_rows /
@@ -442,4 +455,125 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rw = Window.orderBy(F.desc("gkey"), F.asc("doc_id"))
     return top.select(
         "doc_id", F.row_number().over(rw).cast("bigint").alias("rnk")
+    )
+
+
+_QC_ITERS, _QC_LR, _QC_L2 = 400, 2.0, 1e-4
+_QC_SAMPLE_MAX = 65_536
+# own (larger) hashed feature space: a discriminative model loses accuracy
+# to hash collisions much faster than DSIR's smoothed generative ratio, so
+# the classifier hashes into 256 buckets (still 2*256 floats of state)
+_QC_BUCKETS = 256
+
+
+def _qc_featurize_sample(rows):
+    """Numpy (X, y) from (bucket-count-dict, n, label) sample rows."""
+    import numpy as np
+
+    X = np.zeros((len(rows), _QC_BUCKETS), dtype=np.float64)
+    y = np.zeros(len(rows), dtype=np.float64)
+    for i, (buckets, n, label) in enumerate(rows):
+        for b, c in buckets.items():
+            X[i, b] = c / n
+        y[i] = label
+    return X, y
+
+
+def _qc_train(X, y):
+    """Full-batch logistic regression, fixed-iteration gradient descent —
+    deterministic (no RNG, no data-order dependence: gradients are exact
+    sums) and convex, so the fit is reproducible bit-for-bit."""
+    import numpy as np
+
+    n, d = X.shape
+    w = np.zeros(d)
+    b = 0.0
+    for _ in range(_QC_ITERS):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= _QC_LR * (X.T @ g / n + _QC_L2 * w)
+        b -= _QC_LR * float(g.mean())
+    return w, b
+
+
+@query("q_quality_classifier", oracle=None)  # trained model → rows-only
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style discriminative quality classifier (the CCNet/LLaMA
+    curation device: train a linear classifier "does this look like the
+    target domain?" and keep high scorers) over the hashed bag-of-words feature
+    space DSIR uses (256 buckets here — a discriminative boundary loses
+    accuracy to hash collisions faster than a smoothed likelihood ratio) — DSIR scores by a GENERATIVE
+    likelihood ratio, this by a trained DISCRIMINATIVE boundary; pipelines
+    run both.
+
+    Training follows the engine's sample-fit discipline (cells.py): ONE
+    bounded deterministic sample (xxhash64-ordered, ≤64k docs) of per-doc
+    normalized bucket counts is collected and fit driver-side with
+    fixed-iteration full-batch logistic regression (no RNG, exact-sum
+    gradients → bit-reproducible weights).  Labels: doc's source in the
+    target set.
+
+    Scoring is corpus-scale JVM: since features are per-token bucket
+    averages, w·x = mean over tokens of w[bucket(token)] — one explode +
+    one per-doc avg of a 64-entry literal lookup, no Python, no join, no
+    model broadcast.  Output: (doc_id, n_tokens, score, predicted) with
+    score = round(sigmoid, 9).
+
+    Gates (tests/test_quality_classifier.py): trainer recovers a
+    separable synthetic boundary; scores are partition-count invariant;
+    target-source mean score exceeds non-target mean on the fixture
+    (the classifier learns SOMETHING); rerun determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+        ).alias("t"),
+    )
+    # no oracle to mirror → use the native 64-bit hash (perfectly uniform
+    # over any bucket count, cheaper than md5)
+    bucket = F.pmod(F.xxhash64("t"), F.lit(_QC_BUCKETS)).cast("int")
+    tok = toks.select("doc_id", "source", bucket.alias("bucket"))
+
+    # bounded deterministic training sample: per-doc bucket counts for the
+    # first ≤64k docs in xxhash64(doc_id) order (cells.sample_rows shape)
+    per_doc = (
+        tok.groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("bucket", "c")))
+            ).alias("buckets"),
+            F.sum("c").alias("n"),
+        )
+    )
+    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    sample = (
+        per_doc.select(
+            "doc_id", "buckets", "n", is_target.cast("int").alias("label")
+        )
+        .orderBy(F.xxhash64(F.col("doc_id")), F.col("doc_id"))
+        .limit(_QC_SAMPLE_MAX)
+        .collect()
+    )
+    X, y = _qc_featurize_sample(
+        [(r["buckets"], r["n"], r["label"]) for r in sample]
+    )
+    w, b = _qc_train(X, y)
+
+    # corpus-wide scoring: mean of w[bucket] per doc + bias, all JVM
+    w_arr = F.array(*[F.lit(float(v)) for v in w])
+    scored = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.avg(F.element_at(w_arr, F.col("bucket") + 1)).alias("wx"),
+    )
+    z = F.col("wx") + F.lit(float(b))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9).alias("score"),
+        (z > 0).cast("int").alias("predicted"),
     )

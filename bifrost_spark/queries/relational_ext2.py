@@ -731,8 +731,13 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents
         )
         SELECT doc_id,
-               CAST((ascii(substr(md5(term), 1, 1)) * 256
-                     + ascii(substr(md5(term), 2, 1))) % 64 AS INT) AS bucket,
+               CAST(((CASE WHEN ascii(substr(md5(term), 1, 1)) >= 97
+                           THEN ascii(substr(md5(term), 1, 1)) - 87
+                           ELSE ascii(substr(md5(term), 1, 1)) - 48 END) * 16
+                     + (CASE WHEN ascii(substr(md5(term), 2, 1)) >= 97
+                             THEN ascii(substr(md5(term), 2, 1)) - 87
+                             ELSE ascii(substr(md5(term), 2, 1)) - 48 END))
+                    % 64 AS INT) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM toks
         GROUP BY 1, 2
@@ -745,8 +750,9 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick when a fitted vocabulary dictionary is impractical at corpus
     scale.
 
-    Bucket = first two md5 hex chars mod 64 (md5 is the one hash both
-    engines share — same device as q_sample_mixture); one shuffle on
+    Bucket = the first two md5 hex chars DECODED to 0-255, mod 64 (md5
+    is the one hash both engines share — same device as
+    q_sample_mixture); uniform over all 64 buckets; one shuffle on
     (doc, bucket) with map-side combine.  At 100 TB this replaces a
     vocabulary broadcast that wouldn't fit."""
     d = load_table(spark, sf_dir, "documents")
@@ -757,9 +763,12 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     h = F.md5("term")
-    bucket = (
-        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 64
-    ).cast("int")
+    # decode the two hex chars to 0-15 each: ascii(c1)*256 collapsed mod
+    # 64 (256 ≡ 0), leaving only 16 effective buckets of the declared 64
+    a1, a2 = F.ascii(F.substring(h, 1, 1)), F.ascii(F.substring(h, 2, 1))
+    v1 = F.when(a1 >= 97, a1 - 87).otherwise(a1 - 48)
+    v2 = F.when(a2 >= 97, a2 - 87).otherwise(a2 - 48)
+    bucket = ((v1 * 16 + v2) % 64).cast("int")
     return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )

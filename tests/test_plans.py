@@ -68,10 +68,20 @@ def test_exists_is_semi_join_not_nested_loop(spark, sf_dir):
 
 
 def test_funnel_pushes_step_filters_to_scan(spark, sf_dir):
+    """The view/click frontiers are checkpointed at build time (their
+    events scans run in those jobs), so the FINAL plan must contain
+    exactly the purchase-stage scan — with its filter pushed — plus the
+    two checkpoint RDD scans, and no unfiltered events scan."""
     plan = _plan(spark, sf_dir, "q_funnel")
     pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
-    for step in ("view", "click", "purchase"):
-        assert f"EqualTo(event_type,{step})" in pushed, f"step {step} not pushed"
+    assert "EqualTo(event_type,purchase)" in pushed, "purchase step not pushed"
+    n_scans = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Scan parquet" in l
+    )
+    assert n_scans == 1, "frontiers must come from checkpoints"
+    assert "Scan ExistingRDD" in plan
 
 
 def test_gap_fill_spine_join_broadcasts(spark, sf_dir):
