@@ -537,10 +537,19 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.pmod(F.xxhash64("t"), F.lit(_QC_BUCKETS)).cast("int")
     tok = toks.select("doc_id", "source", bucket.alias("bucket"))
 
-    # bounded deterministic training sample: per-doc bucket counts for the
-    # first ≤64k docs in xxhash64(doc_id) order (cells.sample_rows shape)
+    # bounded deterministic training sample: pick the ≤64k sample DOCS
+    # first (xxhash64-ordered TakeOrdered over ids — cells.sample_rows
+    # shape), then tokenize only those: training-side work is bounded by
+    # the sample at any corpus size, never a corpus-wide aggregation
+    sample_docs = (
+        d.select("doc_id", "source")
+        .orderBy(F.xxhash64(F.col("doc_id")), F.col("doc_id"))
+        .limit(_QC_SAMPLE_MAX)
+    )
+    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
     per_doc = (
-        tok.groupBy("doc_id", "source", "bucket")
+        tok.join(F.broadcast(sample_docs.select("doc_id")), "doc_id")
+        .groupBy("doc_id", "source", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id", "source")
         .agg(
@@ -550,15 +559,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("n"),
         )
     )
-    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    sample = (
-        per_doc.select(
-            "doc_id", "buckets", "n", is_target.cast("int").alias("label")
-        )
-        .orderBy(F.xxhash64(F.col("doc_id")), F.col("doc_id"))
-        .limit(_QC_SAMPLE_MAX)
-        .collect()
-    )
+    sample = per_doc.select(
+        "doc_id", "buckets", "n", is_target.cast("int").alias("label")
+    ).collect()
     X, y = _qc_featurize_sample(
         [(r["buckets"], r["n"], r["label"]) for r in sample]
     )
