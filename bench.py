@@ -74,6 +74,7 @@ HEADLINE = [
     "q_dedup_paragraph",
     "q_bm25",
     "q_dsir_weights",
+    "q_dedup_incremental",
 ]
 
 

@@ -301,3 +301,23 @@ def test_dsir_resample_topk_not_full_sort(spark, sf_dir):
     weight frame — a global Sort would single-partition the corpus."""
     plan = _plan(spark, sf_dir, "q_dsir_resample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_classifier_scoring_is_jvm_only(spark, sf_dir):
+    """Model training collects a bounded sample at build time; the
+    RETURNED scoring plan must be pure JVM (literal weight lookup, one
+    aggregation shuffle) — no Python eval, no join, no broadcast."""
+    plan = _plan(spark, sf_dir, "q_quality_classifier")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dedup_incremental_is_hash_anti_join(spark, sf_dir):
+    """Incremental dedup must anti-join on the 16-byte hash with hash
+    (or broadcast-hash) strategy — never a nested loop — and both scans
+    must prune to the columns they need."""
+    plan = _plan(spark, sf_dir, "q_dedup_incremental")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,46 @@
+"""Recompute-audit regression pins: Catalyst/AQE do NOT deduplicate
+identical subtrees consumed by two plan branches (measured round 3:
+q_tpch11 scanned lineitem twice, q_tpch18 three times, q_triangle_count
+ran 18 parquet scans, PageRank re-derived its transition graph every
+iteration).  The fixes checkpoint the small multiply-consumed frames; this
+test pins the EXECUTED plan's parquet-scan count for each fixed query so a
+refactor can't silently reintroduce the fan-out.
+
+Ceilings are exact current counts (sf-independent — plan shape, not
+data).  A lower count is fine; higher fails."""
+
+from __future__ import annotations
+
+import pytest
+
+from bifrost_spark import registry
+
+# query -> max "Scan parquet" occurrences in the executed (post-AQE) plan.
+# Checkpointed inputs surface as Scan ExistingRDD, so these counts are the
+# per-action fact-table scans the cluster would actually run.
+SCAN_CEILINGS = {
+    "q_tpch11": 0,  # val checkpointed; threshold + filter read it
+    "q_tpch15": 1,  # revenue checkpointed; supplier scan remains
+    "q_tpch18": 3,  # big-keys checkpointed; customer/orders/lineitem probes
+    "q_tpch20": 2,  # shipped checkpointed; supplier/nation remain
+    "q_funnel": 1,  # view/click frontiers checkpointed; purchase scan remains
+    "q_pagerank": 0,  # transition graph + nodes checkpointed before the loop
+    "q_triangle_count": 0,  # edges + oriented edges checkpointed
+    "q_dsir_weights": 1,  # bucket model collected; one scoring explode
+    "q_ccnet_bucket": 2,  # surprisal probe + doc lang join
+    "q_lm_score": 1,  # term dictionary checkpointed; one probe explode
+    "q_mixture_weights": 0,  # per-source aggregate checkpointed
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_CEILINGS))
+def test_executed_plan_scan_count(spark, sf_dir, name):
+    df = registry.queries()[name](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Scan parquet")
+    assert n <= SCAN_CEILINGS[name], (
+        f"{name}: {n} parquet scans in executed plan "
+        f"(ceiling {SCAN_CEILINGS[name]}) — a multiply-consumed frame "
+        "lost its checkpoint"
+    )
