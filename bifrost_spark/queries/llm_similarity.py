@@ -742,3 +742,94 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pc"),
         )
     )
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+        WITH nrm AS (
+          SELECT vec_id, label, embedding,
+                 CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                       AS DECIMAL(22,18)))
+                       FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST((SELECT SUM(CAST(CAST(t.x AS DOUBLE) * CAST(t.y AS DOUBLE)
+                                       AS DECIMAL(22,18)))
+                       FROM (SELECT UNNEST(q.embedding) AS x,
+                                    UNNEST(c.embedding) AS y) t) AS DOUBLE)
+                   / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cos_sim
+          FROM nrm q JOIN nrm c
+            ON c.vec_id <> q.vec_id AND c.label <> q.label
+          WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, rnk FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+                 ) AS BIGINT) AS rnk
+          FROM scored
+        ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    examples a contrastive/embedding model learns the most from (most
+    confusable, not-positive).  Same two-phase exact-cosine shape as
+    q_sim_topk (broadcast queries, corpus never shuffles, decimal rescore
+    of top-k+8 only) with the label exclusion folded into the broadcast
+    join condition so excluded pairs never materialize.
+
+    At scale, swap the brute-force scan for one of the ANN paths
+    (q_sim_ann_*) and apply the label filter on its shortlist — the
+    per-query window and rescore stages are identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    fast = corpus.join(
+        queries_df,
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("c_label") != F.col("q_label")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "q_emb",
+        "c_emb",
+        (
+            dot_fast(F.col("q_emb"), F.col("c_emb"))
+            / (
+                F.sqrt(norm2_fast(F.col("q_emb")))
+                * F.sqrt(norm2_fast(F.col("c_emb")))
+            )
+        ).alias("cos_fast"),
+    )
+    w_fast = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_fast"), F.asc("neighbor_id")
+    )
+    cand = fast.withColumn("fast_rnk", F.row_number().over(w_fast)).filter(
+        F.col("fast_rnk") <= TOP_K + 8
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return exact.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).filter(F.col("rnk") <= TOP_K)

@@ -118,6 +118,7 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     # side — same single-row scalar-join shape as q_lm_score
     allowed_bnlj = {
         "q_sim_topk",
+        "q_hard_negatives",  # same broadcast-scoring scan as q_sim_topk
         "q_knn_eval",
         "q_lm_score",
         "q_theta_overlap",
