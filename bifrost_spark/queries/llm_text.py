@@ -702,3 +702,106 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+_BIGRAM_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS words
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+      FROM toks,
+           UNNEST(generate_series(1, CAST(len(words) AS BIGINT) - 1)) AS g(i)
+      WHERE len(words) >= 2
+    ),
+    bg AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg
+      FROM pairs GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cw1 FROM bg GROUP BY w1
+    ),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vsz
+      FROM (SELECT w1 AS t FROM bg UNION SELECT w2 FROM bg)
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(round(log2(u.cw1 + (SELECT vsz FROM v)), 12)
+                              AS DECIMAL(28,12))
+                          - CAST(round(log2(b.cbg + 1), 12)
+                                 AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 9) AS avg_neg_log2_p
+    FROM pairs p
+    JOIN bg b USING (w1, w2)
+    JOIN uni u USING (w1)
+    GROUP BY p.doc_id
+"""
+
+
+@query("q_lm_bigram", oracle=_BIGRAM_SQL)
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal per document — avg −log₂
+    p(w2|w1) under the corpus bigram distribution with add-1 smoothing
+    (p = (c(w1,w2)+1)/(c(w1)+V)); the next step up from q_lm_score's
+    unigram signal and the same class of perplexity filter CCNet's KenLM
+    plays at full strength.  Repetitive/templated text scores low,
+    rare-transition text scores high.
+
+    Shape: bigrams are generated IN-ROW (arrays_zip of the token array
+    with its own tail — no window, no self-join), the bigram-count model
+    is one groupBy, checkpointed because THREE consumers need it (the
+    unigram-left margin, the vocab size, and the probe join — see the
+    no-subtree-reuse pin in tests/test_scan_counts.py); the unigram
+    margin derives from the bigram counts by summation, and V (distinct
+    bigram participants) collapses to a driver literal.  Probe side
+    shuffles (w1, w2) pairs against the Zipf-bounded model — fact text
+    never travels with the model.
+
+    Determinism: integer counts → log₂ rounded at 12 dp, accumulated in
+    DECIMAL(28,12) (order-free), output rounded at 9 dp — the exact
+    q_lm_score/DSIR device."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    t = d.select("doc_id", toks.alias("w")).filter(F.size("w") >= 2)
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1).alias("w1"),
+                F.slice("w", 2, F.size("w") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cbg"))
+        .localCheckpoint(eager=True)
+    )
+    uni = bg.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
+    vsz = (
+        bg.select(F.explode(F.array("w1", "w2")).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    addend = F.round(F.log2(F.col("cw1") + F.lit(int(vsz))), 12).cast(
+        "decimal(28,12)"
+    ) - F.round(F.log2(F.col("cbg") + 1), 12).cast("decimal(28,12)")
+    return (
+        pairs.join(bg, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(addend).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("s").cast("double") / F.col("n_bigrams"), 9
+            ).alias("avg_neg_log2_p"),
+        )
+    )

@@ -770,3 +770,75 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "text_hash")
     )
+
+
+# median per-user inter-event gap in the fixture is ~26k s; 8h keeps a
+# genuine matched/stale mix on both sides of the cut
+ASOF_TOLERANCE_SECS = 28_800
+
+
+@query(
+    "q_join_asof_tol",
+    oracle=f"""
+        WITH clicks AS (
+          SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               CASE WHEN c.ts IS NOT NULL
+                         AND p.ts - c.ts <= INTERVAL {ASOF_TOLERANCE_SECS} SECONDS
+                    THEN c.event_id END AS click_id
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=...)``
+    semantics): the latest click at-or-before each purchase, but only if
+    it happened within the tolerance window — stale matches become NULL
+    rather than attributing a purchase to a click from hours ago.
+
+    Same union + ignore-nulls-window shape as q_join_asof (ONE shuffle on
+    the equi-key, no range probe), carrying the matched click's (ts, id)
+    as a struct so the tolerance test runs on the carried timestamp.
+    Oracle: DuckDB's native ASOF LEFT JOIN with a post-join tolerance
+    CASE — an independent implementation of the same semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.struct("ts", F.col("event_id").alias("click_id")).alias("c"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("struct<ts:timestamp,click_id:bigint>").alias("c"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.col("c.click_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("asof", F.last("c", ignorenulls=True).over(w))
+    in_tol = (
+        F.col("asof").isNotNull()
+        & (
+            F.col("ts").cast("long") - F.col("asof.ts").cast("long")
+            <= ASOF_TOLERANCE_SECS
+        )
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.when(in_tol, F.col("asof.click_id")).alias("click_id"),
+        )
+    )

@@ -236,3 +236,58 @@ def test_canonicalize_url_matches_python_model(spark, parts_list):
     }
     for i, u in enumerate(urls):
         assert got[i] == _canon_model(u), f"{u!r}: jvm={got[i]!r} model={_canon_model(u)!r}"
+
+
+# ---- paragraph-dedup differential property test ----
+
+def _para_model(docs):
+    """Python reference for q_dedup_paragraph: (doc_id -> (n_paras,
+    n_kept, clean_text)) with corpus-wide keep-first by (doc_id, idx)."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        words = [w for w in text.lower().split(" ") if w]
+        if not words:
+            continue
+        paras = [
+            " ".join(words[s : s + PARA_WORDS])
+            for s in range(0, len(words), PARA_WORDS)
+        ]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        out[doc_id] = (len(paras), len(kept), " ".join(kept))
+    return out
+
+
+_words = st.sampled_from([f"w{i}" for i in range(12)])
+_doc_text = st.lists(_words, min_size=0, max_size=70).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc_text, min_size=1, max_size=10))
+def test_dedup_paragraph_matches_python_model(spark, tmp_path_factory, texts):
+    """Random word-soup corpora (tiny vocabulary → frequent cross-doc
+    paragraph collisions) must match the keep-first reference model."""
+    import pandas as pd
+
+    from bifrost_spark import registry
+
+    tmp = tmp_path_factory.mktemp("paras")
+    docs = list(enumerate(texts))
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(tmp / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+        for r in registry.queries()["q_dedup_paragraph"](spark, str(tmp)).collect()
+    }
+    assert got == _para_model(docs)
