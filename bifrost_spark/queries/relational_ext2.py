@@ -1084,3 +1084,48 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("change_type").isNotNull())
         .select("o_orderkey", "change_type")
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+        SELECT event_id, user_id,
+               round(median(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ), 9) AS med5
+        FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over each user's last 5 events — the
+    windowed ORDER STATISTIC the plain window family lacks (SUM/AVG/rank
+    are streaming-computable per frame; a median needs the frame's
+    sorted contents).
+
+    Spark has no median window function, so the frame's values are
+    collected per row (bounded: ≤5 elements — collect over a SMALL FIXED
+    frame is O(frame) state, nothing like a per-key collect), sorted
+    in-row, and the middle element (odd count) or mean of the two middle
+    elements (even count) is taken — exactly DuckDB's continuous median.
+    One shuffle on user_id; frame arithmetic is engine-exact ((a+b)/2 is
+    one IEEE op on identical doubles; 9-dp rounding guards nothing real
+    but keeps the output within the engine's compared-double policy)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2).cast("int") + 1)
+    ) / 2.0
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.when(n % 2 == 1, odd).otherwise(even), 9).alias("med5"),
+    )
