@@ -733,3 +733,65 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ewma_scan,
         "user_id long, event_id long, ts timestamp, value double, ewma double",
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH iv AS (
+          SELECT user_id, value,
+                 CAST(date_diff('second', ts,
+                      lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS BIGINT) AS dur
+          FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               round(CAST(SUM(CAST(round(value * dur, 6) AS DECIMAL(28,6)))
+                          AS DOUBLE) / SUM(dur), 9) AS twa
+        FROM iv
+        WHERE dur IS NOT NULL
+        GROUP BY user_id
+        HAVING SUM(dur) > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value over IRREGULAR
+    intervals — the metric a plain AVG gets wrong when observations
+    aren't equally spaced (a price held for an hour must weigh 60× one
+    held for a minute; the standard spelling for sensor/price/balance
+    series).  Each event's value is weighted by the seconds until the
+    user's next event (last event carries no duration).
+
+    One window shuffle on user_id for the lead(), then the per-user
+    aggregation reuses the same partitioning (no second exchange).
+    Determinism: value is a 2-dp money column and dur an integer second
+    count, so value·dur has exactly 2 fractional digits — the 6-dp
+    decimal accumulation is an exact quantization on both engines
+    (queries/_util.py contract); the final single IEEE division is
+    rounded at 9 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        "value",
+        (
+            F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")
+        ).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(
+                F.round(F.col("value") * F.col("dur"), 6).cast("decimal(28,6)")
+            ).alias("s"),
+            F.sum("dur").alias("d"),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(F.col("s").cast("double") / F.col("d"), 9).alias("twa"),
+        )
+    )
