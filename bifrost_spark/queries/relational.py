@@ -170,13 +170,24 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders."""
+    """Left-anti join (NOT EXISTS): customers with no URGENT order.
+
+    Every fixture customer has ≥1 order, so the bare "no orders" anti join
+    was vacuously green (r1 driver row: 0 = 0 rows).  Filtering the anti
+    side to '1-URGENT' keeps the identical anti-hash-join plan, pushes a
+    selective predicate into the build side, and yields 18 / 203 / 1986
+    rows at sf0.001 / 0.01 / 0.1 so the join logic is actually exercised."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -36,70 +36,69 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The external correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order, so ordering is part of the driver contract.  Queries
 # named here are yielded first (in this order); everything else follows in
-# registration order.  Round 3 window = the ids still without any driver
-# CORRECTNESS row after rounds 1-2: the full TPC-H suite, the analytics
-# family, scale_ops, q_dedup_semantic / q_sim_ann_ivfpq / q_gopher_rules,
-# and two relational_ext2 ids.  The 11 remaining relational_ext2 ids
-# (q_bitwise_agg q_sliding_window q_map_ops q_integrity_check q_zscore
-# q_feature_hash q_profile q_zorder q_percent_of_total q_lateral_topn
-# q_copurchase) rotate in for round 4.  Rounds-1/2 greens keep their
-# standing rows and rotate to the back.
+# registration order.  Round 4 window = the 26 ids still without any driver
+# CORRECTNESS row after rounds 1-3 (the 15 round-3 additions + the 11
+# relational_ext2 stragglers), plus q_tpch22 (its r3 row was vacuously green
+# on an empty result set — de-vacuated this round, re-checked here), with the
+# remaining 23 slots re-verifying rotated-out round-1/2 greens (the
+# relational core + flagship parity ops).  Rounds-1..3 greens not named here
+# keep their standing rows and rotate to the back.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Full TPC-H decision-support suite (Q1 ≡ q_agg_hash, already green r1)
-    "q_tpch02",
-    "q_tpch03",
-    "q_tpch04",
-    "q_tpch05",
-    "q_tpch06",
-    "q_tpch07",
-    "q_tpch08",
-    "q_tpch09",
-    "q_tpch10",
-    "q_tpch11",
-    "q_tpch12",
-    "q_tpch13",
-    "q_tpch14",
-    "q_tpch15",
-    "q_tpch16",
-    "q_tpch17",
-    "q_tpch18",
-    "q_tpch19",
-    "q_tpch20",
-    "q_tpch21",
+    # Round-3 additions (no driver row yet)
+    "q_dsir_weights",
+    "q_dsir_resample",
+    "q_bm25",
+    "q_snapshot_diff",
+    "q_embedding_pca",
+    "q_url_dedup",
+    "q_dedup_paragraph",
+    "q_sim_ann_opq",
+    "q_dedup_incremental",
+    "q_quality_classifier",
+    "q_hard_negatives",
+    "q_lm_bigram",
+    "q_join_asof_tol",
+    "q_rolling_median",
+    "q_time_weighted_avg",
+    # relational_ext2 stragglers (no driver row yet)
+    "q_bitwise_agg",
+    "q_sliding_window",
+    "q_map_ops",
+    "q_integrity_check",
+    "q_zscore",
+    "q_feature_hash",
+    "q_profile",
+    "q_zorder",
+    "q_percent_of_total",
+    "q_lateral_topn",
+    "q_copurchase",
+    # De-vacuated this round: r3 row matched on the empty set
     "q_tpch22",
-    # Analytics family (flagship q_ewma last-verified locally only)
-    "q_ewma",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_scd2",
-    "q_merge_upsert",
-    "q_running_distinct",
-    "q_interval_merge",
-    "q_seq_pattern",
-    "q_pagerank",
-    "q_outlier_iqr",
-    "q_ab_test",
-    # scale_ops family
-    "q_bloom_prune",
-    "q_recursive_cte",
-    "q_join_skew_salted",
-    "q_hll_rollup",
-    "q_dataset_split",
-    "q_dataset_split_grouped",
-    "q_stratified_sample",
-    "q_pipeline_e2e",
-    "q_decontaminate_fuzzy",
-    "q_triangle_count",
-    "q_lm_score",
-    "q_theta_overlap",
-    "q_heavy_hitters",
-    # Remaining family stragglers
-    "q_dedup_semantic",
-    "q_sim_ann_ivfpq",
-    "q_gopher_rules",
-    # Two relational_ext2 ids (rest queued for round 4)
-    "q_gap_fill",
-    "q_percentile_cont",
+    # Re-verification of rotated-out greens (round-1 relational core)
+    "q_agg_hash",
+    "q_scan_events",
+    "q_filter_pushdown",
+    "q_project_expr",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_agg_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_window_rank",
+    "q_window_running",
+    "q_sort_limit",
+    "q_set_ops",
+    "q_scalar_funcs",
+    "q_json_extract",
+    "q_array_ops",
+    # Re-verification of rotated-out round-2 greens (flagship parity ops)
+    "q_dedup_exact",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_tumbling_window",
 )
 
 

@@ -39,3 +39,11 @@ def test_rows_only_runs(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert df.schema.fieldNames()  # stable, non-empty schema
+
+
+# Queries whose r3 driver rows could have been vacuously green (empty result
+# matches empty result).  Pin non-vacuity so the adapted constants keep
+# selecting rows as fixtures evolve (VERDICT r3 "What's wrong" item 1).
+@pytest.mark.parametrize("name", ["q_tpch22", "q_join_anti"])
+def test_window_queries_non_vacuous(spark, sf_dir, name):
+    assert registry.queries()[name](spark, sf_dir).count() > 0

@@ -10,19 +10,41 @@ from bifrost_spark import registry
 
 WINDOW = 50
 
-# Ids with no driver CORRECTNESS row after rounds 1-2 that the round-3
-# window must cover (VERDICT r2 "Next round" item 1).
-ROUND3_MUST_COVER = {
-    *(f"q_tpch{n:02d}" for n in range(2, 23)),
-    "q_ewma",
-    "q_dedup_semantic",
-    "q_sim_ann_ivfpq",
-    "q_recursive_cte",
-    "q_bloom_prune",
-    "q_join_skew_salted",
-    "q_gopher_rules",
-    "q_funnel",
-    "q_pagerank",
+# Ids with no driver CORRECTNESS row after rounds 1-3 that the round-4
+# window must cover (VERDICT r3 "Next round" item 1), plus q_tpch22 whose
+# r3 row was vacuously green on an empty result (VERDICT r3 "What's wrong"
+# item 1; de-vacuated this round).
+ROUND4_MUST_COVER = {
+    # round-3 additions
+    "q_dsir_weights",
+    "q_dsir_resample",
+    "q_bm25",
+    "q_snapshot_diff",
+    "q_embedding_pca",
+    "q_url_dedup",
+    "q_dedup_paragraph",
+    "q_sim_ann_opq",
+    "q_dedup_incremental",
+    "q_quality_classifier",
+    "q_hard_negatives",
+    "q_lm_bigram",
+    "q_join_asof_tol",
+    "q_rolling_median",
+    "q_time_weighted_avg",
+    # relational_ext2 stragglers
+    "q_bitwise_agg",
+    "q_sliding_window",
+    "q_map_ops",
+    "q_integrity_check",
+    "q_zscore",
+    "q_feature_hash",
+    "q_profile",
+    "q_zorder",
+    "q_percent_of_total",
+    "q_lateral_topn",
+    "q_copurchase",
+    # de-vacuated
+    "q_tpch22",
 }
 
 
@@ -42,6 +64,6 @@ def test_window_is_check_priority_in_order():
     assert first == list(registry.CHECK_PRIORITY)
 
 
-def test_round3_targets_inside_window():
+def test_round4_targets_inside_window():
     window = set(list(registry.queries())[:WINDOW])
-    assert ROUND3_MUST_COVER <= window
+    assert ROUND4_MUST_COVER <= window
