@@ -127,10 +127,14 @@ def write_training_shards(
     (the property RNG-based ``orderBy(rand())`` cannot give: a retried
     stage would re-draw and produce different files).
 
-    One repartition shuffle on the 8-byte key; xxhash64 uniformity keeps
-    shards within ~√ of equal row counts at any scale.  Each shard is
-    exactly one file (``shard=<i>/part-*``), so the trainer's file list
-    is the shard list.
+    One range-repartition shuffle on the shard id: shard ids are already
+    the dense integers 0..n_shards-1, so ``repartitionByRange`` gives
+    exactly one shard per task (hash-repartitioning murmur3(shard) %
+    n_shards would collide distinct ids into one task and leave others
+    empty — correct output, but task-level skew growing with the
+    collision count).  xxhash64 uniformity keeps shards within ~√ of
+    equal row counts at any scale.  Each shard is exactly one file
+    (``shard=<i>/part-*``), so the trainer's file list is the shard list.
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
@@ -142,7 +146,7 @@ def write_training_shards(
     out = (
         df.withColumn("_shuffle_key", key)
         .withColumn("shard", F.pmod(F.col("_shuffle_key"), F.lit(n_shards)).cast("int"))
-        .repartition(n_shards, "shard")
+        .repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", "_shuffle_key")
         .drop("_shuffle_key")
     )

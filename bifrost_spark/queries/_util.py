@@ -60,3 +60,60 @@ def sql_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature ("hashing trick") bucket derivation, engine-portable.
+#
+# md5 is the one content hash Spark and DuckDB share, so oracle-compared
+# hashed-feature operators (DSIR, feature hashing, the quality classifier's
+# no-oracle sibling uses xxhash64 instead) derive the bucket from leading
+# md5 hex digits DECODED to 0-15 (the raw-ascii spelling collapsed mod 64:
+# 256 ≡ 0 mod 64 — see MEMORY / round-3 fix).  The bucket count is a
+# PARAMETER: fixtures use small counts (64) so tests can eyeball collision
+# behavior, production runs want the paper-scale spaces (DSIR: Xie et al.
+# 2023 use 10k; we default to the nearest power of two, 8192, which keeps
+# the digit prefix exactly uniform).  16^d is 2^(4d), so any power-of-two
+# bucket count divides some hex-prefix space evenly → zero bucket-size bias.
+# ---------------------------------------------------------------------------
+
+#: Production-scale default for hashed bag-of-words feature spaces.
+HASH_BUCKETS_PROD = 8192
+
+
+def _hash_digits(n_buckets: int) -> int:
+    """Smallest hex-digit count whose value space is a multiple of
+    ``n_buckets`` (uniformity) — requires a power-of-two count ≤ 16^8."""
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    d = (n_buckets.bit_length() - 1 + 3) // 4  # ceil(log16(n_buckets))
+    if d > 8:
+        raise ValueError(f"n_buckets too large: {n_buckets}")
+    return max(d, 1)
+
+
+def hash_bucket(col: Column | str, n_buckets: int) -> Column:
+    """``bucket ∈ [0, n_buckets)`` from the leading md5 hex digits of a
+    string column — identical value on any engine that has md5."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c)
+    val = F.lit(0)
+    for i in range(1, _hash_digits(n_buckets) + 1):
+        a = F.ascii(F.substring(h, i, 1))
+        digit = F.when(a >= 97, a - 87).otherwise(a - 48)
+        val = val * 16 + digit
+    return (val % n_buckets).cast("int")
+
+
+def sql_hash_bucket(expr: str, n_buckets: int) -> str:
+    """DuckDB SQL mirror of :func:`hash_bucket` (same digits, same math)."""
+    digits = _hash_digits(n_buckets)
+    val = "0"
+    for i in range(1, digits + 1):
+        digit = (
+            f"(CASE WHEN ascii(substr(md5({expr}), {i}, 1)) >= 97 "
+            f"THEN ascii(substr(md5({expr}), {i}, 1)) - 87 "
+            f"ELSE ascii(substr(md5({expr}), {i}, 1)) - 48 END)"
+        )
+        val = f"(({val}) * 16 + {digit})"
+    return f"CAST(({val}) % {n_buckets} AS INT)"

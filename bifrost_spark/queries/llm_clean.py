@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bifrost_spark.queries._util import HASH_BUCKETS_PROD, hash_bucket, sql_hash_bucket
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -270,27 +271,23 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixture-sized hashed-feature space (64 buckets keeps collision behavior
+# eyeballable in tests and the oracle SQL readable).  The paper's discipline
+# is ~10k buckets (Xie et al. 2023 §3) — production runs should pass
+# ``n_buckets=_util.HASH_BUCKETS_PROD`` (8192) or larger; the spelling is
+# O(n_buckets) driver state either way and is proven at 1024 by the
+# driver-checked q_dsir_weights_hires.
 _DSIR_BUCKETS = 64
-
-
-def _hexval(c):
-    """0-15 value of one lowercase hex digit column (engine-portable)."""
-    a = F.ascii(c)
-    return F.when(a >= 97, a - 87).otherwise(a - 48)
 _DSIR_TARGET_SOURCES = ("src1", "src2", "src3")  # the target-domain sample
 
 
-# Shared by q_dsir_weights (verbatim oracle) and q_dsir_resample (CTE).
-_DSIR_WEIGHTS_SQL = f"""
+def _dsir_weights_sql(n_buckets: int) -> str:
+    """DuckDB oracle for the DSIR weight at any power-of-two bucket count
+    (bucket derivation mirrors _util.hash_bucket digit-for-digit)."""
+    return f"""
         WITH tok AS (
           SELECT doc_id, source,
-                 ((CASE WHEN ascii(substr(md5(t), 1, 1)) >= 97
-                        THEN ascii(substr(md5(t), 1, 1)) - 87
-                        ELSE ascii(substr(md5(t), 1, 1)) - 48 END) * 16
-                  + (CASE WHEN ascii(substr(md5(t), 2, 1)) >= 97
-                          THEN ascii(substr(md5(t), 2, 1)) - 87
-                          ELSE ascii(substr(md5(t), 2, 1)) - 48 END))
-                 % {_DSIR_BUCKETS} AS bucket
+                 {sql_hash_bucket('t', n_buckets)} AS bucket
           FROM (SELECT doc_id, source,
                        unnest(list_filter(string_split(lower(text), ' '),
                                           x -> x <> '')) AS t
@@ -309,12 +306,16 @@ _DSIR_WEIGHTS_SQL = f"""
                round(CAST(SUM(CAST(round(log2(ct + 1), 12) AS DECIMAL(28,12))
                               - CAST(round(log2(cr + 1), 12) AS DECIMAL(28,12)))
                           AS DOUBLE) / COUNT(*)
-                     + log2((SELECT nr FROM tot) + {_DSIR_BUCKETS})
-                     - log2((SELECT nt FROM tot) + {_DSIR_BUCKETS}),
+                     + log2((SELECT nr FROM tot) + {n_buckets})
+                     - log2((SELECT nt FROM tot) + {n_buckets}),
                      9) AS avg_log2_ratio
         FROM tok JOIN bs USING (bucket)
         GROUP BY doc_id
 """
+
+
+# Shared by q_dsir_weights (verbatim oracle) and q_dsir_resample (CTE).
+_DSIR_WEIGHTS_SQL = _dsir_weights_sql(_DSIR_BUCKETS)
 
 
 @query("q_dsir_weights", oracle=_DSIR_WEIGHTS_SQL)
@@ -344,6 +345,25 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     log₂(Nr+B) − log₂(Nt+B) shifts the per-token average after the sum
     (same device as q_lm_score; output rounded 9 dp, far above the
     ≤1e-12 cross-engine addend divergence)."""
+    return dsir_weights(spark, sf_dir, _DSIR_BUCKETS)
+
+
+@query("q_dsir_weights_hires", oracle=_dsir_weights_sql(1024))
+def q_dsir_weights_hires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dsir_weights at a 1024-bucket feature space — the proof that the
+    literal-lookup spelling holds at paper-scale bucket counts (Xie et al.
+    2023 use ~10k; driver state here is 2·1024 longs, still trivially
+    bounded).  Same plan, same determinism devices; only ``n_buckets``
+    differs, exercising the 3-hex-digit bucket derivation."""
+    return dsir_weights(spark, sf_dir, 1024)
+
+
+def dsir_weights(
+    spark: SparkSession, sf_dir: str, n_buckets: int = HASH_BUCKETS_PROD
+) -> DataFrame:
+    """Parameterized DSIR core — see q_dsir_weights.  ``n_buckets`` is the
+    hashed-feature space size (power of two; production default 8192, the
+    nearest power of two to the paper's 10k)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -352,14 +372,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
         ).alias("t"),
     )
-    h = F.md5("t")
-    # hex digits decoded to 0-15 before combining: the former
-    # ascii(c1)*256 + ascii(c2) spelling collapsed mod 64 to ascii(c2)
-    # alone (256 ≡ 0 mod 64) — 16 effective buckets, not 64
-    bucket = (
-        _hexval(F.substring(h, 1, 1)) * 16 + _hexval(F.substring(h, 2, 1))
-    ) % _DSIR_BUCKETS
-    tok = toks.select("doc_id", "source", bucket.alias("bucket"))
+    # md5 hex digits decoded to 0-15 before combining (_util.hash_bucket):
+    # the former ascii(c1)*256 + ascii(c2) spelling collapsed mod 64 to
+    # ascii(c2) alone (256 ≡ 0 mod 64) — 16 effective buckets, not 64
+    tok = toks.select(
+        "doc_id", "source", hash_bucket("t", n_buckets).alias("bucket")
+    )
     is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
     # model fit: ONE bounded collect of 2·B longs (the sample_rows /
     # train_kmeans discipline — hashed features exist so the model fits
@@ -369,8 +387,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cr"), F.count_if(is_target).alias("ct"))
         .collect()
     )
-    cr = [0] * _DSIR_BUCKETS
-    ct = [0] * _DSIR_BUCKETS
+    cr = [0] * n_buckets
+    ct = [0] * n_buckets
     for r in stats:
         cr[r["bucket"]] = r["cr"]
         ct[r["bucket"]] = r["ct"]
@@ -389,7 +407,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(addend).alias("sum_ratio"),
     )
-    shift = F.log2(F.lit(nr + _DSIR_BUCKETS)) - F.log2(F.lit(nt + _DSIR_BUCKETS))
+    shift = F.log2(F.lit(nr + n_buckets)) - F.log2(F.lit(nt + n_buckets))
     return per_doc.select(
         "doc_id",
         "n_tokens",
@@ -462,15 +480,17 @@ _QC_ITERS, _QC_LR, _QC_L2 = 400, 2.0, 1e-4
 _QC_SAMPLE_MAX = 65_536
 # own (larger) hashed feature space: a discriminative model loses accuracy
 # to hash collisions much faster than DSIR's smoothed generative ratio, so
-# the classifier hashes into 256 buckets (still 2*256 floats of state)
+# the fixture classifier hashes into 256 buckets (still 2*256 floats of
+# state); production should pass n_buckets=HASH_BUCKETS_PROD or larger to
+# quality_classifier() — the spelling is O(n_buckets) driver state only.
 _QC_BUCKETS = 256
 
 
-def _qc_featurize_sample(rows):
+def _qc_featurize_sample(rows, n_buckets=_QC_BUCKETS):
     """Numpy (X, y) from (bucket-count-dict, n, label) sample rows."""
     import numpy as np
 
-    X = np.zeros((len(rows), _QC_BUCKETS), dtype=np.float64)
+    X = np.zeros((len(rows), n_buckets), dtype=np.float64)
     y = np.zeros(len(rows), dtype=np.float64)
     for i, (buckets, n, label) in enumerate(rows):
         for b, c in buckets.items():
@@ -509,14 +529,16 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Training follows the engine's sample-fit discipline (cells.py): ONE
     bounded deterministic sample (xxhash64-ordered, ≤64k docs) of per-doc
-    normalized bucket counts is collected and fit driver-side with
-    fixed-iteration full-batch logistic regression (no RNG, exact-sum
-    gradients → bit-reproducible weights).  Labels: doc's source in the
+    normalized bucket counts is collected, sorted by doc_id (collect()
+    order is partition-layout-dependent and X's row order feeds float
+    dot products), and fit driver-side with fixed-iteration full-batch
+    logistic regression (no RNG → bit-reproducible weights for a given
+    corpus, regardless of partitioning).  Labels: doc's source in the
     target set.
 
     Scoring is corpus-scale JVM: since features are per-token bucket
     averages, w·x = mean over tokens of w[bucket(token)] — one explode +
-    one per-doc avg of a 64-entry literal lookup, no Python, no join, no
+    one per-doc avg of a 256-entry literal lookup, no Python, no join, no
     model broadcast.  Output: (doc_id, n_tokens, score, predicted) with
     score = round(sigmoid, 9).
 
@@ -524,6 +546,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     separable synthetic boundary; scores are partition-count invariant;
     target-source mean score exceeds non-target mean on the fixture
     (the classifier learns SOMETHING); rerun determinism."""
+    return quality_classifier(spark, sf_dir, _QC_BUCKETS)
+
+
+def quality_classifier(
+    spark: SparkSession, sf_dir: str, n_buckets: int = HASH_BUCKETS_PROD
+) -> DataFrame:
+    """Parameterized classifier core — see q_quality_classifier.
+    ``n_buckets`` sizes the hashed feature space (fixture 256, production
+    default 8192); driver state is 2·n_buckets floats either way."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -534,7 +565,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no oracle to mirror → use the native 64-bit hash (perfectly uniform
     # over any bucket count, cheaper than md5)
-    bucket = F.pmod(F.xxhash64("t"), F.lit(_QC_BUCKETS)).cast("int")
+    bucket = F.pmod(F.xxhash64("t"), F.lit(n_buckets)).cast("int")
     tok = toks.select("doc_id", "source", bucket.alias("bucket"))
 
     # bounded deterministic training sample: pick the ≤64k sample DOCS
@@ -562,8 +593,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = per_doc.select(
         "doc_id", "buckets", "n", is_target.cast("int").alias("label")
     ).collect()
+    # collect() yields rows in partition order, which varies with input
+    # layout / AQE coalescing; the gradient sums in _qc_train are exact
+    # per-iteration but X's ROW order feeds float dot products (X.T @ g),
+    # so weights are only bit-reproducible if the sample order is pinned.
+    sample.sort(key=lambda r: r["doc_id"])
     X, y = _qc_featurize_sample(
-        [(r["buckets"], r["n"], r["label"]) for r in sample]
+        [(r["buckets"], r["n"], r["label"]) for r in sample], n_buckets
     )
     w, b = _qc_train(X, y)
 

@@ -462,7 +462,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, content_hash, n_new_copies
         FROM new_first
-        WHERE content_hash NOT IN (SELECT h FROM existing)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM existing e WHERE e.h = new_first.content_hash
+        )
     """,
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bifrost_spark.queries._util import sql_dsum
+from bifrost_spark.queries._util import (
+    HASH_BUCKETS_PROD,
+    hash_bucket,
+    sql_dsum,
+    sql_hash_bucket,
+)
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -723,7 +728,7 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_feature_hash",
-    oracle="""
+    oracle=f"""
         WITH toks AS (
           SELECT doc_id,
                  unnest(list_filter(string_split(lower(text), ' '),
@@ -731,13 +736,7 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents
         )
         SELECT doc_id,
-               CAST(((CASE WHEN ascii(substr(md5(term), 1, 1)) >= 97
-                           THEN ascii(substr(md5(term), 1, 1)) - 87
-                           ELSE ascii(substr(md5(term), 1, 1)) - 48 END) * 16
-                     + (CASE WHEN ascii(substr(md5(term), 2, 1)) >= 97
-                             THEN ascii(substr(md5(term), 2, 1)) - 87
-                             ELSE ascii(substr(md5(term), 2, 1)) - 48 END))
-                    % 64 AS INT) AS bucket,
+               {sql_hash_bucket('term', 64)} AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM toks
         GROUP BY 1, 2
@@ -745,16 +744,26 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature hashing (the "hashing trick"): bag-of-words folded into a
-    fixed 64-bucket feature space via a content hash — unbounded
-    vocabulary becomes a bounded, join-free feature vector, the standard
-    trick when a fitted vocabulary dictionary is impractical at corpus
-    scale.
+    fixed feature space via a content hash — unbounded vocabulary becomes
+    a bounded, join-free feature vector, the standard trick when a fitted
+    vocabulary dictionary is impractical at corpus scale.
 
-    Bucket = the first two md5 hex chars DECODED to 0-255, mod 64 (md5
-    is the one hash both engines share — same device as
-    q_sample_mixture); uniform over all 64 buckets; one shuffle on
-    (doc, bucket) with map-side combine.  At 100 TB this replaces a
-    vocabulary broadcast that wouldn't fit."""
+    Fixture runs 64 buckets (readable oracle); production pipelines pass
+    ``_util.HASH_BUCKETS_PROD`` (8192) or larger — the bucket count is a
+    free parameter of :func:`feature_hash` and changes nothing about the
+    plan."""
+    return feature_hash(spark, sf_dir, 64)
+
+
+def feature_hash(
+    spark: SparkSession, sf_dir: str, n_buckets: int = HASH_BUCKETS_PROD
+) -> DataFrame:
+    """Parameterized hashing-trick core.  Bucket = leading md5 hex chars
+    DECODED to 0-15 each (md5 is the one hash both engines share; the raw
+    ascii spelling collapsed mod 64 — see _util.hash_bucket), uniform for
+    any power-of-two count; one shuffle on (doc, bucket) with map-side
+    combine.  At 100 TB this replaces a vocabulary broadcast that
+    wouldn't fit."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -762,16 +771,9 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
         ).alias("term"),
     )
-    h = F.md5("term")
-    # decode the two hex chars to 0-15 each: ascii(c1)*256 collapsed mod
-    # 64 (256 ≡ 0), leaving only 16 effective buckets of the declared 64
-    a1, a2 = F.ascii(F.substring(h, 1, 1)), F.ascii(F.substring(h, 2, 1))
-    v1 = F.when(a1 >= 97, a1 - 87).otherwise(a1 - 48)
-    v2 = F.when(a2 >= 97, a2 - 87).otherwise(a2 - 48)
-    bucket = ((v1 * 16 + v2) % 64).cast("int")
-    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    return toks.groupBy(
+        "doc_id", hash_bucket("term", n_buckets).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(

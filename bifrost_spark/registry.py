@@ -98,7 +98,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_exact",
     "q_sim_topk",
     "q_text_stats",
-    "q_tumbling_window",
+    # New this round: DSIR at a 1024-bucket feature space — the driver row
+    # that proves the literal-lookup spelling at paper-scale bucket counts
+    "q_dsir_weights_hires",
 )
 
 

@@ -68,3 +68,25 @@ def test_classifier_rerun_deterministic(spark, sf_dir):
     a = sorted(map(tuple, q(spark, sf_dir).collect()))
     b = sorted(map(tuple, q(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_classifier_partition_layout_invariant(spark, tmp_path):
+    """Scores must be identical whatever the physical layout of the input
+    (file count / row order): the training sample is content-selected
+    (xxhash64-ordered) and sorted by doc_id before the driver fit, so the
+    fitted weights — and every 9-dp score — are a pure function of the
+    corpus, not of how it happens to be partitioned."""
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(), b_dir.mkdir()
+    _crafted_corpus(a_dir)
+    # layout B: same rows, reversed order, split across 4 files
+    pdf = pd.read_parquet(a_dir / "documents.parquet").iloc[::-1].reset_index(drop=True)
+    (b_dir / "documents.parquet").mkdir()
+    for i in range(4):
+        pdf.iloc[i::4].to_parquet(
+            b_dir / "documents.parquet" / f"part-{i}.parquet", index=False
+        )
+    q = registry.queries()["q_quality_classifier"]
+    a = sorted(map(tuple, q(spark, str(a_dir)).collect()))
+    b = sorted(map(tuple, q(spark, str(b_dir)).collect()))
+    assert a == b

@@ -45,6 +45,8 @@ ROUND4_MUST_COVER = {
     "q_copurchase",
     # de-vacuated
     "q_tpch22",
+    # bucket-count parameterization proof (VERDICT r3 item 3)
+    "q_dsir_weights_hires",
 }
 
 

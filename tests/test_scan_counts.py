@@ -30,6 +30,23 @@ SCAN_CEILINGS = {
     "q_ccnet_bucket": 2,  # surprisal probe + doc lang join
     "q_lm_score": 1,  # term dictionary checkpointed; one probe explode
     "q_mixture_weights": 0,  # per-source aggregate checkpointed
+    # Round-3 operators (measured this round, pinned so the recompute
+    # discipline can't silently regress):
+    "q_bm25": 1,  # df/avgdl as plan literals; one tf explode
+    "q_lm_bigram": 1,  # checkpointed bigram model; one scoring pass
+    "q_quality_classifier": 1,  # driver-fit weights fold back as literals
+    "q_snapshot_diff": 2,  # the two snapshots being diffed
+    "q_embedding_pca": 1,  # Gramian collected; one projection pass
+    "q_url_dedup": 1,  # pure expression chain + one keep-first window
+    "q_dedup_paragraph": 1,  # scan-local paragraphs, window + reassembly
+    "q_dedup_incremental": 2,  # new batch + existing-corpus hash sides
+    "q_hard_negatives": 2,  # broadcast query side + corpus side
+    "q_sim_ann_opq": 3,  # sample fit + pretransform + probe
+    "q_dsir_resample": 1,  # weights frame reused via its single explode
+    "q_join_asof_tol": 2,  # left + right as-of inputs
+    "q_rolling_median": 1,  # one events scan through the bounded frame
+    "q_time_weighted_avg": 1,  # single-Exchange window plan
+    "q_dsir_weights_hires": 1,  # same plan as q_dsir_weights at 1024 buckets
 }
 
 

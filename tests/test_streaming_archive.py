@@ -323,3 +323,91 @@ def test_kafka_reader_options_passthrough():
     assert opts["maxOffsetsPerTrigger"] == "5000"
     assert opts["kafka.security.protocol"] == "SASL_SSL"
     assert opts["minPartitions"] == "64"
+
+
+def test_build_source_kafka_contract(spark, monkeypatch):
+    """A3 contract pin: the EXACT (format, option-map) the live
+    ``format("kafka")`` path would hand Spark, for each ArchiveConfig
+    permutation — captured by intercepting DataStreamReader.load (the jar
+    is absent in this sandbox, so .load() itself can never run here).
+    When the connector jar appears, this test documents precisely what the
+    broker integration will receive (VERDICT r3 item 5)."""
+    from pyspark.sql.streaming.readwriter import DataStreamReader
+
+    from bifrost_spark.streaming.archive import build_source
+
+    captured = {}
+    orig_format, orig_options = DataStreamReader.format, DataStreamReader.options
+
+    def rec_format(self, source):
+        captured["format"] = source
+        return orig_format(self, source)
+
+    def rec_options(self, **opts):
+        captured["options"] = dict(opts)
+        return orig_options(self, **opts)
+
+    def fake_load(self, path=None, **kw):
+        import pandas as pd
+
+        # return a static frame in the kafka wire shape — build_source's
+        # downstream select is exercised for real
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "topic": ["t"],
+                    "partition": [0],
+                    "offset": [0],
+                    "value": [b"x"],
+                    "timestamp": [pd.Timestamp("2024-01-01")],
+                }
+            )
+        )
+
+    monkeypatch.setattr(DataStreamReader, "format", rec_format)
+    monkeypatch.setattr(DataStreamReader, "options", rec_options)
+    monkeypatch.setattr(DataStreamReader, "load", fake_load)
+
+    # permutation 1: defaults
+    cfg = ArchiveConfig(output_path="/tmp/o", checkpoint_path="/tmp/c", source="kafka")
+    df = build_source(spark, cfg)
+    assert captured["format"] == "kafka"
+    assert captured["options"] == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribePattern": ".*",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "1000000",
+    }
+    assert df.columns == ["topic", "partition", "offset", "value", "ts"]
+
+    # permutation 2: backpressure off + security passthrough
+    cfg = ArchiveConfig(
+        output_path="/tmp/o",
+        checkpoint_path="/tmp/c",
+        source="kafka",
+        bootstrap_servers="b1:9092",
+        subscribe_pattern="ev\\..*",
+        starting_offsets="latest",
+        max_offsets_per_trigger=None,
+        kafka_options={"kafka.security.protocol": "SASL_SSL"},
+    )
+    build_source(spark, cfg)
+    assert captured["options"] == {
+        "kafka.bootstrap.servers": "b1:9092",
+        "subscribePattern": "ev\\..*",
+        "startingOffsets": "latest",
+        "kafka.security.protocol": "SASL_SSL",
+    }
+
+    # permutation 3: passthrough may override a base option (last wins —
+    # the documented escape hatch for e.g. assign-mode offsets)
+    cfg = ArchiveConfig(
+        output_path="/tmp/o",
+        checkpoint_path="/tmp/c",
+        source="kafka",
+        max_offsets_per_trigger=500,
+        kafka_options={"startingOffsets": """{"t":{"0":42}}"""},
+    )
+    build_source(spark, cfg)
+    assert captured["options"]["startingOffsets"] == """{"t":{"0":42}}"""
+    assert captured["options"]["maxOffsetsPerTrigger"] == "500"
