@@ -75,6 +75,10 @@ HEADLINE = [
     "q_bm25",
     "q_dsir_weights",
     "q_dedup_incremental",
+    # round-4 additions: drift monitoring, attribution, compaction planning
+    "q_ks_drift",
+    "q_attribution",
+    "q_compaction_plan",
 ]
 
 

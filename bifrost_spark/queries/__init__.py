@@ -13,3 +13,4 @@ import bifrost_spark.queries.scale_ops  # noqa: F401
 import bifrost_spark.queries.tpch  # noqa: F401
 import bifrost_spark.queries.llm_clean  # noqa: F401
 import bifrost_spark.queries.llm_web  # noqa: F401
+import bifrost_spark.queries.pipeline_ops  # noqa: F401

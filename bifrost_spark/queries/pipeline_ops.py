@@ -1,0 +1,386 @@
+"""Pipeline-operations family: the monitoring and housekeeping operators a
+production 100 TB training-data pipeline runs AROUND the transform queries —
+distribution-drift detection between ingest cohorts (the alarm that a crawl
+snapshot or an upstream schema change shifted the data), revenue/event
+attribution (the analytics consumer of the event stream), exact mode
+summaries, and small-file compaction planning (the storage-health chore that
+keeps a parquet lake scannable).
+
+All five are pure JVM DataFrame plans with full DuckDB oracles.  The drift
+statistics follow the engine's determinism discipline: every cross-engine
+comparison reduces to integer arithmetic, a single IEEE division of exact
+values, or 12-dp-rounded log addends accumulated in DECIMAL (the
+q_dsir_weights device) — never a raw float aggregation.
+
+Scale notes per operator are in the docstrings; the common theme is that
+the "global" windows here run over BOUNDED frames (distinct metric values,
+per-bin aggregates, file MANIFEST rows — never raw fact rows), which is
+what makes a driver-side-looking statistic safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+# Cohort split for the drift ops: first half of January vs second half —
+# the "yesterday's crawl vs today's" monitoring shape.
+_SPLIT = "2024-01-16 00:00:00"
+
+
+@query(
+    "q_ks_drift",
+    oracle=f"""
+        WITH pts AS (
+          SELECT value AS v,
+                 CAST(COUNT(*) FILTER (WHERE ts <  TIMESTAMP '{_SPLIT}')
+                      AS BIGINT) AS ca,
+                 CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_SPLIT}')
+                      AS BIGINT) AS cb
+          FROM events GROUP BY value
+        ),
+        cum AS (
+          SELECT v,
+                 SUM(ca) OVER (ORDER BY v) AS cuma,
+                 SUM(cb) OVER (ORDER BY v) AS cumb,
+                 (SELECT SUM(ca) FROM pts) AS na,
+                 (SELECT SUM(cb) FROM pts) AS nb
+          FROM pts
+        ),
+        diffs AS (
+          SELECT v, na, nb,
+                 abs(CAST(cuma AS DECIMAL(38,0)) * nb
+                     - CAST(cumb AS DECIMAL(38,0)) * na) AS d
+          FROM cum
+        )
+        SELECT CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               round(CAST(MAX(d) AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS ks_d,
+               MIN(v) FILTER (WHERE d = (SELECT MAX(d) FROM diffs))
+                 AS at_value
+        FROM diffs GROUP BY na, nb
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between two ingest
+    cohorts (events before/after {split}): D = max over the metric domain
+    of |F_a(v) - F_b(v)|, reported with the location where the gap peaks —
+    the standard "did this week's data shift?" monitor.
+
+    Determinism: D is computed ENTIRELY in integers — the gap at v is
+    |cum_a(v)·n_b - cum_b(v)·n_a| (DECIMAL(38,0): at 10^13 rows per
+    cohort the product needs ~87 bits, past int64), maxed exactly, and
+    divided ONCE by n_a·n_b at the end (single IEEE division of exact
+    operands → identical on both engines).  Ties at the max resolve to
+    the smallest metric value.
+
+    Scale shape: one shuffle to the per-VALUE aggregate (map-side
+    combined; the frame is the distinct-value domain — for a 2-dp money
+    metric that is ≤100·max values, NOT the row count; KS over a truly
+    continuous metric should quantize first, same discipline as the
+    histogram family), then the cumulative window over that bounded
+    frame, checkpointed so the totals pass does not rescan the fact
+    table."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+    pts = (
+        e.select(
+            F.col("value").alias("v"),
+            (F.col("ts") < split).cast("long").alias("a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("a").alias("ca"),
+            F.sum(F.lit(1) - F.col("a")).alias("cb"),
+        )
+        .localCheckpoint(eager=True)  # consumed by cum-window AND totals
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = pts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    diffs = (
+        pts.select(
+            "v",
+            F.sum("ca").over(w).alias("cuma"),
+            F.sum("cb").over(w).alias("cumb"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "na",
+            "nb",
+            F.abs(
+                F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+                - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+            ).alias("d"),
+        )
+    )
+    mx = diffs.groupBy("na", "nb").agg(F.max("d").alias("dmax"))
+    return (
+        diffs.join(F.broadcast(mx), ["na", "nb"])
+        .filter(F.col("d") == F.col("dmax"))
+        .groupBy("na", "nb", "dmax")
+        .agg(F.min("v").alias("at_value"))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("dmax").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                9,
+            ).alias("ks_d"),
+            "at_value",
+        )
+    )
+
+
+_PSI_BIN_W = 50.0  # fixed-width value bins
+_PSI_NBINS = 10  # values ≥ (nbins-1)·W clamp into the last bin
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+        WITH binned AS (
+          SELECT LEAST(CAST(floor(value / {_PSI_BIN_W}) AS BIGINT),
+                       {_PSI_NBINS - 1}) AS bin,
+                 CAST(COUNT(*) FILTER (WHERE ts <  TIMESTAMP '{_SPLIT}')
+                      AS BIGINT) AS ca,
+                 CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_SPLIT}')
+                      AS BIGINT) AS cb
+          FROM events GROUP BY 1
+        ),
+        tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM binned),
+        probs AS (
+          SELECT bin,
+                 (2.0 * ca + 1) / (2.0 * (SELECT na FROM tot) + {_PSI_NBINS})
+                   AS pa,
+                 (2.0 * cb + 1) / (2.0 * (SELECT nb FROM tot) + {_PSI_NBINS})
+                   AS pb
+          FROM binned
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+               round(CAST(SUM(CAST(round((pa - pb) * ln(pa / pb), 12)
+                                   AS DECIMAL(28,12))) AS DOUBLE), 9) AS psi
+        FROM probs
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the same two cohorts as
+    q_ks_drift, over fixed-width value bins with add-half smoothing —
+    the credit-risk-style drift score (PSI < 0.1 stable, > 0.25 shifted)
+    that, unlike KS, weights the whole distribution rather than the
+    worst point.
+
+    Determinism: bin populations are integers; the smoothed probabilities
+    are SINGLE divisions of integer-valued doubles (pa = (2·ca+1)/(2·na+B),
+    exact operands → identical quotients on both engines); each bin's
+    addend (pa-pb)·ln(pa/pb) is rounded to 12 dp and summed in
+    DECIMAL(28,12) (order-free; the q_dsir_weights device — a 1-ulp libm
+    divergence cannot move the 9-dp output).
+
+    Scale shape: ONE map-side-combined shuffle to ≤{nbins} rows; totals
+    and the PSI fold are arithmetic over that bounded frame.  Fixed-width
+    bins (not quantiles) keep the statistic engine-exact and
+    partition-invariant."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+    binned = (
+        e.select(
+            F.least(
+                F.floor(F.col("value") / _PSI_BIN_W).cast("bigint"),
+                F.lit(_PSI_NBINS - 1),
+            ).alias("bin"),
+            (F.col("ts") < split).cast("long").alias("a"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("a").alias("ca"),
+            F.sum(F.lit(1) - F.col("a")).alias("cb"),
+        )
+        .localCheckpoint(eager=True)  # consumed by totals AND the fold
+    )
+    tot = binned.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    probs = binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (
+            (2.0 * F.col("ca") + 1)
+            / (2.0 * F.col("na") + F.lit(float(_PSI_NBINS)))
+        ).alias("pa"),
+        (
+            (2.0 * F.col("cb") + 1)
+            / (2.0 * F.col("nb") + F.lit(float(_PSI_NBINS)))
+        ).alias("pb"),
+    )
+    addend = F.round(
+        (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 12
+    ).cast("decimal(28,12)")
+    return probs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(F.sum(addend).cast("double"), 9).alias("psi"),
+    )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, ts, value
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        tagged AS (
+          SELECT *,
+                 LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS click_id
+          FROM ev
+        )
+        SELECT event_id AS purchase_id, user_id,
+               click_id AS attributed_click_id, value
+        FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's most
+    recent STRICTLY-preceding click (NULL if the purchase was organic) —
+    the classic marketing-analytics consumer of an event stream, and the
+    same "most recent prior event of another type" shape as sessionized
+    as-of enrichment.
+
+    Spelled as ONE window over the type-filtered union — last_value with
+    ignoreNulls over (unbounded, -1) — instead of a purchases×clicks
+    as-of join: a single shuffle on user_id, no join at all, and the
+    row frame guarantees strictness (a click at the purchase's exact
+    timestamp orders before it only via the unique event_id tiebreak,
+    identically on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("click_id", click_id)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("click_id").alias("attributed_click_id"),
+            "value",
+        )
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        FROM (
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY COUNT(*) DESC, o_orderpriority)
+                   AS rn
+          FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ) WHERE rn = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent o_orderpriority per status) with
+    a DECLARED tie order (count desc, value asc).  Spark's built-in
+    ``F.mode`` picks an arbitrary winner on ties — useless for an
+    engine-reproducibility contract — so this is the canonical two-level
+    spelling: map-side-combined count aggregate, then a rank-1 window
+    over the (groups × distinct values) frame, which is bounded by value
+    cardinality, not row count."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+_COMPACT_TARGET = 4096  # bytes per output bin (fixture-sized; prod ~512 MB)
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+        WITH manifest AS (
+          SELECT doc_id AS file_id, n_chars AS bytes FROM documents
+        ),
+        planned AS (
+          SELECT file_id, bytes,
+                 COALESCE(SUM(bytes) OVER (
+                   ORDER BY bytes DESC, file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cum_before
+          FROM manifest
+        )
+        SELECT file_id, bytes,
+               CAST(floor(cum_before / {_COMPACT_TARGET}) AS BIGINT) AS bin
+        FROM planned
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: assign every file in a manifest
+    (stand-in: one row per document, n_chars as bytes) to a rewrite bin of
+    ~{target} bytes by next-fit-decreasing over the cumulative size — the
+    housekeeping pass that keeps a streamed-into parquet lake scannable
+    (thousands of 1 MB files → 512 MB row-group-aligned files).
+
+    Deterministic by construction: the packing order (bytes desc,
+    file_id) is total, so bin assignment is a pure function of the
+    manifest — a retried planning job emits the identical plan, which the
+    downstream rewrite relies on for idempotence.
+
+    Scale: the window is global BUT runs over the manifest (one row per
+    FILE — 100 TB / 128 MB ≈ 800k rows, a single in-memory task), never
+    over data rows; the rewrite itself would then be one
+    repartitionByRange('bin') pass over the lake (the
+    write_training_shards device).  Greedy-by-cumsum packs within one
+    file of optimal for size-sorted input and, unlike bin-sorted
+    first-fit, needs no iteration."""
+    d = load_table(spark, sf_dir, "documents")
+    manifest = d.select(
+        F.col("doc_id").alias("file_id"), F.col("n_chars").alias("bytes")
+    )
+    w = (
+        Window.orderBy(F.desc("bytes"), F.asc("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return manifest.select(
+        "file_id",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / _COMPACT_TARGET
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )

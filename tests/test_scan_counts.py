@@ -47,6 +47,12 @@ SCAN_CEILINGS = {
     "q_rolling_median": 1,  # one events scan through the bounded frame
     "q_time_weighted_avg": 1,  # single-Exchange window plan
     "q_dsir_weights_hires": 1,  # same plan as q_dsir_weights at 1024 buckets
+    # Round-4 pipeline-ops family:
+    "q_ks_drift": 0,  # per-value aggregate checkpointed; window+totals reuse it
+    "q_psi_drift": 0,  # per-bin aggregate checkpointed
+    "q_attribution": 1,  # one window over the type-filtered scan
+    "q_mode_per_group": 1,  # count aggregate + rank-1 window
+    "q_compaction_plan": 1,  # one manifest scan through the packing window
 }
 
 
