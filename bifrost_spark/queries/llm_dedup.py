@@ -247,9 +247,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_SPAN_K = 8  # tokens per gram for duplicated-span detection
 
 
-@query(
-    "q_dup_spans",
-    oracle=f"""
+_DUP_SPANS_SQL = f"""
         WITH words AS (
           SELECT doc_id,
                  list_filter(string_split(text, ' '), t -> t <> '') AS ws
@@ -287,8 +285,10 @@ DUP_SPAN_K = 8  # tokens per gram for duplicated-span detection
                CAST(MAX(pos) + {DUP_SPAN_K - 1} AS BIGINT) AS span_end,
                CAST(COUNT(*) AS BIGINT) AS n_dup_grams
         FROM lab GROUP BY doc_id, island
-    """,
-)
+    """
+
+
+@query("q_dup_spans", oracle=_DUP_SPANS_SQL)
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate-SPAN detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): find the
@@ -350,6 +350,66 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
         F.count(F.lit(1)).alias("n_dup_grams"),
     ).drop("island")
+
+
+@query(
+    "q_dup_fraction",
+    oracle=f"""
+        WITH spans AS ({_DUP_SPANS_SQL}),
+        wc AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                      AS BIGINT) AS n_words
+          FROM documents
+        )
+        SELECT w.doc_id, w.n_words,
+               CAST(COALESCE(SUM(s.span_end - s.span_start + 1), 0)
+                    AS BIGINT) AS dup_tokens,
+               CASE WHEN w.n_words = 0 THEN 0.0
+                    ELSE round(CAST(COALESCE(SUM(s.span_end - s.span_start
+                                                 + 1), 0) AS DOUBLE)
+                               / w.n_words, 9)
+               END AS dup_frac
+        FROM wc w LEFT JOIN spans s USING (doc_id)
+        GROUP BY w.doc_id, w.n_words
+    """,
+)
+def q_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication fraction — the memorization-risk score
+    built on q_dup_spans: what share of each document's tokens sits
+    inside a cross-document duplicate span.  Lee et al. 2022 report this
+    is the quantity to THRESHOLD on (drop or trim docs past ~20-30%
+    duplicated) rather than whole-doc near-dup flags, because boilerplate
+    concentrates; it is also the standard memorization-exposure proxy.
+
+    Plan: the span frame's per-doc rollup (spans are disjoint by
+    construction — gaps-and-islands merged — so summing lengths is exact
+    coverage), LEFT-joined onto the per-doc word count so never-duplicated
+    documents report 0.0 rather than vanishing.  One extra scan for the
+    word counts; dup_tokens/n_words is an integer-operand single division
+    rounded at 9 dp — engine-exact."""
+    spans = q_dup_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint")
+        .alias("dup_tokens")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    wc = d.select("doc_id", F.size(words).cast("bigint").alias("n_words"))
+    joined = wc.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+    )
+    return joined.withColumn(
+        "dup_frac",
+        F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_words"), 9
+            )
+        ),
+    )
 
 
 # Target mean cluster size: k = clamp(n / TARGET, 4, 4096) keeps the

@@ -156,14 +156,21 @@ _PSI_NBINS = 10  # values ≥ (nbins-1)·W clamp into the last bin
                       AS BIGINT) AS cb
           FROM events GROUP BY 1
         ),
-        tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM binned),
+        spine AS (
+          SELECT CAST(range AS BIGINT) AS bin FROM range({_PSI_NBINS})
+        ),
+        full_bins AS (
+          SELECT s.bin, COALESCE(b.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+          FROM spine s LEFT JOIN binned b USING (bin)
+        ),
+        tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM full_bins),
         probs AS (
           SELECT bin,
                  (2.0 * ca + 1) / (2.0 * (SELECT na FROM tot) + {_PSI_NBINS})
                    AS pa,
                  (2.0 * cb + 1) / (2.0 * (SELECT nb FROM tot) + {_PSI_NBINS})
                    AS pb
-          FROM binned
+          FROM full_bins
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
                round(CAST(SUM(CAST(round((pa - pb) * ln(pa / pb), 12)
@@ -177,6 +184,11 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the credit-risk-style drift score (PSI < 0.1 stable, > 0.25 shifted)
     that, unlike KS, weights the whole distribution rather than the
     worst point.
+
+    The sum runs over the FULL declared bin spine, not just observed bins
+    (empty bins still carry the smoothing-floor addend — PSI's textbook
+    definition, and what makes this query the exact batch oracle for the
+    streaming monitor in streaming/drift_monitor.py).
 
     Determinism: bin populations are integers; the smoothed probabilities
     are SINGLE divisions of integer-valued doubles (pa = (2·ca+1)/(2·na+B),
@@ -206,8 +218,14 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # consumed by totals AND the fold
     )
-    tot = binned.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    probs = binned.crossJoin(F.broadcast(tot)).select(
+    spine = spark.range(_PSI_NBINS).select(F.col("id").alias("bin"))
+    full_bins = spine.join(F.broadcast(binned), "bin", "left").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = full_bins.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    probs = full_bins.crossJoin(F.broadcast(tot)).select(
         "bin",
         (
             (2.0 * F.col("ca") + 1)

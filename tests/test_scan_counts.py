@@ -53,6 +53,8 @@ SCAN_CEILINGS = {
     "q_attribution": 1,  # one window over the type-filtered scan
     "q_mode_per_group": 1,  # count aggregate + rank-1 window
     "q_compaction_plan": 1,  # one manifest scan through the packing window
+    "q_dup_spans": 2,  # gram scan feeds dup build + hits probe
+    "q_dup_fraction": 3,  # span pipeline (2 scans) + word-count scan
 }
 
 
