@@ -3,10 +3,11 @@ production 100 TB training-data pipeline runs AROUND the transform queries —
 distribution-drift detection between ingest cohorts (the alarm that a crawl
 snapshot or an upstream schema change shifted the data), revenue/event
 attribution (the analytics consumer of the event stream), exact mode
-summaries, and small-file compaction planning (the storage-health chore that
-keeps a parquet lake scannable).
+summaries, small-file compaction planning (the storage-health chore that
+keeps a parquet lake scannable), multi-objective Pareto shortlisting,
+behavioral Markov transition modelling, and a Benford first-digit audit.
 
-All five are pure JVM DataFrame plans with full DuckDB oracles.  The drift
+All eight are pure JVM DataFrame plans with full DuckDB oracles.  The drift
 statistics follow the engine's determinism discipline: every cross-engine
 comparison reduces to integer arithmetic, a single IEEE division of exact
 values, or 12-dp-rounded log addends accumulated in DECIMAL (the
@@ -401,4 +402,182 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("bin"),
+    )
+
+
+@query(
+    "q_pareto_frontier",
+    oracle="""
+        WITH pts AS (
+          SELECT p_partkey, p_size,
+                 CAST(p_retailprice AS DOUBLE) AS price
+          FROM part
+        ),
+        ranked AS (
+          SELECT p_partkey, p_size, price,
+                 MIN(price) OVER (
+                   ORDER BY p_size DESC, price ASC, p_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS best_price_at_geq_size
+          FROM pts
+        )
+        SELECT p_partkey, p_size, price
+        FROM ranked
+        WHERE best_price_at_geq_size IS NULL
+           OR price < best_price_at_geq_size
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts not dominated on
+    (maximize p_size, minimize p_retailprice) — the multi-objective
+    shortlist op (biggest part for the money; for documents:
+    highest-quality at lowest duplication).
+
+    The naive spelling is a quadratic NOT EXISTS self-join; the frontier
+    is instead ONE window: scanning in (size desc, price asc) order, a
+    point survives iff its price beats the running minimum over every
+    strictly-prior point — prior points have ≥ size by the sort, so
+    "beats the running min" IS non-domination.  The tie order
+    (price asc, key asc within a size) makes equal-(size,price)
+    duplicates resolve identically on both engines: the first keeps, the
+    rest see an equal running min and drop (dominance is strict-on-one,
+    weak-on-other).  O(n log n) sort vs O(n²) probes — the difference
+    between feasible and not at 100 TB.
+
+    Scale: the window's global order is a single-partition sort of the
+    CANDIDATE set; prune first at scale (a cheap per-partition local
+    frontier — also this exact window — shrinks candidates to the
+    per-partition skylines, whose union contains the global frontier, an
+    associative reduce Catalyst can't infer but this operator
+    documents)."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey", "p_size", F.col("p_retailprice").cast("double").alias("price")
+    )
+    w = (
+        Window.orderBy(
+            F.desc("p_size"), F.asc("price"), F.asc("p_partkey")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best = F.min("price").over(w)
+    return (
+        pts.withColumn("best", best)
+        .filter(F.col("best").isNull() | (F.col("price") < F.col("best")))
+        .drop("best")
+    )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type, ts, event_id,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS next_type
+          FROM events
+        ),
+        pairs AS (
+          SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type
+        )
+        SELECT p.from_type, p.to_type, p.n,
+               round(CAST(p.n AS DOUBLE) / t.n_from, 9) AS p_next
+        FROM pairs p JOIN tot t USING (from_type)
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current type) — the behavioral model behind
+    session simulation, anomaly scoring ("this sequence was improbable"),
+    and next-action features.
+
+    ONE shuffle total: the lead() window partitions by user_id; the pair
+    count aggregate and the per-from_type margin both group tiny
+    (|types|²-bounded) frames, map-side combined; the pair frame is
+    checkpointed so the margin + join branches don't re-derive the
+    window (Catalyst does not dedup shared subtrees).  Probabilities are
+    integer-count divisions rounded at 9 dp — engine-exact.  Ties in ts
+    order by event_id, so simultaneous events give identical successor
+    chains on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # |types|² rows; margin + join reuse it
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 9).alias("p_next"),
+    )
+
+
+@query(
+    "q_benford",
+    oracle="""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS d
+          FROM orders WHERE o_totalprice >= 1
+        ),
+        obs AS (
+          SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+        ),
+        tot AS (SELECT SUM(n) AS total FROM obs)
+        SELECT d, n,
+               round(CAST(n AS DOUBLE) / (SELECT total FROM tot), 9)
+                 AS observed_p,
+               round(log10(1.0 + 1.0 / d), 9) AS benford_p
+        FROM obs
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of a money column — the
+    data-quality screen for fabricated or truncated numeric feeds
+    (natural multi-magnitude data follows P(d)=log10(1+1/d); a synthetic
+    or clipped feed does not, and this is the op that notices before the
+    model does).
+
+    First digit via integer floor → string head (no float log/pow chain,
+    which could round differently across engines at magnitude
+    boundaries); observed share is an integer division; the Benford
+    expectation log10(1+1/d) is a deterministic function of the digit
+    literal.  One map-side-combined aggregate to ≤9 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # consumed by totals AND the output
+    )
+    tot = d.agg(F.sum("n").alias("total"))
+    return d.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 9).alias(
+            "observed_p"
+        ),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 9).alias("benford_p"),
     )

@@ -55,6 +55,9 @@ SCAN_CEILINGS = {
     "q_compaction_plan": 1,  # one manifest scan through the packing window
     "q_dup_spans": 2,  # gram scan feeds dup build + hits probe
     "q_dup_fraction": 3,  # span pipeline (2 scans) + word-count scan
+    "q_pareto_frontier": 1,  # one scan through the skyline window
+    "q_markov_transitions": 0,  # |types|² pair frame checkpointed
+    "q_benford": 0,  # 9-row digit histogram checkpointed
 }
 
 
