@@ -344,7 +344,15 @@ def test_results_invariant_across_partition_counts(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     qs = registry.queries()
-    probes = ["q_agg_hash", "q_tpch08", "q_tpch14", "q_mixture_weights"]
+    probes = [
+        "q_agg_hash",
+        "q_tpch08",
+        "q_tpch14",
+        "q_mixture_weights",
+        # round-4 drift statistics: integer-arithmetic determinism claim
+        "q_ks_drift",
+        "q_psi_drift",
+    ]
     baseline = {}
     original = spark.conf.get("spark.sql.shuffle.partitions")
     try:
