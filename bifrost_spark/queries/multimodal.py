@@ -440,3 +440,91 @@ def q_multimodal_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("bigint").alias("payload_bytes"),
         F.col("label").alias("embedding_label"),
     )
+
+
+_PATCH = 8  # ViT-style square patch side
+
+_PATCH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("patch_row", LongType()),
+        StructField("patch_col", LongType()),
+        StructField("patch_md5", StringType()),
+        StructField("mean_val", DoubleType()),
+    ]
+)
+
+
+def _patch_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched ViT-style patchify: decode PPM → crop to the patch
+    grid → emit one row per non-overlapping {P}×{P} patch with its byte
+    digest and integer-exact mean intensity.  Vectorized: the raster is
+    reshaped to (rows, P, cols, P, 3) once; no per-pixel Python."""
+    import hashlib
+
+    import numpy as np
+
+    from bifrost_spark.operators.media import decode_ppm
+
+    P = _PATCH
+    for pdf in batches:
+        out = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            img = decode_ppm(bytes(payload))
+            h, w = img.shape[:2]
+            nr, nc = h // P, w // P
+            if nr == 0 or nc == 0:
+                continue  # smaller than one patch → no rows (documented)
+            grid = (
+                img[: nr * P, : nc * P]
+                .reshape(nr, P, nc, P, 3)
+                .transpose(0, 2, 1, 3, 4)  # (nr, nc, P, P, 3)
+            )
+            sums = grid.astype(np.int64).sum(axis=(2, 3, 4))
+            denom = P * P * 3
+            for r in range(nr):
+                for c in range(nc):
+                    patch = np.ascontiguousarray(grid[r, c])
+                    out.append(
+                        (
+                            mid,
+                            r,
+                            c,
+                            hashlib.md5(patch.tobytes()).hexdigest(),
+                            float(int(sums[r, c]) / denom),
+                        )
+                    )
+        yield pd.DataFrame(
+            out,
+            columns=["media_id", "patch_row", "patch_col", "patch_md5", "mean_val"],
+        )
+
+
+@query("q_multimodal_patches", oracle=None)  # decoded rasters → rows-only
+def q_multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction: every image payload decoded (REAL PPM
+    codec) and split into non-overlapping {P}×{P} patches, one output row
+    per patch with its byte digest and mean intensity — the vision
+    transformer's preprocessing contract (image → patch sequence), and
+    the unit the downstream patch-embedding matmul consumes.
+
+    Remainder pixels beyond the patch grid are cropped (the fixture
+    images are width-16 → exactly 2 patch columns; production pipelines
+    resize to a grid multiple first — q_multimodal_resize is that step).
+    Determinism: patch means come from int64 pixel sums divided once;
+    patch identity is the md5 of the raw patch bytes, so the output is
+    exact under any batching/partitioning (pinned against an independent
+    numpy reference in tests/test_media.py).
+
+    Scale: decode+patchify runs Arrow-batched in mapInPandas with the
+    same repartition-by-id discipline as q_multimodal_features — Python
+    work scales with the worker fleet; only (id, digest, mean) rows ever
+    shuffle, raster bytes stay inside the kernel."""
+    m = (
+        encoded_media_table(spark, sf_dir)
+        .filter(F.col("media_type") == "image")
+        .repartition(F.col("media_id"))
+    )
+    return m.select("media_id", "payload").mapInPandas(
+        _patch_kernel, _PATCH_SCHEMA
+    )

@@ -170,3 +170,55 @@ def test_empty_payload_decode_agrees_with_oracle(spark):
         REGISTRY["q_multimodal_decode"].oracle + " ORDER BY media_id"
     ).fetchall()
     assert [(r[0], r[3]) for r in oracle] == [(0, 1), (3, 1)]
+
+
+def test_patch_kernel_matches_numpy_reference(spark):
+    """q_multimodal_patches vs an independent from-scratch patchify: same
+    grid, same digests, same integer-exact means — and batching must not
+    matter (forced 3-row Arrow batches)."""
+    import hashlib
+
+    import numpy as np
+
+    from bifrost_spark.operators.media import decode_ppm, encode_ppm
+    from bifrost_spark.queries.multimodal import (
+        _PATCH,
+        _PATCH_SCHEMA,
+        _patch_kernel,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {
+        # (h, w): grid of (h//P, w//P); includes crop remainders and
+        # a sub-patch-size image that must emit nothing
+        1: rng.integers(0, 256, (17, 16, 3), dtype=np.uint8),
+        2: rng.integers(0, 256, (8, 24, 3), dtype=np.uint8),
+        3: rng.integers(0, 256, (5, 6, 3), dtype=np.uint8),
+        4: rng.integers(0, 256, (32, 8, 3), dtype=np.uint8),
+    }
+    src = spark.createDataFrame(
+        [(mid, bytearray(encode_ppm(img))) for mid, img in imgs.items()],
+        "media_id long, payload binary",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        got = {
+            (r.media_id, r.patch_row, r.patch_col): (r.patch_md5, r.mean_val)
+            for r in src.mapInPandas(_patch_kernel, _PATCH_SCHEMA).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    want = {}
+    P = _PATCH
+    for mid, img in imgs.items():
+        for r in range(img.shape[0] // P):
+            for c in range(img.shape[1] // P):
+                patch = img[r * P : (r + 1) * P, c * P : (c + 1) * P]
+                want[(mid, r, c)] = (
+                    hashlib.md5(np.ascontiguousarray(patch).tobytes()).hexdigest(),
+                    int(patch.astype(np.int64).sum()) / (P * P * 3),
+                )
+    assert got == want
+    assert not any(k[0] == 3 for k in got)  # sub-patch image emits nothing
