@@ -805,3 +805,133 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_log2_p"),
         )
     )
+
+
+_COLLOC_MIN_COUNT = 5
+_COLLOC_TOPK = 20
+
+
+@query(
+    "q_collocations",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS ws
+          FROM documents
+        ),
+        uni AS (
+          SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT unnest(ws) AS t FROM w) GROUP BY t
+        ),
+        big AS (
+          SELECT ws[i] AS w1, ws[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+          FROM w, UNNEST(range(1, len(ws))) AS t(i)
+          GROUP BY 1, 2
+        ),
+        tots AS (
+          SELECT (SELECT SUM(c) FROM uni) AS n,
+                 (SELECT SUM(c) FROM big) AS b
+        ),
+        scored AS (
+          SELECT b.w1, b.w2, b.c AS n_pair,
+                 round(CAST(
+                     CAST(round(log2(b.c), 12) AS DECIMAL(28,12))
+                   - CAST(round(log2((SELECT b FROM tots)), 12)
+                          AS DECIMAL(28,12))
+                   - CAST(round(log2(u1.c), 12) AS DECIMAL(28,12))
+                   - CAST(round(log2(u2.c), 12) AS DECIMAL(28,12))
+                   + 2 * CAST(round(log2((SELECT n FROM tots)), 12)
+                              AS DECIMAL(28,12))
+                   AS DOUBLE), 9) AS pmi
+          FROM big b
+          JOIN uni u1 ON u1.tok = b.w1
+          JOIN uni u2 ON u2.tok = b.w2
+          WHERE b.c >= {_COLLOC_MIN_COUNT}
+        )
+        SELECT w1, w2, n_pair, pmi FROM scored
+        ORDER BY pmi DESC, w1, w2 LIMIT {_COLLOC_TOPK}
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation (phrase) mining by pointwise mutual information
+    (Church & Hanks 1990; the word2phrase step that turns "new york" into
+    a unit before tokenizer/embedding training): top-{k} adjacent word
+    pairs by PMI = log₂[p(xy) / (p(x)p(y))], with a min-count gate
+    (rare pairs have unboundedly inflated PMI — the classic failure the
+    gate exists for).
+
+    Determinism: PMI decomposes into log₂s of INTEGER counts
+    (log₂ c_xy − log₂ B − log₂ c_x − log₂ c_y + 2·log₂ N); each term is
+    rounded to 12 dp and the sum runs in DECIMAL(28,12) (exact), so the
+    9-dp score and the (pmi desc, w1, w2) top-{k} order are
+    engine-identical.  N and B fold back as plan literals (two bounded
+    scalar collects over the checkpointed aggregates).
+
+    Scale shape: bigram construction is IN-ROW (slice+arrays_zip — no
+    window, no self-join); one shuffle each for the bigram and unigram
+    count aggregates; the two margin joins key on tokens (vocabulary
+    grows by Heaps' law — shuffle-joinable at any corpus size); top-{k}
+    is TakeOrderedAndProject, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    w = d.select(toks.alias("ws"))
+    uni = (
+        w.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # consumed by N-total + two margin joins
+    )
+    pairs = (
+        w.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                    F.slice("ws", 2, F.size("ws") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .localCheckpoint(eager=True)  # consumed by B-total + scoring
+    )
+    n_total = uni.agg(F.sum("c")).collect()[0][0]
+    b_total = big.agg(F.sum("n_pair")).collect()[0][0]
+
+    def r12(col):
+        return F.round(F.log2(col), 12).cast("decimal(28,12)")
+
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.filter(F.col("n_pair") >= _COLLOC_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                (
+                    r12(F.col("n_pair"))
+                    - r12(F.lit(int(b_total)))
+                    - r12(F.col("c1"))
+                    - r12(F.col("c2"))
+                    # 2·log2(N) spelled as two adds: a decimal PRODUCT of
+                    # two (28,12)s needs scale 24 / precision >38, which
+                    # Spark resolves by truncating the scale — addition
+                    # keeps the full 12-dp scale exactly
+                    + r12(F.lit(int(n_total)))
+                    + r12(F.lit(int(n_total)))
+                ).cast("double"),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(_COLLOC_TOPK)

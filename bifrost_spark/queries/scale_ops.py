@@ -623,3 +623,60 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.select(F.explode("top").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").alias("n")
     )
+
+
+_HH_SUPPORT = 0.005  # exact heavy-hitter support threshold
+
+
+@query(
+    "q_heavy_hitters_exact",
+    oracle=f"""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS tok
+          FROM documents
+        ),
+        counts AS (
+          SELECT tok AS item, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY tok
+        ),
+        tot AS (SELECT SUM(n) AS total FROM counts)
+        SELECT item, n
+        FROM counts
+        WHERE CAST(n AS DECIMAL(38,3)) * 1000
+                > CAST({int(_HH_SUPPORT * 1000)} AS DECIMAL(38,3))
+                  * (SELECT total FROM tot)
+    """,
+)
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters: every token whose count exceeds {s} of the
+    total token stream — the oracle-checkable twin of q_heavy_hitters'
+    approx_top_k sketch.  The sketch is the 100 TB default (bounded
+    state); this exact spelling is what validates it, and is itself
+    viable whenever the DISTINCT vocabulary fits a shuffle (true for
+    word-level tokens even at corpus scale — vocabulary grows ~Heaps'
+    law, not linearly).
+
+    The support comparison is exact integer/decimal arithmetic
+    (n·1000 > 5·total avoids any float threshold), so membership is
+    engine-identical even for counts landing exactly on the boundary.
+    One map-side-combined count shuffle; the total folds back over the
+    checkpointed counts frame — no second corpus scan."""
+    toks = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # consumed by total AND the filter
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    thousandths = int(_HH_SUPPORT * 1000)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n").cast("decimal(38,3)") * 1000
+            > F.lit(thousandths).cast("decimal(38,3)") * F.col("total")
+        )
+        .select("item", "n")
+    )

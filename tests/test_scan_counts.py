@@ -58,6 +58,8 @@ SCAN_CEILINGS = {
     "q_pareto_frontier": 1,  # one scan through the skyline window
     "q_markov_transitions": 0,  # |types|² pair frame checkpointed
     "q_benford": 0,  # 9-row digit histogram checkpointed
+    "q_collocations": 0,  # unigram + bigram aggregates checkpointed
+    "q_heavy_hitters_exact": 0,  # count frame checkpointed; total folds back
 }
 
 
