@@ -680,3 +680,100 @@ def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("item", "n")
     )
+
+
+_NEG_K = 5  # negatives to emit per user
+_NEG_DRAWS = 20  # hash draws per user (margin over positives + collisions)
+_NEG_A, _NEG_B, _NEG_M = 2654435761, 40503, 4294967296
+
+
+@query(
+    "q_negative_sampling",
+    oracle=f"""
+        WITH inter AS (
+          SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        np AS (SELECT COUNT(*) AS n_parts FROM part),
+        draws AS (
+          SELECT c_custkey,
+                 CAST(i AS BIGINT) AS i,
+                 (c_custkey * {_NEG_A} + CAST(i AS BIGINT) * {_NEG_B})
+                   % {_NEG_M} % (SELECT n_parts FROM np) AS p
+          FROM customer, UNNEST(range(0, {_NEG_DRAWS})) AS t(i)
+        ),
+        dedup AS (
+          SELECT c_custkey, p, MIN(i) AS i
+          FROM draws GROUP BY c_custkey, p
+        ),
+        neg AS (
+          SELECT d.c_custkey, d.p, d.i
+          FROM dedup d
+          WHERE NOT EXISTS (
+            SELECT 1 FROM inter x WHERE x.c = d.c_custkey AND x.p = d.p
+          )
+        )
+        SELECT c_custkey, CAST(p AS BIGINT) AS part_key,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT c_custkey, p,
+                 ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY i) AS rnk
+          FROM neg
+        ) WHERE rnk <= {_NEG_K}
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling — the contrastive/recsys training
+    step: for every customer, {K} parts they did NOT purchase, drawn
+    pseudo-randomly but REPRODUCIBLY (hash-derived draws, not rand():
+    a retried stage regenerates the identical sample — the same property
+    q_dsir_resample relies on).
+
+    The scalable spelling draws {D} hash candidates per user
+    (p = (c·A + i·B) mod M mod |catalog|), dedups collided draws
+    (keep lowest draw index), LEFT-ANTI joins the interaction set, and
+    keeps the first {K} survivors by draw order — O(D·|users|) candidate
+    rows instead of the |users|×|catalog| cross join the naive anti-join
+    spelling materializes.  Users whose interaction density eats >
+    (D−K)/D of the draws emit fewer than {K} rows (production re-draws
+    with a second hash constant; at real catalog sizes — millions — the
+    collision rate makes this a non-event).
+
+    Shapes: one shuffle for the distinct interaction pairs, one for the
+    candidate anti join (both keyed on user), a per-user rank window over
+    ≤{D} rows.  All arithmetic is int64-exact (draws bounded by
+    |users|·A + D·B < 2^63), so membership and order are
+    engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_parts = load_table(spark, sf_dir, "part").count()
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    draws = c.select(
+        "c_custkey",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(_NEG_DRAWS - 1).cast("bigint"))
+        ).alias("i"),
+    ).select(
+        "c_custkey",
+        "i",
+        (
+            (F.col("c_custkey") * _NEG_A + F.col("i") * _NEG_B)
+            % _NEG_M
+            % F.lit(int(n_parts))
+        ).alias("p"),
+    )
+    dedup = draws.groupBy("c_custkey", "p").agg(F.min("i").alias("i"))
+    neg = dedup.join(inter, ["c_custkey", "p"], "left_anti")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_custkey").orderBy("i")
+    return (
+        neg.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _NEG_K)
+        .select("c_custkey", F.col("p").cast("bigint").alias("part_key"), "rnk")
+    )

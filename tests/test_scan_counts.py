@@ -60,6 +60,7 @@ SCAN_CEILINGS = {
     "q_benford": 0,  # 9-row digit histogram checkpointed
     "q_collocations": 0,  # unigram + bigram aggregates checkpointed
     "q_heavy_hitters_exact": 0,  # count frame checkpointed; total folds back
+    "q_negative_sampling": 3,  # interactions (lineitem+orders) + customer draws
 }
 
 
