@@ -574,9 +574,7 @@ BM25_TERMS = ("vector", "hash", "scan")
 _BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
 
 
-@query(
-    "q_bm25",
-    oracle=f"""
+_BM25_SQL = f"""
         WITH t AS (
           SELECT doc_id,
                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
@@ -625,8 +623,10 @@ _BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
                  AS rnk
         FROM scored
         ORDER BY rnk LIMIT 20
-    """,
-)
+    """
+
+
+@query("q_bm25", oracle=_BM25_SQL)
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 document retrieval (Robertson et al., Okapi): rank the corpus
     against a fixed query-term set with the classic
@@ -935,3 +935,170 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi"), F.asc("w1"), F.asc("w2")
     ).limit(_COLLOC_TOPK)
+
+
+# Dirichlet smoothing mass for query-likelihood retrieval — fixture docs
+# average ~100 words, so mu is set to that scale (the classic heuristic:
+# mu ≈ average document length; 2000 for web-length docs).
+QLM_MU = 100.0
+
+_QLM_SQL = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, len(ws) AS dl, ws FROM t),
+        coll AS (
+          SELECT CAST(SUM(len(list_filter(ws, x -> x = 'vector'))) AS BIGINT)
+                   AS cf_vector,
+                 CAST(SUM(len(list_filter(ws, x -> x = 'hash'))) AS BIGINT)
+                   AS cf_hash,
+                 CAST(SUM(len(list_filter(ws, x -> x = 'scan'))) AS BIGINT)
+                   AS cf_scan,
+                 CAST(SUM(dl) AS BIGINT) AS total
+          FROM dl
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST((len(list_filter(ws, x -> x = 'vector')) > 0)::INT
+                      + (len(list_filter(ws, x -> x = 'hash')) > 0)::INT
+                      + (len(list_filter(ws, x -> x = 'scan')) > 0)::INT
+                      AS BIGINT) AS n_terms_matched,
+                 CAST(round(ln((len(list_filter(ws, x -> x = 'vector'))
+                                + {QLM_MU} * (cf_vector * 1.0 / total))
+                               / (dl + {QLM_MU})), 12) AS DECIMAL(28,12))
+                 + CAST(round(ln((len(list_filter(ws, x -> x = 'hash'))
+                                  + {QLM_MU} * (cf_hash * 1.0 / total))
+                                 / (dl + {QLM_MU})), 12) AS DECIMAL(28,12))
+                 + CAST(round(ln((len(list_filter(ws, x -> x = 'scan'))
+                                  + {QLM_MU} * (cf_scan * 1.0 / total))
+                                 / (dl + {QLM_MU})), 12) AS DECIMAL(28,12))
+                   AS score
+          FROM dl CROSS JOIN coll
+        )
+        SELECT doc_id, n_terms_matched,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rnk
+        FROM scored
+        ORDER BY rnk LIMIT 20
+"""
+
+
+@query("q_qlm", oracle=_QLM_SQL)
+def q_qlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte & Croft
+    1998; Zhai & Lafferty 2001) against the same fixed query-term set as
+    q_bm25: score(d) = Σ_t log[(tf + μ·p(t|C)) / (dl + μ)] — the
+    language-modelling counterpart to BM25's probabilistic ranking, and
+    the second leg of the classic hybrid-retrieval stack q_rrf_fusion
+    combines.
+
+    Same scan-local shape as q_bm25: per-term tf via array-filter
+    expressions (no explode), collection frequencies and total length as
+    ONE scalar aggregate folded back as plan literals, global top-20 via
+    TakeOrderedAndProject.  Smoothing means every document scores (a
+    no-match doc gets pure background mass) — ranks are still total via
+    the doc_id tiebreak.
+
+    Determinism: tf/dl/cf/total are exact integers; μ·cf/total and the
+    final ratio are short chains of IEEE ops on identical operands; each
+    per-term addend rounds at 12 dp into DECIMAL(28,12) (order-free
+    sum) — the q_bm25 discipline exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "").alias("ws"),
+    ).select("doc_id", "ws", F.size("ws").alias("dl"))
+
+    def _count_of(term: str):
+        return F.size(F.filter("ws", lambda x: x == F.lit(term)))
+
+    tf = toks.select(
+        "doc_id", "dl", *[_count_of(t).alias(f"tf_{t}") for t in BM25_TERMS]
+    )
+    stats = tf.agg(
+        F.sum("dl").alias("total"),
+        *[F.sum(f"tf_{t}").alias(f"cf_{t}") for t in BM25_TERMS],
+    ).first()
+    total = int(stats["total"])
+
+    def addend(t: str) -> Column:
+        bg = QLM_MU * (float(int(stats[f"cf_{t}"])) * 1.0 / float(total))
+        return F.round(
+            F.log(
+                (F.col(f"tf_{t}") + F.lit(bg)) / (F.col("dl") + F.lit(QLM_MU))
+            ),
+            12,
+        ).cast("decimal(28,12)")
+
+    scored = tf.select(
+        "doc_id",
+        sum((F.col(f"tf_{t}") > 0).cast("int") for t in BM25_TERMS)
+        .cast("bigint")
+        .alias("n_terms_matched"),
+        sum(addend(t) for t in BM25_TERMS).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_terms_matched",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+        WITH bm AS ({_BM25_SQL}),
+        qm AS ({_QLM_SQL}),
+        fused AS (
+          SELECT COALESCE(bm.doc_id, qm.doc_id) AS doc_id,
+                 bm.rnk AS bm25_rnk,
+                 qm.rnk AS qlm_rnk,
+                 COALESCE(1.0 / ({RRF_K} + bm.rnk), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + qm.rnk), 0.0) AS rrf
+          FROM bm FULL OUTER JOIN qm ON bm.doc_id = qm.doc_id
+        )
+        SELECT doc_id, bm25_rnk, qlm_rnk,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                 AS fused_rnk
+        FROM fused
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the BM25 and
+    query-likelihood rankings: rrf(d) = Σ_r 1/(k + rank_r(d)), k={k} —
+    the standard hybrid-retrieval combiner (in production: lexical BM25
+    fused with the ANN cosine ranking; here both legs are
+    oracle-checkable, which a float-cosine leg would not be).
+
+    Rank lists are tiny (top-20 each) so the fusion is a broadcast-size
+    full outer join; all the heavy lifting happened inside the two
+    retrieval plans.  rrf is a sum of at most two exact-operand
+    divisions — deterministic — and stays OUT of the output; the fused
+    rank with doc_id tiebreak is what's compared."""
+    bm = q_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("bm25_rnk")
+    )
+    qm = q_qlm(spark, sf_dir).select("doc_id", F.col("rnk").alias("qlm_rnk"))
+    fused = bm.join(qm, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rnk",
+        "qlm_rnk",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("bm25_rnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("qlm_rnk")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return fused.select(
+        "doc_id",
+        "bm25_rnk",
+        "qlm_rnk",
+        F.row_number().over(w).cast("bigint").alias("fused_rnk"),
+    )

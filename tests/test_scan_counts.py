@@ -61,6 +61,8 @@ SCAN_CEILINGS = {
     "q_collocations": 0,  # unigram + bigram aggregates checkpointed
     "q_heavy_hitters_exact": 0,  # count frame checkpointed; total folds back
     "q_negative_sampling": 3,  # interactions (lineitem+orders) + customer draws
+    "q_qlm": 1,  # scan-local tf; cf/total fold back as literals
+    "q_rrf_fusion": 2,  # one scan per retrieval leg (BM25 + QLM)
 }
 
 
