@@ -130,6 +130,12 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_ccnet_bucket",  # inherits unigram_surprisal's 1-row total join
         "q_dsir_weights",  # 1-row (Nr, Nt) smoothing-total broadcast
         "q_dsir_resample",  # reuses the q_dsir_weights frame
+        # round-4 drift/audit ops: 1-row cohort/bin/digit TOTALS broadcast
+        # onto a bounded aggregate frame — the same scalar-join shape
+        "q_ks_drift",
+        "q_psi_drift",
+        "q_benford",
+        "q_heavy_hitters_exact",
     }
     offenders = {}
     for name, fn in sorted(registry.queries().items()):
