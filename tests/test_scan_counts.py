@@ -63,6 +63,7 @@ SCAN_CEILINGS = {
     "q_negative_sampling": 3,  # interactions (lineitem+orders) + customer draws
     "q_qlm": 1,  # scan-local tf; cf/total fold back as literals
     "q_rrf_fusion": 2,  # one scan per retrieval leg (BM25 + QLM)
+    "q_jaccard_ppjoin": 0,  # canonical-order frame checkpointed; 3 consumers
 }
 
 
