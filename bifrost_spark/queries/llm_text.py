@@ -1102,3 +1102,50 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qlm_rnk",
         F.row_number().over(w).cast("bigint").alias("fused_rnk"),
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle="""
+        WITH w AS (
+          SELECT lang,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                      AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 9)
+                 AS chars_per_token
+        FROM w GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (chars per token under the
+    whitespace stand-in tokenizer) — the mixing-time diagnostic: a
+    language whose fertility is 2× pays 2× the sequence length for the
+    same text, which skews any token-budgeted mixture (the reason
+    mixture weights are set in tokens, not documents — see
+    q_mixture_weights).  Swap the splitter for a real BPE via
+    q_token_count's regex to get production numbers.
+
+    Scan-local measures + one tiny groupBy(lang); the ratio is one
+    integer-operand division rounded at 9 dp — engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
+    w = d.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 9
+        ).alias("chars_per_token"),
+    )

@@ -777,3 +777,41 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _NEG_K)
         .select("c_custkey", F.col("p").cast("bigint").alias("part_key"), "rnk")
     )
+
+
+_EMBARGO_T1 = "2024-01-20 00:00:00"  # train/test boundary
+_EMBARGO_T2 = "2024-01-22 00:00:00"  # test starts after the embargo gap
+
+
+@query(
+    "q_temporal_split",
+    oracle=f"""
+        SELECT event_id,
+               CASE WHEN ts < TIMESTAMP '{_EMBARGO_T1}' THEN 'train'
+                    ELSE 'test' END AS split
+        FROM events
+        WHERE ts < TIMESTAMP '{_EMBARGO_T1}'
+           OR ts >= TIMESTAMP '{_EMBARGO_T2}'
+    """,
+)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an EMBARGO gap (the time-series CV
+    discipline, e.g. de Prado 2018 §7): train strictly before T1, test
+    strictly from T2, rows inside [T1, T2) dropped entirely — the guard
+    against look-ahead leakage through labels/features whose computation
+    windows straddle the boundary (a plain date split leaks whenever a
+    feature aggregates a trailing window).
+
+    Contrast with q_dataset_split (hash-random, exchangeable data) and
+    q_dataset_split_grouped (leakage via group identity): temporal +
+    embargo is the correct split whenever rows are a time series.  Pure
+    pushed-down filter + literal CASE — scan speed, zero shuffle, and
+    the split is a pure function of the timestamp (reproducible on any
+    cluster, trivially)."""
+    e = load_table(spark, sf_dir, "events")
+    t1 = F.lit(_EMBARGO_T1).cast("timestamp")
+    t2 = F.lit(_EMBARGO_T2).cast("timestamp")
+    return e.filter((F.col("ts") < t1) | (F.col("ts") >= t2)).select(
+        "event_id",
+        F.when(F.col("ts") < t1, "train").otherwise("test").alias("split"),
+    )

@@ -64,6 +64,8 @@ SCAN_CEILINGS = {
     "q_qlm": 1,  # scan-local tf; cf/total fold back as literals
     "q_rrf_fusion": 2,  # one scan per retrieval leg (BM25 + QLM)
     "q_jaccard_ppjoin": 0,  # canonical-order frame checkpointed; 3 consumers
+    "q_temporal_split": 1,  # pushed-down filter, zero shuffle
+    "q_tokenizer_fertility": 1,  # scan-local measures + tiny lang groupBy
 }
 
 
