@@ -75,10 +75,14 @@ HEADLINE = [
     "q_bm25",
     "q_dsir_weights",
     "q_dedup_incremental",
-    # round-4 additions: drift monitoring, attribution, compaction planning
+    # round-4 additions: drift monitoring, attribution, compaction
+    # planning, exact similarity join, collocations, hybrid retrieval
     "q_ks_drift",
     "q_attribution",
     "q_compaction_plan",
+    "q_jaccard_ppjoin",
+    "q_collocations",
+    "q_qlm",
 ]
 
 

@@ -630,9 +630,9 @@ def q_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines; jacc is one int/int division rounded
     at 9 dp.
 
-    Scale: three shuffles (shingle df count, canonical re-sort,
-    candidate join) + one id-keyed join carrying each set array once
-    into verification.  Prefix order matters: ASCENDING df puts the
+    Scale: four shuffles (doc-spread repartition, the tok-keyed df
+    window, the per-doc canonical re-sort, the candidate join) + the
+    id-keyed verify joins carrying each 8-byte-hash set array once.  Prefix order matters: ASCENDING df puts the
     rarest shingles in prefixes, so a boilerplate shingle shared by a
     million docs never generates candidates unless it's someone's
     rarest — the property that kills the hub-blowup the df-cap spelling
@@ -640,21 +640,45 @@ def q_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
     base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= PP_GRAM)
+    # shingles travel as 8-byte multi-arg xxhash64 of the token tuple —
+    # no gram string is ever built or shuffled (the q_dup_spans device;
+    # identical output to the string-keyed oracle modulo 2⁻⁶⁴ collisions,
+    # the family's accepted hash-identity risk).  The canonical order's
+    # df tie-break differs between hash and string keys, but ANY global
+    # total order satisfies the prefix pigeonhole, and verification is
+    # exact on full sets — candidate sets may differ, the verified pair
+    # set cannot.
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("ws") - (PP_GRAM - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("ws", (i + j).cast("int")) for j in range(PP_GRAM)]
+            lambda i: F.xxhash64(
+                *[F.element_at("ws", (i + j).cast("int")) for j in range(PP_GRAM)]
             ),
         )
     )
-    sets = base.select("doc_id", grams.alias("toks"))
+    # Two measured plan hazards shape this derivation (17.5 → 3 s at
+    # sf0.1 combined):
+    # * repartition the doc-level frame before shingling — gram
+    #   construction is CPU-bound string work and a small corpus file
+    #   arrives as ONE input split (the whole pipeline serialized on
+    #   1 of 32 cores); same parallelism-vs-layout device as
+    #   q_multimodal_features' repartition(media_id).
+    # * explode the gram EXPRESSION directly — materializing it as an
+    #   aliased column first makes Catalyst push the Generate's implicit
+    #   size(toks)>0 filter BELOW the exchange, re-evaluating the entire
+    #   gram transform a second time inside the single scan task.
+    # df via count-over-window instead of groupBy+join-back: ONE
+    # derivation of the gram pipeline and one tok-keyed shuffle, where
+    # the join spelling derived the explode twice (Catalyst does not
+    # dedup shared subtrees) and shuffled twice.
+    from pyspark.sql.window import Window
 
-    # global canonical order: ascending shingle df, ties by shingle text
-    tok = sets.select("doc_id", F.explode("toks").alias("tok"))
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tok = base.repartition(F.col("doc_id")).select(
+        "doc_id", F.explode(grams).alias("tok")
+    )
+    wdf = Window.partitionBy("tok")
     ordered = (
-        tok.join(freq, "tok")
+        tok.withColumn("df", F.count(F.lit(1)).over(wdf))
         .groupBy("doc_id")
         .agg(
             F.transform(
