@@ -136,3 +136,49 @@ def test_ks_matches_reference_formula(spark):
     got = registry.queries()["q_ks_drift"](spark, SF).first()
     assert math.isclose(got["ks_d"], best, abs_tol=1e-9)
     assert got["n_a"] == len(a) and got["n_b"] == len(b)
+
+
+# ---------------------------------------------------------------------------
+# PPJoin ≡ brute-force Jaccard on random corpora — guards the optimized
+# spelling (hashed shingles, prefix pruning, positional plan hazards): the
+# verified pair set must equal the naive definition on adversarial inputs
+
+
+_vocab = [f"w{i}" for i in range(12)]
+_doc = st.lists(st.sampled_from(_vocab), min_size=3, max_size=14).map(" ".join)
+
+
+def _brute_ppjoin(texts):
+    def shingles(t):
+        ws = [w for w in t.lower().split(" ") if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts) if shingles(t)}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter * 2 >= union:
+                out[(a, b)] = inter
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=2, max_size=12))
+def test_ppjoin_equals_brute_force(spark, tmp_path_factory, texts):
+    d = tmp_path_factory.mktemp("pp")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    rows = registry.queries()["q_jaccard_ppjoin"](spark, str(d)).collect()
+    got = {(r["id_a"], r["id_b"]): r["n_common"] for r in rows}
+    assert got == _brute_ppjoin(texts)
