@@ -795,3 +795,83 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double") / F.col("d"), 9).alias("twa"),
         )
     )
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) * 100
+                      AS DECIMAL(38,0)) AS xc
+          FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT event_type, xc AS x,
+                 LEAD(xc) OVER (PARTITION BY event_type ORDER BY d) AS y
+          FROM daily
+        ),
+        m AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)),
+                     9) AS lag1_autocorr
+        FROM m
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's DAILY value series —
+    the time-series persistence diagnostic (is today's volume predictive
+    of tomorrow's?) behind seasonality checks and anomaly baselines.
+
+    Determinism end to end in integers: daily sums accumulate in
+    DECIMAL and convert to exact CENTS integers (×100, DECIMAL(38,0));
+    the lag pairs come from lead() over the (type, day) order (unique —
+    no tie ambiguity); all five moments are integer sums of integer
+    products in DECIMAL(38,0) (int64 would overflow: Σx² ~ (daily
+    cents)²·days ≈ 10¹⁵ at sf0.1 and grows with SF); the Pearson
+    formula converts the three exact co-moments to double at the very
+    END (one conversion + one sqrt + one division, correctly rounded on
+    both engines; output rounded at 9 dp).
+
+    Scale: one shuffle to (type, day) — the series frame is calendar-
+    bounded, tiny forever; one window + one moment aggregate over it."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(28,6)")) * 100)
+        .cast("decimal(38,0)")
+        .alias("xc")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = daily.select(
+        "event_type",
+        F.col("xc").alias("x"),
+        F.lead("xc").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / den, 9).alias("lag1_autocorr"),
+    )

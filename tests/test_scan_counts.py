@@ -66,6 +66,7 @@ SCAN_CEILINGS = {
     "q_jaccard_ppjoin": 0,  # canonical-order frame checkpointed; 3 consumers
     "q_temporal_split": 1,  # pushed-down filter, zero shuffle
     "q_tokenizer_fertility": 1,  # scan-local measures + tiny lang groupBy
+    "q_autocorr": 1,  # one (type, day) aggregate feeds window + moments
 }
 
 
