@@ -148,6 +148,19 @@ def start_archive(spark: SparkSession, cfg: ArchiveConfig) -> StreamingQuery:
     manifest suppresses duplicate files (stronger than the reference's
     at-least-once)."""
     src = apply_topic_filter(build_source(spark, cfg), cfg)
+    # In-flight quality counters via Spark's observe() API — evaluated
+    # DURING the sink write (no second pass over the batch), surfaced per
+    # micro-batch in progress.observedMetrics and forwarded to StatsD by
+    # MetricsListener (A20 twin: the reference meters message rates and
+    # empty-payload counts in telemetry.clj; here the plan itself counts)
+    src = src.observe(
+        "archive_quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("value").isNull() | (F.length("value") == 0)).alias(
+            "n_empty_payloads"
+        ),
+        F.sum(F.coalesce(F.length("value"), F.lit(0))).alias("payload_bytes"),
+    )
     if cfg.sink_partitions:
         src = src.repartition(cfg.sink_partitions, "topic", "partition")
     return (

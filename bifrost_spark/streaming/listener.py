@@ -58,6 +58,13 @@ class MetricsListener(StreamingQueryListener):
             self._emit("bifrost.rows.input_per_sec", rps)
         for name, ms in (p.get("durationMs") or {}).items():
             self._emit(f"bifrost.batch.{name.lower()}_ms", ms)
+        # observe()-collected in-flight quality counters (archive.py):
+        # {observation_name: {metric: value}} — emitted under
+        # bifrost.observed.<observation>.<metric>
+        for obs_name, metrics in (p.get("observedMetrics") or {}).items():
+            for mname, mval in (metrics or {}).items():
+                if isinstance(mval, (int, float)):
+                    self._emit(f"bifrost.observed.{obs_name}.{mname}", mval)
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         self._emit("bifrost.query.terminated", 1)

@@ -411,3 +411,69 @@ def test_build_source_kafka_contract(spark, monkeypatch):
     build_source(spark, cfg)
     assert captured["options"]["startingOffsets"] == """{"t":{"0":42}}"""
     assert captured["options"]["maxOffsetsPerTrigger"] == "500"
+
+
+def test_observed_quality_metrics_reach_listener(spark, staged_messages, tmp_path):
+    """A20 via Spark's observe() API: the archive plan counts rows, empty
+    payloads, and payload bytes IN-FLIGHT (no second pass); the listener
+    reads progress.observedMetrics and (with StatsD configured) emits
+    bifrost.observed.* gauges.  Ground truth recomputed from the staged
+    input."""
+    import socket as sk
+
+    from pyspark.sql import functions as F
+
+    rx = sk.socket(sk.AF_INET, sk.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5)
+    port = rx.getsockname()[1]
+    in_path, n_msgs = staged_messages
+    listener = MetricsListener(statsd_host="127.0.0.1", statsd_port=port)
+    spark.streams.addListener(listener)
+    try:
+        cfg = ArchiveConfig(
+            output_path=str(tmp_path / "out"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            source="file",
+            input_path=in_path,
+            rotation_interval_secs=1,
+        )
+        q = start_archive(spark, cfg)
+        q.processAllAvailable()
+        q.stop()
+
+        # observed metrics live in the listener's progress history;
+        # Python listeners are fed from an async queue, so poll
+        seen = {}
+        for _ in range(100):
+            seen = {}
+            for p in listener.progress:
+                for name, metrics in (p.get("observedMetrics") or {}).items():
+                    for k, v in (metrics or {}).items():
+                        seen[f"{name}.{k}"] = seen.get(f"{name}.{k}", 0) + v
+            if seen.get("archive_quality.n_rows"):
+                break
+            time.sleep(0.1)
+        src = spark.read.parquet(in_path)
+        want_rows = src.count()
+        want_bytes = src.select(
+            F.sum(F.coalesce(F.length("value"), F.lit(0)))
+        ).first()[0]
+        assert seen.get("archive_quality.n_rows") == want_rows
+        assert seen.get("archive_quality.payload_bytes") == want_bytes
+        assert seen.get("archive_quality.n_empty_payloads") == 0
+
+        # and at least one observed gauge went out over StatsD
+        got_obs = False
+        for _ in range(200):
+            try:
+                line = rx.recvfrom(2048)[0].decode()
+            except sk.timeout:
+                break
+            if line.startswith("bifrost.observed.archive_quality."):
+                got_obs = True
+                break
+        assert got_obs
+    finally:
+        spark.streams.removeListener(listener)
+        rx.close()
