@@ -581,3 +581,60 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.log10(1.0 + 1.0 / F.col("d")), 9).alias("benford_p"),
     )
+
+
+@query(
+    "q_seasonal_baseline",
+    oracle="""
+        WITH prof AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS expected
+          FROM events GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS BIGINT) AS hr,
+               e.value,
+               round(p.expected, 9) AS expected,
+               round(e.value - p.expected, 9) AS residual
+        FROM events e
+        JOIN prof p ON p.event_type = e.event_type
+                   AND p.hr = hour(e.ts)
+    """,
+)
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal baseline + residual: each event's value against its
+    (event_type, hour-of-day) mean — the first-order seasonality model
+    behind ops anomaly detection ("is 3 am error volume unusual FOR
+    3 am?"); the residual column is what a threshold/zscore alarm
+    consumes, and subtracting the profile is the classic de-seasonalizing
+    pre-step before drift stats like q_ks_drift.
+
+    The profile is a (types × 24)-row aggregate — decimal-exact mean
+    (dsum/count single division) — broadcast back onto the events scan:
+    one map-side-combined shuffle for the profile, zero shuffle for the
+    scoring join.  residual = one IEEE subtraction of deterministic
+    operands, rounded 9 dp."""
+    e = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("bigint")
+    prof = (
+        e.groupBy(F.col("event_type"), hr.alias("hr"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("expected")
+        )
+        .localCheckpoint(eager=True)  # tiny; scoring join must not rescan
+    )
+    return (
+        e.select("event_id", "event_type", hr.alias("hr"), "value")
+        .join(F.broadcast(prof), ["event_type", "hr"])
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            "value",
+            F.round("expected", 9).alias("expected"),
+            F.round(F.col("value") - F.col("expected"), 9).alias("residual"),
+        )
+    )

@@ -67,6 +67,7 @@ SCAN_CEILINGS = {
     "q_temporal_split": 1,  # pushed-down filter, zero shuffle
     "q_tokenizer_fertility": 1,  # scan-local measures + tiny lang groupBy
     "q_autocorr": 1,  # one (type, day) aggregate feeds window + moments
+    "q_seasonal_baseline": 1,  # profile checkpointed; one scoring scan
 }
 
 
