@@ -638,3 +638,59 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") - F.col("expected"), 9).alias("residual"),
         )
     )
+
+
+@query(
+    "q_behavior_entropy",
+    oracle="""
+        WITH c AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT user_id, SUM(n) AS nt, CAST(COUNT(*) AS BIGINT) AS n_types
+          FROM c GROUP BY user_id
+        )
+        SELECT c.user_id, t.n_types,
+               CAST(t.nt AS BIGINT) AS n_events,
+               round(CAST(SUM(CAST(round(
+                   -(c.n * 1.0 / t.nt) * log2(c.n * 1.0 / t.nt), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE), 9) AS type_entropy
+        FROM c JOIN tot t USING (user_id)
+        GROUP BY c.user_id, t.n_types, t.nt
+    """,
+)
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy: Shannon entropy of each user's
+    event-type distribution — the diversity feature separating one-note
+    bots (entropy ≈ 0) from organic users, and a standard input to
+    engagement scoring and bot filtering.
+
+    Determinism (the engine's entropy discipline, cf. q_entropy): type
+    shares are single divisions of exact integers, each −p·log₂p addend
+    rounds at 12 dp into DECIMAL(28,12) (order-free sum), output at
+    9 dp.  Shape: two exchanges — the (user, type) map-side-combined
+    count shuffle and the user-keyed margin window; the final aggregate
+    reuses the window's partitioning (plan-verified: 2 Exchanges, 1
+    scan).  All frames bounded by users × types."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("user_id")
+    withtot = c.select(
+        "user_id",
+        "n",
+        F.sum("n").over(w).alias("nt"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_types"),
+    )
+    p = F.col("n") * 1.0 / F.col("nt")
+    addend = F.round(-p * F.log2(p), 12).cast("decimal(28,12)")
+    return withtot.groupBy("user_id", "n_types", "nt").agg(
+        F.round(F.sum(addend).cast("double"), 9).alias("type_entropy")
+    ).select(
+        "user_id",
+        "n_types",
+        F.col("nt").cast("bigint").alias("n_events"),
+        "type_entropy",
+    )

@@ -68,6 +68,7 @@ SCAN_CEILINGS = {
     "q_tokenizer_fertility": 1,  # scan-local measures + tiny lang groupBy
     "q_autocorr": 1,  # one (type, day) aggregate feeds window + moments
     "q_seasonal_baseline": 1,  # profile checkpointed; one scoring scan
+    "q_behavior_entropy": 1,  # one count shuffle + user margin window
 }
 
 
