@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bifrost_spark.queries._util import hash_bucket, sql_hash_bucket
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -693,4 +694,79 @@ def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         F.col("nt").cast("bigint").alias("n_events"),
         "type_entropy",
+    )
+
+
+@query(
+    "q_split_balance",
+    oracle=f"""
+        WITH tagged AS (
+          SELECT label,
+                 CASE WHEN {sql_hash_bucket("CAST(vec_id AS VARCHAR)", 2)} = 0
+                      THEN 'a' ELSE 'b' END AS side
+          FROM embeddings
+        ),
+        cells AS (
+          SELECT label, side, CAST(COUNT(*) AS BIGINT) AS o
+          FROM tagged GROUP BY 1, 2
+        ),
+        margins AS (
+          SELECT c.label, c.side, c.o,
+                 SUM(c.o) OVER (PARTITION BY c.label) AS row_tot,
+                 SUM(c.o) OVER (PARTITION BY c.side) AS col_tot,
+                 SUM(c.o) OVER () AS n
+          FROM cells c
+        )
+        SELECT CAST(COUNT(DISTINCT label) - 1 AS BIGINT) AS dof,
+               CAST(MIN(n) AS BIGINT) AS n_rows,
+               round(CAST(SUM(CAST(round(
+                   (o - row_tot * col_tot * 1.0 / n)
+                   * (o - row_tot * col_tot * 1.0 / n)
+                   / (row_tot * col_tot * 1.0 / n), 12) AS DECIMAL(28,12)))
+                   AS DOUBLE), 9) AS chi2
+        FROM margins
+    """,
+)
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit: chi-square homogeneity of the LABEL
+    distribution between the two halves of an md5-hash split of the
+    embedding corpus — the check that a "random" split didn't skew the
+    classes (the companion audit to q_dataset_split /
+    q_dataset_split_grouped; a skewed split silently biases every
+    downstream eval).  Low chi² vs dof ⇒ balanced.
+
+    Determinism: cell counts and margins are exact integers; each
+    expected value e = row·col/n is a short chain of exact-operand IEEE
+    ops, each (o−e)²/e addend rounds at 12 dp into DECIMAL(28,12)
+    (order-free), output at 9 dp.  The split side comes from
+    _util.hash_bucket (md5, engine-portable) — the same split is
+    recomputed identically by any engine, retry, or cluster size.
+
+    Shape: one (label, side) count shuffle to a (labels × 2)-cell frame;
+    margins are windows over that bounded frame."""
+    e = load_table(spark, sf_dir, "embeddings")
+    side = F.when(
+        hash_bucket(F.col("vec_id").cast("string"), 2) == 0, "a"
+    ).otherwise("b")
+    cells = (
+        e.select("label", side.alias("side"))
+        .groupBy("label", "side")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    margins = cells.select(
+        "label",
+        "side",
+        "o",
+        F.sum("o").over(Window.partitionBy("label")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("side")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    addend = F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 12).cast(
+        "decimal(28,12)"
+    )
+    return margins.agg(
+        (F.count_distinct("label") - 1).cast("bigint").alias("dof"),
+        F.min("n").cast("bigint").alias("n_rows"),
+        F.round(F.sum(addend).cast("double"), 9).alias("chi2"),
     )

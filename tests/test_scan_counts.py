@@ -69,6 +69,7 @@ SCAN_CEILINGS = {
     "q_autocorr": 1,  # one (type, day) aggregate feeds window + moments
     "q_seasonal_baseline": 1,  # profile checkpointed; one scoring scan
     "q_behavior_entropy": 1,  # one count shuffle + user margin window
+    "q_split_balance": 1,  # one (label, side) count; margins over 2L cells
 }
 
 
