@@ -359,9 +359,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAIN_MAX = 400  # vec_id < 400 train, >= 400 test
 
 
-@query(
-    "q_knn_eval",
-    oracle=f"""
+_KNN_EVAL_SQL = f"""
         WITH nrm AS (
           SELECT vec_id, embedding, label,
                  CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
@@ -391,8 +389,10 @@ TRAIN_MAX = 400  # vec_id < 400 train, >= 400 test
         )
         SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
         FROM best GROUP BY true_label, pred_label
-    """,
-)
+    """
+
+
+@query("q_knn_eval", oracle=_KNN_EVAL_SQL)
 def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN classifier evaluation: predict each test vector's label
     (vec_id ≥ {TRAIN_MAX}) from its exact-cosine nearest train neighbor,
@@ -833,3 +833,100 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.row_number().over(w).cast("bigint").alias("rnk"),
     ).filter(F.col("rnk") <= TOP_K)
+
+
+@query(
+    "q_classifier_report",
+    oracle=f"""
+        WITH cm AS ({_KNN_EVAL_SQL}),
+        classes AS (
+          SELECT true_label AS label FROM cm
+          UNION SELECT pred_label FROM cm
+        ),
+        m AS (
+          SELECT c.label,
+                 COALESCE((SELECT SUM(n) FROM cm
+                           WHERE true_label = c.label
+                             AND pred_label = c.label), 0) AS tp,
+                 COALESCE((SELECT SUM(n) FROM cm
+                           WHERE pred_label = c.label
+                             AND true_label <> c.label), 0) AS fp,
+                 COALESCE((SELECT SUM(n) FROM cm
+                           WHERE true_label = c.label
+                             AND pred_label <> c.label), 0) AS fn
+          FROM classes c
+        )
+        SELECT label,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               round(CASE WHEN tp + fp = 0 THEN 0.0
+                          ELSE tp * 1.0 / (tp + fp) END, 9) AS precision_v,
+               round(CASE WHEN tp + fn = 0 THEN 0.0
+                          ELSE tp * 1.0 / (tp + fn) END, 9) AS recall_v,
+               round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                          ELSE 2.0 * tp / (2 * tp + fp + fn) END, 9) AS f1
+        FROM m
+    """,
+)
+def q_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 from the 1-NN confusion matrix
+    (q_knn_eval) — the evaluation report every embedding/classifier
+    pipeline ends with, run entirely in the engine.
+
+    F1 is computed as 2·tp/(2·tp+fp+fn) — algebraically 2PR/(P+R) but a
+    SINGLE division of exact integers, so no intermediate float feeds
+    another division (engine-exact without rounding games).  Zero-support
+    classes report 0.0 by convention.
+
+    The confusion matrix is |labels|² rows, checkpointed so the three
+    margin aggregations don't re-run the KNN pipeline (Catalyst does not
+    dedup shared subtrees)."""
+    cm = q_knn_eval(spark, sf_dir).localCheckpoint(eager=True)
+    classes = (
+        cm.select(F.col("true_label").alias("label"))
+        .union(cm.select("pred_label"))
+        .distinct()
+    )
+    tp = cm.filter(F.col("true_label") == F.col("pred_label")).select(
+        F.col("true_label").alias("label"), F.col("n").alias("tp")
+    )
+    fp = (
+        cm.filter(F.col("true_label") != F.col("pred_label"))
+        .groupBy(F.col("pred_label").alias("label"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        cm.filter(F.col("true_label") != F.col("pred_label"))
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    m = (
+        classes.join(tp, "label", "left")
+        .join(fp, "label", "left")
+        .join(fn, "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("bigint").alias("fn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") * 1.0 / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") * 1.0 / (F.col("tp") + F.col("fn"))
+    )
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    return m.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 9).alias("precision_v"),
+        F.round(rec, 9).alias("recall_v"),
+        F.round(f1, 9).alias("f1"),
+    )
