@@ -815,3 +815,79 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(F.col("ts") < t1, "train").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+        WITH c AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+          SELECT n,
+                 ROW_NUMBER() OVER (ORDER BY n, o_custkey) AS i,
+                 COUNT(*) OVER () AS k,
+                 SUM(n) OVER () AS tot
+          FROM c
+        )
+        SELECT CAST(MIN(k) AS BIGINT) AS n_keys,
+               CAST(MIN(tot) AS BIGINT) AS n_rows,
+               CAST(MAX(n) AS BIGINT) AS max_n,
+               CAST(MAX(CASE WHEN i = CAST((k + 1) / 2 AS BIGINT)
+                             THEN n END) AS BIGINT) AS median_n,
+               round(CAST(MAX(n) AS DOUBLE)
+                     / MAX(CASE WHEN i = CAST((k + 1) / 2 AS BIGINT)
+                                THEN n END), 9) AS skew_ratio,
+               round(CAST(SUM(CAST((2 * i - k - 1)
+                                   AS DECIMAL(38,0)) * n) AS DOUBLE)
+                     / (MIN(k) * CAST(MIN(tot) AS DOUBLE)), 9) AS gini
+        FROM r
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for orders.o_custkey — the DETECTOR
+    paired with q_join_skew_salted's fixer: per-key row counts reduced to
+    the numbers a capacity planner reads before a big join — max key
+    size, exact median key size (lower-middle rank — integer-exact, no
+    percentile interpolation), their ratio (the "how many salts do I
+    need" number), and the Gini coefficient of the key-size distribution
+    (0 = uniform, →1 = one hub key owns the table).
+
+    Gini via the rank identity G = Σ(2i−k−1)·x₍ᵢ₎ / (k·Σx) over the
+    ascending counts — an INTEGER numerator (DECIMAL(38,0): rank×count
+    products overflow int64 beyond ~10⁹ keys), one final division.
+
+    Shape: one map-side-combined count shuffle to the distinct-key
+    frame; the rank window runs over that frame (|keys|, not |rows| —
+    same bounded-frame argument as q_ks_drift), with a unique (n, key)
+    order so ranks are engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wr = Window.orderBy("n", "o_custkey")
+    r = c.select(
+        "n",
+        F.row_number().over(wr).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("k"),
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("tot"),
+    )
+    med = F.max(
+        F.when(F.col("i") == ((F.col("k") + 1) / 2).cast("bigint"), F.col("n"))
+    )
+    gini_num = F.sum(
+        (2 * F.col("i") - F.col("k") - 1).cast("decimal(38,0)") * F.col("n")
+    )
+    return r.agg(
+        F.min("k").alias("n_keys"),
+        F.min("tot").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        med.cast("bigint").alias("median_n"),
+        F.round(F.max("n").cast("double") / med, 9).alias("skew_ratio"),
+        F.round(
+            gini_num.cast("double")
+            / (F.min("k") * F.min("tot").cast("double")),
+            9,
+        ).alias("gini"),
+    )
