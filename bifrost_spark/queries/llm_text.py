@@ -1149,3 +1149,81 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("n_tokens"), 9
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "q_vocab_growth",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS t
+          FROM documents
+        ),
+        mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+        first_seen AS (
+          SELECT t, MIN(doc_id) AS first_doc FROM tok GROUP BY t
+        ),
+        tok_dec AS (
+          SELECT CAST(floor(doc_id * 10.0 / (SELECT m FROM mx)) AS BIGINT) AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM tok GROUP BY 1
+        ),
+        voc_dec AS (
+          SELECT CAST(floor(first_doc * 10.0 / (SELECT m FROM mx)) AS BIGINT) AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_new_types
+          FROM first_seen GROUP BY 1
+        )
+        SELECT t.decile,
+               CAST(SUM(t.n_tokens) OVER (ORDER BY t.decile) AS BIGINT)
+                 AS tokens_cum,
+               CAST(SUM(COALESCE(v.n_new_types, 0)) OVER (ORDER BY t.decile)
+                    AS BIGINT) AS vocab_cum
+        FROM tok_dec t LEFT JOIN voc_dec v USING (decile)
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct token types
+    vs cumulative tokens after each doc_id decile of the corpus — the
+    tokenizer-sizing diagnostic (how fast does the type inventory still
+    grow? when does a fixed vocab stop paying?) and the sanity check
+    that a "new" crawl drop actually adds novel language.
+
+    The expanding-distinct is NOT computed as a distinct-over-prefix
+    (quadratic): each type contributes at its FIRST-occurrence decile
+    (one min-per-token aggregate), and the curve is a running sum over
+    the 10-row decile frame — the same first-occurrence trick as
+    incremental dedup.  All counts integers; one token shuffle for the
+    min, one scan-local decile aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded scalar
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+        ).alias("t"),
+    )
+    # explicit floor: DuckDB CAST(float AS BIGINT) rounds-to-nearest
+    # while Spark cast truncates — floor() is the portable spelling
+    decile_of = lambda c: F.floor(F.col(c) * 10.0 / m).cast("bigint")  # noqa: E731
+    tok_dec = toks.groupBy(decile_of("doc_id").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    voc_dec = first_seen.groupBy(decile_of("first_doc").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_types")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_dec.join(voc_dec, "decile", "left")
+        .select(
+            "decile",
+            F.col("n_tokens"),
+            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+        )
+        .select(
+            "decile",
+            F.sum("n_tokens").over(w).cast("bigint").alias("tokens_cum"),
+            F.sum("n_new_types").over(w).cast("bigint").alias("vocab_cum"),
+        )
+    )

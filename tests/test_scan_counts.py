@@ -72,6 +72,7 @@ SCAN_CEILINGS = {
     "q_split_balance": 1,  # one (label, side) count; margins over 2L cells
     "q_classifier_report": 0,  # confusion matrix checkpointed; 3 margins reuse
     "q_skew_report": 1,  # one count shuffle; windows over the key frame
+    "q_vocab_growth": 2,  # token-decile + first-occurrence aggregates
 }
 
 
