@@ -770,3 +770,94 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("bigint").alias("n_rows"),
         F.round(F.sum(addend).cast("double"), 9).alias("chi2"),
     )
+
+
+_ANOM_K = 20
+
+
+@query(
+    "q_top_anomalies",
+    oracle=f"""
+        WITH prof AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sxx
+          FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS BIGINT) AS hr,
+                 e.value,
+                 round((e.value - p.sx / p.n)
+                       / sqrt((p.n * p.sxx - p.sx * p.sx) / (p.n * p.n)),
+                       9) AS z
+          FROM events e
+          JOIN prof p ON p.event_type = e.event_type
+                     AND p.hr = hour(e.ts)
+          WHERE p.n >= 2 AND p.n * p.sxx > p.sx * p.sx
+        )
+        SELECT event_id, event_type, hr, value, z,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY abs(z) DESC, event_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= {_ANOM_K}
+    """,
+)
+def q_top_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} seasonal anomalies: the events most deviant from their
+    (event_type, hour-of-day) cohort in population z-score terms — the
+    ranked alarm feed on top of q_seasonal_baseline's profile (a fixed
+    3σ gate is vacuous on bounded-support fixture data; ranking is the
+    threshold-free spelling that always surfaces the worst offenders).
+
+    Determinism: the per-cohort moments are decimal-exact (value and
+    value² are ≤4-dp money products — inside the dsum contract); mean
+    and σ are short chains of exact-operand IEEE ops; z rounds at 9 dp
+    and the top-{k} order ties on event_id.  Degenerate cohorts (n<2 or
+    zero variance) are excluded on both engines by the same integer-side
+    guard.
+
+    Shape: one (type, hour) moment shuffle to a tiny checkpointed
+    profile, broadcast back onto the scan (zero-shuffle scoring), then
+    TakeOrderedAndProject for the global top-{k} — never a full sort."""
+    e = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("bigint")
+    prof = (
+        e.groupBy(F.col("event_type"), hr.alias("hr"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sx"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+        .filter(
+            (F.col("n") >= 2) & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        )
+        .localCheckpoint(eager=True)  # tiny; scoring join must not rescan
+    )
+    z = F.round(
+        (F.col("value") - F.col("sx") / F.col("n"))
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * F.col("n"))
+        ),
+        9,
+    )
+    scored = (
+        e.select("event_id", "event_type", hr.alias("hr"), "value")
+        .join(F.broadcast(prof), ["event_type", "hr"])
+        .select("event_id", "event_type", "hr", "value", z.alias("z"))
+    )
+    top = scored.orderBy(F.abs("z").desc(), F.asc("event_id")).limit(_ANOM_K)
+    w = Window.orderBy(F.abs(F.col("z")).desc(), F.asc("event_id"))
+    return top.select(
+        "event_id",
+        "event_type",
+        "hr",
+        "value",
+        "z",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )

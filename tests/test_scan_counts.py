@@ -73,6 +73,7 @@ SCAN_CEILINGS = {
     "q_classifier_report": 0,  # confusion matrix checkpointed; 3 margins reuse
     "q_skew_report": 1,  # one count shuffle; windows over the key frame
     "q_vocab_growth": 2,  # token-decile + first-occurrence aggregates
+    "q_top_anomalies": 1,  # moment profile checkpointed; one scoring scan
 }
 
 
