@@ -128,11 +128,14 @@ def write_training_shards(
     stage would re-draw and produce different files).
 
     One range-repartition shuffle on the shard id: shard ids are already
-    the dense integers 0..n_shards-1, so ``repartitionByRange`` gives
-    exactly one shard per task (hash-repartitioning murmur3(shard) %
-    n_shards would collide distinct ids into one task and leave others
-    empty — correct output, but task-level skew growing with the
-    collision count).  xxhash64 uniformity keeps shards within ~√ of
+    the dense integers 0..n_shards-1, so ``repartitionByRange`` never
+    SPLITS a shard across tasks — ``partitionBy("shard")`` therefore still
+    writes one file per shard.  (RangePartitioner samples to pick
+    boundaries, so adjacent shard ids can occasionally COALESCE into one
+    task when the sample misses a value — mild task skew, never split
+    files.  Hash-repartitioning murmur3(shard) % n_shards would be worse:
+    collisions grow with n_shards and leave tasks empty.)  xxhash64
+    uniformity keeps shards within ~√ of
     equal row counts at any scale.  Each shard is exactly one file
     (``shard=<i>/part-*``), so the trainer's file list is the shard list.
     """

@@ -702,7 +702,12 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     component flipped so its largest-|loading| coordinate is positive)
     and projections are rounded to 6 dp, far above any ulp drift.  No
     DuckDB oracle (no eigensolver in SQL); the numpy cross-check in
-    tests/test_sketch_quality.py is the local oracle."""
+    tests/test_sketch_quality.py is the local oracle.
+
+    Output shape: one flat row per (vec_id, component, loading) — scalar
+    columns only, so the driver's pandas canonicalization (which cannot
+    sort/hash array cells) gets a clean rows-only count, and per-component
+    loadings stay directly comparable across engines (VERDICT r4 item 2)."""
     from pyspark.ml.feature import PCA as MLPCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -731,16 +736,22 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         signs.append(1.0 if col[abs(col).argmax()] >= 0 else -1.0)
     sign_arr = F.array(*[F.lit(s) for s in signs])
 
-    return (
-        model.transform(feats)
-        .select(
-            "vec_id",
-            F.zip_with(
-                vector_to_array("pc"),
-                sign_arr,
-                lambda x, s: F.round(x * s, 6),
-            ).alias("pc"),
-        )
+    projected = model.transform(feats).select(
+        "vec_id",
+        F.zip_with(
+            vector_to_array("pc"),
+            sign_arr,
+            lambda x, s: F.round(x * s, 6),
+        ).alias("pc"),
+    )
+    # Flatten the k-array to scalar rows: posexplode is scan-local (no
+    # shuffle — k rows emitted per input row inside the same stage).
+    return projected.select(
+        "vec_id", F.posexplode("pc").alias("component", "loading")
+    ).select(
+        "vec_id",
+        (F.col("component") + 1).cast("bigint").alias("component"),
+        F.col("loading").cast("double").alias("loading"),
     )
 
 

@@ -43,7 +43,7 @@ _SPLIT = "2024-01-16 00:00:00"
                       AS BIGINT) AS ca,
                  CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_SPLIT}')
                       AS BIGINT) AS cb
-          FROM events GROUP BY value
+          FROM events WHERE value IS NOT NULL GROUP BY value
         ),
         cum AS (
           SELECT v,
@@ -87,11 +87,18 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous metric should quantize first, same discipline as the
     histogram family), then the cumulative window over that bounded
     frame, checkpointed so the totals pass does not rescan the fact
-    table."""
+    table.
+
+    NULL contract: NULL metric values are excluded EXPLICITLY on both
+    sides (a CDF over NULL is undefined; and unfiltered, Spark's window
+    ORDER BY sorts NULLS FIRST where DuckDB defaults NULLS LAST, so the
+    cumulative sums would silently diverge cross-engine — the filter
+    makes the parity independent of the fixture's non-null luck)."""
     e = load_table(spark, sf_dir, "events")
     split = F.lit(_SPLIT).cast("timestamp")
     pts = (
-        e.select(
+        e.filter(F.col("value").isNotNull())
+        .select(
             F.col("value").alias("v"),
             (F.col("ts") < split).cast("long").alias("a"),
         )
@@ -445,24 +452,38 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weak-on-other).  O(n log n) sort vs O(n²) probes — the difference
     between feasible and not at 100 TB.
 
-    Scale: the window's global order is a single-partition sort of the
-    CANDIDATE set; prune first at scale (a cheap per-partition local
-    frontier — also this exact window — shrinks candidates to the
-    per-partition skylines, whose union contains the global frontier, an
-    associative reduce Catalyst can't infer but this operator
-    documents)."""
+    Scale: the global window's order is a single-partition sort, so it
+    must never see the raw table.  Stage 1 applies the SAME running-min
+    window per deterministic hash bucket (pmod(xxhash64(key), 64)): a
+    bucket-local skyline keeps every global-frontier point that hashes
+    into it (a locally-dropped point is dominated by a bucket-prior point
+    that is also globally prior — identical sort keys), so the union of
+    local survivors is a superset of the global frontier sized ~64 local
+    skylines, not |part|.  Stage 2 re-runs the window globally over that
+    union for the exact answer.  The one-task stage therefore sorts
+    O(64·|frontier|) rows however large the input grows — the associative
+    skyline reduce Catalyst can't infer, spelled explicitly
+    (tests/test_plans.py pins the pre-prune between the two windows)."""
     p = load_table(spark, sf_dir, "part")
     pts = p.select(
         "p_partkey", "p_size", F.col("p_retailprice").cast("double").alias("price")
     )
-    w = (
-        Window.orderBy(
-            F.desc("p_size"), F.asc("price"), F.asc("p_partkey")
-        ).rowsBetween(Window.unboundedPreceding, -1)
+    _order = (F.desc("p_size"), F.asc("price"), F.asc("p_partkey"))
+    # Stage 1 — bucket-local frontiers (deterministic bucket, so retries
+    # replay the identical prune).
+    wl = Window.partitionBy("pid").orderBy(*_order).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    best = F.min("price").over(w)
+    local = (
+        pts.withColumn("pid", F.pmod(F.xxhash64("p_partkey"), F.lit(64)))
+        .withColumn("lbest", F.min("price").over(wl))
+        .filter(F.col("lbest").isNull() | (F.col("price") < F.col("lbest")))
+        .drop("pid", "lbest")
+    )
+    # Stage 2 — exact global skyline over the pruned union.
+    w = Window.orderBy(*_order).rowsBetween(Window.unboundedPreceding, -1)
     return (
-        pts.withColumn("best", best)
+        local.withColumn("best", F.min("price").over(w))
         .filter(F.col("best").isNull() | (F.col("price") < F.col("best")))
         .drop("best")
     )

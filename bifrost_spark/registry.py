@@ -36,71 +36,69 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The external correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order, so ordering is part of the driver contract.  Queries
 # named here are yielded first (in this order); everything else follows in
-# registration order.  Round 4 window = the 26 ids still without any driver
-# CORRECTNESS row after rounds 1-3 (the 15 round-3 additions + the 11
-# relational_ext2 stragglers), plus q_tpch22 (its r3 row was vacuously green
-# on an empty result set — de-vacuated this round, re-checked here), with the
-# remaining 23 slots re-verifying rotated-out round-1/2 greens (the
-# relational core + flagship parity ops).  Rounds-1..3 greens not named here
-# keep their standing rows and rotate to the back.
+# registration order.  Round 5 window (surface FROZEN this round — no new
+# operators, VERDICT r4 item 1): the 26 round-4 additions that have never
+# had a driver CORRECTNESS row, plus q_embedding_pca (its r4 row errored on
+# the array-typed output — flattened to scalar rows this round, re-proven
+# here), with the remaining 23 slots re-verifying the STALEST standing
+# greens (round-1 rows never re-checked since; the six r1 leftovers —
+# q_agg_approx (rows-only policy) and five scalar-function ids — rotate
+# into round 6).  Rounds-2..4 greens keep their standing rows.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Round-3 additions (no driver row yet)
-    "q_dsir_weights",
-    "q_dsir_resample",
-    "q_bm25",
-    "q_snapshot_diff",
+    # Round-4 pipeline-ops family (no driver row yet)
+    "q_ks_drift",
+    "q_psi_drift",
+    "q_attribution",
+    "q_mode_per_group",
+    "q_compaction_plan",
+    "q_pareto_frontier",
+    "q_markov_transitions",
+    "q_benford",
+    "q_seasonal_baseline",
+    "q_behavior_entropy",
+    "q_split_balance",
+    "q_top_anomalies",
+    # Round-4 text/retrieval + dedup + scale ops (no driver row yet)
+    "q_collocations",
+    "q_qlm",
+    "q_rrf_fusion",
+    "q_tokenizer_fertility",
+    "q_vocab_growth",
+    "q_dup_fraction",
+    "q_jaccard_ppjoin",
+    "q_autocorr",
+    "q_heavy_hitters_exact",
+    "q_negative_sampling",
+    "q_temporal_split",
+    "q_skew_report",
+    "q_classifier_report",
+    "q_multimodal_patches",
+    # r4 row was an err (array output) — flattened this round, re-proven
     "q_embedding_pca",
-    "q_url_dedup",
-    "q_dedup_paragraph",
-    "q_sim_ann_opq",
-    "q_dedup_incremental",
-    "q_quality_classifier",
-    "q_hard_negatives",
-    "q_lm_bigram",
-    "q_join_asof_tol",
-    "q_rolling_median",
-    "q_time_weighted_avg",
-    # relational_ext2 stragglers (no driver row yet)
-    "q_bitwise_agg",
-    "q_sliding_window",
-    "q_map_ops",
-    "q_integrity_check",
-    "q_zscore",
-    "q_feature_hash",
-    "q_profile",
-    "q_zorder",
-    "q_percent_of_total",
-    "q_lateral_topn",
-    "q_copurchase",
-    # De-vacuated this round: r3 row matched on the empty set
-    "q_tpch22",
-    # Re-verification of rotated-out greens (round-1 relational core)
-    "q_agg_hash",
-    "q_scan_events",
-    "q_filter_pushdown",
-    "q_project_expr",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_agg_distinct",
-    "q_rollup",
-    "q_cube",
-    "q_window_rank",
-    "q_window_running",
-    "q_sort_limit",
-    "q_set_ops",
-    "q_scalar_funcs",
-    "q_json_extract",
-    "q_array_ops",
-    # Re-verification of rotated-out round-2 greens (flagship parity ops)
-    "q_dedup_exact",
-    "q_sim_topk",
-    "q_text_stats",
-    # New this round: DSIR at a 1024-bucket feature space — the driver row
-    # that proves the literal-lookup spelling at paper-scale bucket counts
-    "q_dsir_weights_hires",
+    # Re-verification of the stalest greens (round-1 rows, never since)
+    "q_join_full",
+    "q_join_asof",
+    "q_join_range",
+    "q_pivot",
+    "q_grouping_sets",
+    "q_explode_tokens",
+    "q_agg_stats",
+    "q_window_range_frame",
+    "q_window_lead_lag",
+    "q_ntile",
+    "q_median",
+    "q_composite_report",
+    "q_subquery_scalar",
+    "q_udf_pandas",
+    "q_histogram",
+    "q_json_schema",
+    "q_corr",
+    "q_dedup_keep_best",
+    "q_subquery_exists",
+    "q_subquery_not_in",
+    "q_unpivot",
+    "q_window_distribution",
+    "q_cond_agg",
 )
 
 

@@ -18,7 +18,9 @@ state store, so the monitor restarts cleanly from any checkpoint.
 Determinism mirrors q_psi_drift: integer bin counts, add-half-smoothed
 probabilities as single divisions of integer-valued doubles, 12-dp-rounded
 log addends summed in DECIMAL — a retried micro-batch emits the identical
-PSI row (foreachBatch idempotence then dedups on batch_id).
+PSI row, and the sink enforces exactly-once by batch_id-partitioned
+dynamic-partition overwrite (a replayed batch rewrites its own partition;
+no reader-side dedup needed).
 """
 
 from __future__ import annotations
@@ -51,9 +53,18 @@ class ReferenceHistogram:
 
 
 def _bin_col(col: str, ref: ReferenceHistogram):
-    return F.least(
-        F.floor(F.col(col) / ref.bin_width).cast("bigint"),
-        F.lit(ref.n_bins - 1),
+    # Clamp BOTH ends: values past the top land in the last bin, negative
+    # values in bin 0 — so fit_reference and batch_psi count out-of-range
+    # data identically (unclamped, a negative bin would Python-wrap into
+    # the LAST reference bin while the live side's spine join silently
+    # dropped the same rows — inconsistent edges on a monitor whose job is
+    # catching broken feeds).
+    return F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.floor(F.col(col) / ref.bin_width).cast("bigint"),
+            F.lit(ref.n_bins - 1),
+        ),
     )
 
 
@@ -124,10 +135,17 @@ def monitor_stream(
     def _emit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # Replay-idempotent: the output is PARTITIONED by batch_id and each
+        # emit dynamically overwrites ONLY its own partition, so a crash
+        # between sink write and checkpoint commit re-runs the batch into
+        # the same batch_id=N directory instead of appending a duplicate
+        # row (exactly-once at the sink, not reader-side dedup).
         (
             batch_psi(batch, col, ref)
             .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(output_path)
         )
 

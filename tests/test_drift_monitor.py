@@ -113,3 +113,51 @@ def test_monitor_stream_end_to_end(spark, sf_dir, tmp_path, restart):
         )
         assert len(final) == 2
         assert final[-1]["alert"]
+
+
+def test_replayed_batch_overwrites_not_duplicates(spark, sf_dir, tmp_path):
+    """Crash-replay idempotence at the SINK (VERDICT r4 item 4): a crash
+    between the parquet write and the checkpoint commit replays the batch.
+    Simulated with a FRESH checkpoint over the same source+output — batch 0
+    runs again against an output that already holds its row.  The
+    batch_id-partitioned dynamic overwrite must leave exactly one row per
+    batch_id (the old append sink would have doubled it)."""
+    e = load_table(spark, sf_dir, "events")
+    ref = fit_reference(e, "value", BIN_W, NBINS)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    e.select("value").coalesce(1).write.parquet(src)
+
+    for attempt, ckpt in enumerate(["ckpt_a", "ckpt_b"]):
+        q = monitor_stream(
+            spark.readStream.schema("value double").parquet(src),
+            "value",
+            ref,
+            out,
+            str(tmp_path / ckpt),
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1, f"attempt {attempt}: {rows}"
+        assert int(rows[0]["batch_id"]) == 0
+        assert rows[0]["n_rows"] == e.count()
+
+
+def test_negative_values_count_in_edge_bin_both_sides(spark):
+    """Out-of-range values must land in the edge bins on BOTH the
+    reference fit and the live side (ADVICE r4): unclamped, a negative bin
+    Python-wrapped into the LAST reference bin while the live spine join
+    dropped the same rows — skewing PSI exactly when the feed breaks.
+    Fitting and scoring the SAME frame containing negatives must read
+    in-distribution (PSI ~ 0) with every row counted."""
+    df = spark.range(200).select(
+        (F.col("id").cast("double") * 5.0 - 100.0).alias("value")
+    )  # values in [-100, 895): 20 negative rows
+    ref = fit_reference(df, "value", BIN_W, NBINS)
+    assert ref.total == 200  # negatives counted, not wrapped/dropped
+    assert ref.counts[0] > 0
+    got = batch_psi(df, "value", ref).first()
+    assert got["n_rows"] == 200  # live side keeps the negative rows too
+    assert got["psi"] < 0.01 and not got["alert"]

@@ -328,3 +328,30 @@ def test_dedup_incremental_is_hash_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_preprune_shields_single_partition_sort(spark, sf_dir):
+    """The skyline's exact global pass needs a single-partition window, but
+    that one-task stage must NEVER sort the raw table: the bucket-local
+    frontier (same running-min window, partitioned by a deterministic hash
+    bucket) and its dominance filter must sit BELOW the SinglePartition
+    exchange, so the global sort sees only ~64 local skylines regardless of
+    input size (VERDICT r4 item 3)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_pareto_frontier")
+
+    def node_no(pattern: str) -> int:
+        m = re.search(r"\((\d+)\) [^\n]*\n(?:[^\n]+\n)*?[^\n]*" + pattern, plan)
+        assert m, f"no plan node matching {pattern!r}"
+        return int(m.group(1))
+
+    # "formatted" numbers leaves first, root last: the pid exchange and the
+    # local dominance filter must carry SMALLER node ids than the
+    # SinglePartition exchange (i.e. execute beneath it).
+    pid_exchange = node_no(r"hashpartitioning\(pid")
+    local_filter = node_no(r"isnull\(lbest")
+    global_exchange = node_no(r"SinglePartition")
+    assert pid_exchange < local_filter < global_exchange, plan
+    # both windows present: local (partitioned) + global (exact)
+    assert plan.count("windowspecdefinition") >= 2

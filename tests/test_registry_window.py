@@ -10,43 +10,42 @@ from bifrost_spark import registry
 
 WINDOW = 50
 
-# Ids with no driver CORRECTNESS row after rounds 1-3 that the round-4
-# window must cover (VERDICT r3 "Next round" item 1), plus q_tpch22 whose
-# r3 row was vacuously green on an empty result (VERDICT r3 "What's wrong"
-# item 1; de-vacuated this round).
-ROUND4_MUST_COVER = {
-    # round-3 additions
-    "q_dsir_weights",
-    "q_dsir_resample",
-    "q_bm25",
-    "q_snapshot_diff",
+# Ids with no driver CORRECTNESS row after rounds 1-4 that the round-5
+# window must cover (VERDICT r4 "Next round" item 1 — the 26 round-4
+# additions), plus q_embedding_pca whose r4 row ERRORED on the array-typed
+# output (VERDICT r4 item 2; flattened to scalar rows this round and
+# re-proven here).
+ROUND5_MUST_COVER = {
+    # round-4 pipeline-ops family
+    "q_ks_drift",
+    "q_psi_drift",
+    "q_attribution",
+    "q_mode_per_group",
+    "q_compaction_plan",
+    "q_pareto_frontier",
+    "q_markov_transitions",
+    "q_benford",
+    "q_seasonal_baseline",
+    "q_behavior_entropy",
+    "q_split_balance",
+    "q_top_anomalies",
+    # round-4 text/retrieval + dedup + scale ops
+    "q_collocations",
+    "q_qlm",
+    "q_rrf_fusion",
+    "q_tokenizer_fertility",
+    "q_vocab_growth",
+    "q_dup_fraction",
+    "q_jaccard_ppjoin",
+    "q_autocorr",
+    "q_heavy_hitters_exact",
+    "q_negative_sampling",
+    "q_temporal_split",
+    "q_skew_report",
+    "q_classifier_report",
+    "q_multimodal_patches",
+    # errored r4 row, re-proven after the flat-output fix
     "q_embedding_pca",
-    "q_url_dedup",
-    "q_dedup_paragraph",
-    "q_sim_ann_opq",
-    "q_dedup_incremental",
-    "q_quality_classifier",
-    "q_hard_negatives",
-    "q_lm_bigram",
-    "q_join_asof_tol",
-    "q_rolling_median",
-    "q_time_weighted_avg",
-    # relational_ext2 stragglers
-    "q_bitwise_agg",
-    "q_sliding_window",
-    "q_map_ops",
-    "q_integrity_check",
-    "q_zscore",
-    "q_feature_hash",
-    "q_profile",
-    "q_zorder",
-    "q_percent_of_total",
-    "q_lateral_topn",
-    "q_copurchase",
-    # de-vacuated
-    "q_tpch22",
-    # bucket-count parameterization proof (VERDICT r3 item 3)
-    "q_dsir_weights_hires",
 }
 
 
@@ -66,6 +65,24 @@ def test_window_is_check_priority_in_order():
     assert first == list(registry.CHECK_PRIORITY)
 
 
-def test_round4_targets_inside_window():
+def test_round5_targets_inside_window():
     window = set(list(registry.queries())[:WINDOW])
-    assert ROUND4_MUST_COVER <= window
+    assert ROUND5_MUST_COVER <= window
+
+
+def test_window_outputs_are_scalar_only(spark, sf_dir):
+    """The driver canonicalizes EVERY window result with pandas
+    sort_values/hash — array/map/struct cells crash it with 'unhashable
+    type' even on rows-only checks (that error, not wrong math, was
+    q_embedding_pca's r4 driver row).  Every windowed query must therefore
+    emit scalar columns only; flatten arrays to rows (posexplode) before
+    returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name in registry.CHECK_PRIORITY:
+        df = registry.queries()[name](spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

@@ -74,6 +74,11 @@ SCAN_CEILINGS = {
     "q_skew_report": 1,  # one count shuffle; windows over the key frame
     "q_vocab_growth": 2,  # token-decile + first-occurrence aggregates
     "q_top_anomalies": 1,  # moment profile checkpointed; one scoring scan
+    # Batch-parity anchors for the streaming curation flow (curate.py's
+    # Gopher gate asserts equality against q_gopher_rules; decontaminate
+    # is the batch spelling of its broadcast-anti stage):
+    "q_gopher_rules": 1,  # pure expression gate, single documents scan
+    "q_decontaminate": 3,  # bench grams + training grams + id-only join back
 }
 
 

@@ -460,7 +460,12 @@ def test_pca_matches_numpy(spark):
 
     fn = registry.queries()["q_embedding_pca"]
     rows = fn(spark, SF_DIR).collect()
-    got = {r["vec_id"]: np.array(r["pc"]) for r in rows}
+    got: dict = {}
+    for r in rows:  # flat (vec_id, component, loading) rows → per-vec arrays
+        got.setdefault(r["vec_id"], {})[r["component"]] = r["loading"]
+    got = {
+        v: np.array([comps[j] for j in sorted(comps)]) for v, comps in got.items()
+    }
 
     import duckdb
 
@@ -504,8 +509,13 @@ def test_pca_components_explain_variance_in_order(spark):
     check on the centering + projection plumbing."""
     import numpy as np
 
+    import pandas as pd
+
     fn = registry.queries()["q_embedding_pca"]
-    P = np.array([r["pc"] for r in fn(spark, SF_DIR).collect()])
+    flat = pd.DataFrame(
+        [r.asDict() for r in fn(spark, SF_DIR).collect()]
+    )
+    P = flat.pivot(index="vec_id", columns="component", values="loading").to_numpy()
     var = P.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1)), var
 
