@@ -355,3 +355,64 @@ def test_pareto_preprune_shields_single_partition_sort(spark, sf_dir):
     assert pid_exchange < local_filter < global_exchange, plan
     # both windows present: local (partitioned) + global (exact)
     assert plan.count("windowspecdefinition") >= 2
+
+
+# Every single-partition exchange a registered query is ALLOWED to plan,
+# with the bounded frame that one task actually processes.  A one-task
+# stage is only safe when its input is bounded by DESIGN (a scalar total,
+# a bin/digit spine, a distinct-value domain, a file manifest, a pruned
+# union) — never by the row count of a fact table.  Counts are ceilings on
+# "Exchange SinglePartition" occurrences in the initial executed plan.
+SINGLE_PARTITION_BUDGET = {
+    "q_ab_test": 1,  # 2-variant z-test summary (scalar aggregate)
+    "q_benford": 1,  # 9-row first-digit histogram fold
+    "q_bloom_prune": 1,  # final scalar count after the runtime filter
+    "q_ccnet_bucket": 1,  # 1-row surprisal total folded onto buckets
+    "q_compaction_plan": 1,  # window over the file MANIFEST (1 row/file)
+    "q_funnel": 3,  # three per-step scalar frontier counts
+    "q_gap_fill": 1,  # min/max spine bounds (1 row)
+    "q_heavy_hitters": 1,  # 1-row total for the support threshold
+    "q_heavy_hitters_exact": 1,  # same total on the exact twin
+    "q_integrity_check": 4,  # four table-level scalar check rows
+    "q_ks_drift": 4,  # cum-window + totals over the DISTINCT-VALUE frame
+    "q_lm_score": 1,  # 1-row corpus total
+    "q_mixture_weights": 1,  # 1-row normalizer
+    "q_pareto_frontier": 1,  # global pass over 64 bucket-local skylines
+    "q_percent_of_total": 1,  # 1-row grand total
+    "q_pipeline_e2e": 1,  # final pipeline summary row
+    "q_profile": 1,  # 3-row column-profile fold
+    "q_psi_drift": 2,  # n_bins spine + 1-row cohort totals
+    "q_skew_report": 1,  # Gini/median windows over the distinct-KEY frame
+    "q_split_balance": 1,  # chi-square margins over 2·|labels| cells
+    "q_subquery_scalar": 2,  # scalar subquery + outer total
+    "q_tpch06": 1,  # Q6 single-row revenue aggregate
+    "q_tpch11": 1,  # broadcast threshold scalar
+    "q_tpch14": 1,  # single-row promo ratio
+    "q_tpch15": 1,  # max-revenue scalar
+    "q_tpch17": 1,  # avg-quantity scalar per-key fold
+    "q_tpch19": 1,  # single-row revenue sum
+    "q_tpch20": 1,  # threshold scalar
+    "q_tpch22": 1,  # avg-balance scalar
+    "q_vocab_growth": 1,  # cumulative window over ≤10 corpus-decile rows
+}
+
+
+def test_single_partition_stages_are_bounded(spark, sf_dir):
+    """Global one-task-stage hygiene (the q_pareto_frontier failure class,
+    VERDICT r4 item 3, generalized): every registered query's plan is
+    swept for Exchange SinglePartition, and each occurrence must be in
+    SINGLE_PARTITION_BUDGET with a documented bounded frame.  A global
+    window/sort/aggregate over an UNBOUNDED (fact-table-sized) input in
+    any future operator fails here the moment it lands."""
+    offenders = {}
+    for name, fn in sorted(registry.queries().items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("Exchange SinglePartition")
+        if n > SINGLE_PARTITION_BUDGET.get(name, 0):
+            offenders[name] = (n, SINGLE_PARTITION_BUDGET.get(name, 0))
+    assert not offenders, (
+        "single-partition stages over budget (count, ceiling): "
+        f"{offenders} — if the new one-task stage processes a bounded "
+        "frame, document it in SINGLE_PARTITION_BUDGET; otherwise "
+        "pre-prune like q_pareto_frontier"
+    )

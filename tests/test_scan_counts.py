@@ -93,3 +93,182 @@ def test_executed_plan_scan_count(spark, sf_dir, name):
         f"(ceiling {SCAN_CEILINGS[name]}) — a multiply-consumed frame "
         "lost its checkpoint"
     )
+
+
+# Full-surface pin: measured executed-plan scan counts for every OTHER
+# registered query (the curated table above documents the checkpoint-fixed
+# and inherently-multi-scan cases; this one freezes the rest).  Multi-scan
+# entries here are structural, not recompute bugs: TPC-H counts equal their
+# join-table counts (q_tpch08's 8 = its 8 relations), set/intersect sides
+# each read their input, q_integrity_check audits 4 tables.  Any query
+# whose count RISES above this table lost a shared subtree to Catalyst's
+# no-dedup rule — checkpoint it or justify it in the curated table.
+FULL_SURFACE_SCANS = {
+    "q_ab_test": 1,
+    "q_agg_approx": 1,
+    "q_agg_approx_quantile": 1,
+    "q_agg_distinct": 1,
+    "q_agg_hash": 1,
+    "q_agg_stats": 1,
+    "q_array_ops": 1,
+    "q_bitwise_agg": 1,
+    "q_bloom_prune": 3,
+    "q_chunking": 1,
+    "q_cohort_retention": 2,
+    "q_collect_sorted": 2,
+    "q_commit_offsets": 1,
+    "q_composite_report": 3,
+    "q_cond_agg": 1,
+    "q_copurchase": 2,
+    "q_corr": 1,
+    "q_cube": 1,
+    "q_dataset_split": 1,
+    "q_dataset_split_grouped": 1,
+    "q_date_arith": 1,
+    "q_decontaminate_fuzzy": 2,
+    "q_dedup_cluster": 0,
+    "q_dedup_embedding": 3,
+    "q_dedup_exact": 1,
+    "q_dedup_keep_best": 1,
+    "q_dedup_minhash": 2,
+    "q_dedup_ngram_jaccard": 0,
+    "q_dedup_semantic": 1,
+    "q_dedup_simhash": 2,
+    "q_domain_cap": 1,
+    "q_embedding_norm": 1,
+    "q_embedding_quant": 1,
+    "q_entropy": 1,
+    "q_ewma": 1,
+    "q_explode_tokens": 1,
+    "q_feature_hash": 1,
+    "q_filter_pushdown": 1,
+    "q_fingerprint": 1,
+    "q_fuzzy_join": 2,
+    "q_gap_fill": 2,
+    "q_grouping_sets": 1,
+    "q_heavy_hitters": 1,
+    "q_histogram": 1,
+    "q_hll_rollup": 1,
+    "q_integrity_check": 5,
+    "q_interval_merge": 1,
+    "q_join_anti": 2,
+    "q_join_asof": 2,
+    "q_join_full": 2,
+    "q_join_inner": 2,
+    "q_join_left": 2,
+    "q_join_multiway": 4,
+    "q_join_range": 2,
+    "q_join_semi": 2,
+    "q_join_skew_salted": 2,
+    "q_json_extract": 1,
+    "q_json_schema": 1,
+    "q_knn_eval": 2,
+    "q_lang_id": 1,
+    "q_lateral_topn": 2,
+    "q_map_ops": 1,
+    "q_median": 1,
+    "q_merge_upsert": 2,
+    "q_min_max_by": 1,
+    "q_multimodal_decode": 1,
+    "q_multimodal_dedup": 1,
+    "q_multimodal_features": 1,
+    "q_multimodal_frames": 1,
+    "q_multimodal_meta": 1,
+    "q_multimodal_pair": 2,
+    "q_multimodal_patches": 1,
+    "q_multimodal_resize": 1,
+    "q_ntile": 1,
+    "q_null_semantics": 2,
+    "q_object_keys": 1,
+    "q_offset_bounds": 1,
+    "q_outlier_iqr": 2,
+    "q_pack_sequences": 1,
+    "q_partition_demux": 1,
+    "q_percent_of_total": 3,
+    "q_percentile_cont": 1,
+    "q_pii_redact": 1,
+    "q_pipeline_e2e": 1,
+    "q_pivot": 1,
+    "q_profile": 1,
+    "q_project_expr": 1,
+    "q_quality_score": 1,
+    "q_recursive_cte": 0,
+    "q_regex_extract": 1,
+    "q_repetition": 1,
+    "q_rollup": 1,
+    "q_running_distinct": 1,
+    "q_sample_mixture": 1,
+    "q_scalar_funcs": 1,
+    "q_scan_events": 1,
+    "q_scd2": 1,
+    "q_seq_pattern": 1,
+    "q_session_window": 1,
+    "q_set_ops": 6,
+    "q_sim_ann_ivf": 2,
+    "q_sim_ann_ivfpq": 3,
+    "q_sim_ann_lsh": 2,
+    "q_sim_topk": 2,
+    "q_sliding_window": 1,
+    "q_sort_limit": 1,
+    "q_sql_api": 6,
+    "q_stratified_sample": 1,
+    "q_string_agg": 2,
+    "q_subquery_exists": 2,
+    "q_subquery_not_in": 2,
+    "q_subquery_scalar": 3,
+    "q_text_stats": 1,
+    "q_tfidf": 2,
+    "q_theta_overlap": 2,
+    "q_token_count": 1,
+    "q_topic_discovery": 1,
+    "q_topic_filter": 1,
+    "q_tpch02": 5,
+    "q_tpch03": 3,
+    "q_tpch04": 2,
+    "q_tpch05": 6,
+    "q_tpch06": 1,
+    "q_tpch07": 6,
+    "q_tpch08": 8,
+    "q_tpch09": 5,
+    "q_tpch10": 4,
+    "q_tpch12": 2,
+    "q_tpch13": 2,
+    "q_tpch14": 2,
+    "q_tpch16": 2,
+    "q_tpch17": 3,
+    "q_tpch19": 2,
+    "q_tpch21": 6,
+    "q_tpch22": 3,
+    "q_tumbling_window": 1,
+    "q_udaf_pandas": 1,
+    "q_udf_pandas": 1,
+    "q_unpivot": 1,
+    "q_variant": 1,
+    "q_window_distribution": 1,
+    "q_window_lead_lag": 1,
+    "q_window_range_frame": 1,
+    "q_window_rank": 1,
+    "q_window_running": 1,
+    "q_zorder": 1,
+    "q_zscore": 2,
+}
+
+
+def test_full_surface_scan_counts(spark, sf_dir):
+    """Sweep EVERY registered query not in the curated table and compare
+    its executed-plan parquet-scan count against the frozen baseline —
+    the recompute-audit discipline (ROADMAP r3) extended from the 50-odd
+    curated ids to the whole surface."""
+    qs = registry.queries()
+    missing = sorted(set(qs) - set(SCAN_CEILINGS) - set(FULL_SURFACE_SCANS))
+    assert not missing, f"queries with no scan baseline: {missing}"
+    offenders = {}
+    for name, ceiling in sorted(FULL_SURFACE_SCANS.items()):
+        df = qs[name](spark, sf_dir)
+        df.count()
+        n = df._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
+        if n > ceiling:
+            offenders[name] = (n, ceiling)
+    assert not offenders, (
+        f"scan counts rose above baseline (count, ceiling): {offenders}"
+    )
