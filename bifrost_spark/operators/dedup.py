@@ -210,6 +210,13 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
+    # The signature frame feeds BOTH self-join sides, and Catalyst neither
+    # dedups the subtrees nor reuses the exchange (differing output aliases
+    # defeat ReuseExchange here — 2 corpus scans measured): without a
+    # checkpoint the full signature derivation (scan + shingle + 64
+    # minhashes) runs twice.  One row of 64 longs per doc — cheap to
+    # materialize, expensive to recompute at scale.
+    signatures = signatures.localCheckpoint(eager=True)
     exploded = signatures.select(
         F.col(id_col), F.col("signature"), F.explode(band_cols).alias("bb")
     ).select(id_col, "signature", "bb.band", "bb.bucket")
@@ -352,6 +359,10 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 7) -> Dat
             for c in range(n_chunks)
         ]
     )
+    # Same two-consumer shape as lsh_candidate_pairs: both self-join sides
+    # would re-derive the fingerprint (scan + token hash aggregation)
+    # without the checkpoint — 8 bytes per doc to materialize instead.
+    sim = sim.localCheckpoint(eager=True)
     ex = sim.select(F.col(id_col), "simhash", F.explode(chunks).alias("cc")).select(
         id_col, "simhash", "cc.chunk_id", "cc.chunk"
     )

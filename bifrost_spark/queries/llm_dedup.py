@@ -329,6 +329,11 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = base.select(
         "doc_id", F.explode(gram_structs).alias("g")
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    # The gram frame feeds the dup build AND the semi-join probe; Catalyst
+    # re-runs the k-hash explode for each consumer (no subtree reuse).
+    # One 16-byte-row materialization beats two derivations: 2.1 → 1.5 s
+    # at sf0.1, and one documents scan instead of two at any scale.
+    grams = grams.localCheckpoint(eager=True)
     dup = (
         grams.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))

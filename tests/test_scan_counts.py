@@ -53,8 +53,8 @@ SCAN_CEILINGS = {
     "q_attribution": 1,  # one window over the type-filtered scan
     "q_mode_per_group": 1,  # count aggregate + rank-1 window
     "q_compaction_plan": 1,  # one manifest scan through the packing window
-    "q_dup_spans": 2,  # gram scan feeds dup build + hits probe
-    "q_dup_fraction": 3,  # span pipeline (2 scans) + word-count scan
+    "q_dup_spans": 0,  # gram frame checkpointed; dup build + probe reuse it
+    "q_dup_fraction": 1,  # checkpointed span pipeline + word-count scan
     "q_pareto_frontier": 1,  # one scan through the skyline window
     "q_markov_transitions": 0,  # |types|² pair frame checkpointed
     "q_benford": 0,  # 9-row digit histogram checkpointed
@@ -125,15 +125,15 @@ FULL_SURFACE_SCANS = {
     "q_dataset_split": 1,
     "q_dataset_split_grouped": 1,
     "q_date_arith": 1,
-    "q_decontaminate_fuzzy": 2,
+    "q_decontaminate_fuzzy": 0,
     "q_dedup_cluster": 0,
     "q_dedup_embedding": 3,
     "q_dedup_exact": 1,
     "q_dedup_keep_best": 1,
-    "q_dedup_minhash": 2,
+    "q_dedup_minhash": 0,
     "q_dedup_ngram_jaccard": 0,
     "q_dedup_semantic": 1,
-    "q_dedup_simhash": 2,
+    "q_dedup_simhash": 0,
     "q_domain_cap": 1,
     "q_embedding_norm": 1,
     "q_embedding_quant": 1,
@@ -217,7 +217,7 @@ FULL_SURFACE_SCANS = {
     "q_subquery_not_in": 2,
     "q_subquery_scalar": 3,
     "q_text_stats": 1,
-    "q_tfidf": 2,
+    "q_tfidf": 1,
     "q_theta_overlap": 2,
     "q_token_count": 1,
     "q_topic_discovery": 1,
