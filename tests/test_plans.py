@@ -20,6 +20,21 @@ def _plan(spark, sf_dir, name: str) -> str:
     return buf.getvalue()
 
 
+_ALL_PLANS: dict[str, str] = {}
+
+
+def _all_plans(spark, sf_dir) -> dict[str, str]:
+    """Executed-plan text for every registered query, built once per
+    session — the two whole-surface sweeps below share this cache instead
+    of each re-building 201 plans (~2 min apiece)."""
+    if not _ALL_PLANS:
+        for name, fn in sorted(registry.queries().items()):
+            _ALL_PLANS[name] = (
+                fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            )
+    return _ALL_PLANS
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_filter_pushdown")
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
@@ -138,8 +153,7 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_heavy_hitters_exact",
     }
     offenders = {}
-    for name, fn in sorted(registry.queries().items()):
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for name, plan in _all_plans(spark, sf_dir).items():
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
@@ -405,8 +419,7 @@ def test_single_partition_stages_are_bounded(spark, sf_dir):
     window/sort/aggregate over an UNBOUNDED (fact-table-sized) input in
     any future operator fails here the moment it lands."""
     offenders = {}
-    for name, fn in sorted(registry.queries().items()):
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for name, plan in _all_plans(spark, sf_dir).items():
         n = plan.count("Exchange SinglePartition")
         if n > SINGLE_PARTITION_BUDGET.get(name, 0):
             offenders[name] = (n, SINGLE_PARTITION_BUDGET.get(name, 0))
