@@ -70,18 +70,18 @@ def test_round5_targets_inside_window():
     assert ROUND5_MUST_COVER <= window
 
 
-def test_window_outputs_are_scalar_only(spark, sf_dir):
-    """The driver canonicalizes EVERY window result with pandas
+def test_registered_outputs_are_scalar_only(spark, sf_dir):
+    """The driver canonicalizes EVERY checked result with pandas
     sort_values/hash — array/map/struct cells crash it with 'unhashable
     type' even on rows-only checks (that error, not wrong math, was
-    q_embedding_pca's r4 driver row).  Every windowed query must therefore
-    emit scalar columns only; flatten arrays to rows (posexplode) before
-    returning."""
+    q_embedding_pca's r4 driver row).  Since every registered query
+    eventually rotates into a check window, ALL of them must emit scalar
+    columns only; flatten arrays to rows (posexplode) before returning."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
-    for name in registry.CHECK_PRIORITY:
-        df = registry.queries()[name](spark, sf_dir)
+    for name, fn in registry.queries().items():
+        df = fn(spark, sf_dir)
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
