@@ -1205,18 +1205,17 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     min, one scan-local decile aggregate."""
     d = load_table(spark, sf_dir, "documents")
     m = d.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded scalar
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
-        ).alias("t"),
-    )
+    words = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
     # explicit floor: DuckDB CAST(float AS BIGINT) rounds-to-nearest
     # while Spark cast truncates — floor() is the portable spelling
     decile_of = lambda c: F.floor(F.col(c) * 10.0 / m).cast("bigint")  # noqa: E731
-    tok_dec = toks.groupBy(decile_of("doc_id").alias("decile")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
-    )
+    # token counts never need the explode: size(words) per row is
+    # scan-local, so only the first-occurrence side pays the token
+    # explode + shuffle (one exploded derivation instead of two).
+    tok_dec = d.select(
+        decile_of("doc_id").alias("decile"), F.size(words).alias("n")
+    ).groupBy("decile").agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    toks = d.select("doc_id", F.explode(words).alias("t"))
     first_seen = toks.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
     voc_dec = first_seen.groupBy(decile_of("first_doc").alias("decile")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_new_types")
