@@ -819,10 +819,12 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM pairs WHERE y IS NOT NULL GROUP BY event_type
         )
         SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-               round(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                            * CAST(n * syy - sy * sy AS DOUBLE)),
-                     9) AS lag1_autocorr
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                      * CAST(n * syy - sy * sy AS DOUBLE)),
+                               9)
+               END AS lag1_autocorr
         FROM m
     """,
 )
@@ -866,12 +868,17 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.sqrt(vx.cast("double") * vy.cast("double"))
+    # Zero-variance guard (adversarial-fuzzer finding): Pearson is
+    # undefined for a constant series (or a single pair) — Spark ANSI
+    # would throw DIVIDE_BY_ZERO where DuckDB floats to NaN/inf.  Both
+    # engines emit NULL; the integer variance test keeps the branch
+    # decision exact, and CASE short-circuits the division.
+    corr = F.when((vx > 0) & (vy > 0), F.round(num / den, 9))
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_pairs"),
-        F.round(num / den, 9).alias("lag1_autocorr"),
+        corr.alias("lag1_autocorr"),
     )

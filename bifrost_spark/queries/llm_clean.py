@@ -86,8 +86,10 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         m AS (
           SELECT doc_id,
                  CAST(len(words) AS BIGINT) AS n_words,
-                 CAST(list_sum(list_transform(words, t -> length(t)))
-                      AS DOUBLE) / len(words) AS mean_word_len,
+                 CASE WHEN len(words) > 0
+                      THEN CAST(list_sum(list_transform(words,
+                                t -> length(t))) AS DOUBLE) / len(words)
+                 END AS mean_word_len,
                  CAST(len(list_distinct(list_filter(words,
                       t -> list_contains({list(_STOPWORDS)!r}, t))))
                       AS BIGINT) AS n_stopword_kinds
@@ -120,7 +122,13 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_chars = F.aggregate(
         "words", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
     )
-    mean_wl = total_chars.cast("double") / n_words
+    # Zero-word guard (adversarial-fuzzer finding): an empty or
+    # whitespace-only crawl document has n_words = 0, and the unguarded
+    # division crashes under Spark ANSI — including the streaming twin in
+    # curate.py, where one junk doc would kill the ingest job.  NULL mean
+    # word length (matching the oracle's CASE), keep = 0 via NULL-falsy
+    # comparison.
+    mean_wl = F.when(n_words > 0, total_chars.cast("double") / n_words)
     stop_kinds = F.size(
         F.array_distinct(
             F.filter("words", lambda t: t.isin(*_STOPWORDS))

@@ -540,7 +540,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM chars WHERE ch <> '' GROUP BY doc_id, ch, n
         )
         SELECT doc_id,
-               round(-SUM((c / n) * log2(c / n)), 9) AS char_entropy,
+               -- + 0.0 canonicalizes IEEE negative zero: a single-character
+               -- doc yields -1*log2(1) = -0.0 here but +0.0 in Spark
+               round(-SUM((c / n) * log2(c / n)), 9) + 0.0 AS char_entropy,
                CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
         FROM freq
         GROUP BY doc_id
@@ -569,7 +571,8 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("c") / F.col("n")
     return freq.groupBy("doc_id").agg(
-        F.round(-F.sum(p * F.log2(p)), 9).alias("char_entropy"),
+        # + 0.0 canonicalizes IEEE -0.0 (single-char docs; fuzzer finding)
+        (F.round(-F.sum(p * F.log2(p)), 9) + F.lit(0.0)).alias("char_entropy"),
         F.count(F.lit(1)).alias("n_distinct_chars"),
     )
 
@@ -677,6 +680,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").alias("sdl"),
         *[F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}") for t in BM25_TERMS],
     ).first()
+    if not stats["n"]:  # empty corpus: nothing to rank (fuzzer finding)
+        return tf.select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_terms_matched"),
+            F.lit(0).cast("bigint").alias("rnk"),
+        ).limit(0)
     n = float(stats["n"])
     avgdl = float(stats["sdl"]) / float(stats["n"])
 
@@ -907,8 +916,12 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
         .localCheckpoint(eager=True)  # consumed by B-total + scoring
     )
-    n_total = uni.agg(F.sum("c")).collect()[0][0]
-    b_total = big.agg(F.sum("n_pair")).collect()[0][0]
+    # `or 1`: an empty corpus (or one with no bigrams) yields NULL totals;
+    # the scored frame is empty in that case whatever the literals say,
+    # but int(None)/log2(0) must not crash plan construction
+    # (adversarial-fuzzer finding).
+    n_total = uni.agg(F.sum("c")).collect()[0][0] or 1
+    b_total = big.agg(F.sum("n_pair")).collect()[0][0] or 1
 
     def r12(col):
         return F.round(F.log2(col), 12).cast("decimal(28,12)")
@@ -968,22 +981,33 @@ _QLM_SQL = f"""
           FROM dl
         ),
         scored AS (
+          -- unseen-term handling: a query term with cf = 0 has zero
+          -- smoothed mass (ln would be -inf / an error) and is DROPPED
+          -- from the sum (the ELSE-0 addend), the standard LM-retrieval
+          -- treatment; a collection with no tokens scores nothing
+          -- (WHERE total > 0)
           SELECT doc_id,
                  CAST((len(list_filter(ws, x -> x = 'vector')) > 0)::INT
                       + (len(list_filter(ws, x -> x = 'hash')) > 0)::INT
                       + (len(list_filter(ws, x -> x = 'scan')) > 0)::INT
                       AS BIGINT) AS n_terms_matched,
-                 CAST(round(ln((len(list_filter(ws, x -> x = 'vector'))
-                                + {QLM_MU} * (cf_vector * 1.0 / total))
-                               / (dl + {QLM_MU})), 12) AS DECIMAL(28,12))
-                 + CAST(round(ln((len(list_filter(ws, x -> x = 'hash'))
+                 CASE WHEN cf_vector > 0 THEN
+                   CAST(round(ln((len(list_filter(ws, x -> x = 'vector'))
+                                  + {QLM_MU} * (cf_vector * 1.0 / total))
+                                 / (dl + {QLM_MU})), 12) AS DECIMAL(28,12))
+                 ELSE CAST(0 AS DECIMAL(28,12)) END
+                 + CASE WHEN cf_hash > 0 THEN
+                   CAST(round(ln((len(list_filter(ws, x -> x = 'hash'))
                                   + {QLM_MU} * (cf_hash * 1.0 / total))
                                  / (dl + {QLM_MU})), 12) AS DECIMAL(28,12))
-                 + CAST(round(ln((len(list_filter(ws, x -> x = 'scan'))
+                 ELSE CAST(0 AS DECIMAL(28,12)) END
+                 + CASE WHEN cf_scan > 0 THEN
+                   CAST(round(ln((len(list_filter(ws, x -> x = 'scan'))
                                   + {QLM_MU} * (cf_scan * 1.0 / total))
                                  / (dl + {QLM_MU})), 12) AS DECIMAL(28,12))
+                 ELSE CAST(0 AS DECIMAL(28,12)) END
                    AS score
-          FROM dl CROSS JOIN coll
+          FROM dl CROSS JOIN coll WHERE total > 0
         )
         SELECT doc_id, n_terms_matched,
                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
@@ -1029,7 +1053,18 @@ def q_qlm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").alias("total"),
         *[F.sum(f"tf_{t}").alias(f"cf_{t}") for t in BM25_TERMS],
     ).first()
-    total = int(stats["total"])
+    total = int(stats["total"] or 0)
+    # Unseen-term handling (adversarial-fuzzer finding): a query term
+    # with cf = 0 has zero smoothed mass — ln(0) — and is DROPPED from
+    # the score (standard LM-retrieval treatment; oracle mirrors with
+    # ELSE-0 addends); an empty collection scores no documents at all.
+    present = [t for t in BM25_TERMS if int(stats[f"cf_{t}"] or 0) > 0]
+    if total == 0:
+        return tf.select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_terms_matched"),
+            F.lit(0).cast("bigint").alias("rnk"),
+        ).limit(0)
 
     def addend(t: str) -> Column:
         bg = QLM_MU * (float(int(stats[f"cf_{t}"])) * 1.0 / float(total))
@@ -1040,12 +1075,17 @@ def q_qlm(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).cast("decimal(28,12)")
 
+    score = (
+        sum(addend(t) for t in present)
+        if present
+        else F.lit(0).cast("decimal(28,12)")
+    )
     scored = tf.select(
         "doc_id",
         sum((F.col(f"tf_{t}") > 0).cast("int") for t in BM25_TERMS)
         .cast("bigint")
         .alias("n_terms_matched"),
-        sum(addend(t) for t in BM25_TERMS).alias("score"),
+        score.alias("score"),
     )
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1126,8 +1166,9 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-               round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 9)
-                 AS chars_per_token
+               CASE WHEN SUM(n_tokens) > 0
+                    THEN round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 9)
+               END AS chars_per_token
         FROM w GROUP BY lang
     """,
 )
@@ -1153,8 +1194,11 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
-        F.round(
-            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 9
+        # NULL fertility for a zero-token language (fuzzer finding):
+        # Spark ANSI throws on the division where DuckDB floats to inf
+        F.when(
+            F.sum("n_tokens") > 0,
+            F.round(F.sum("n_chars").cast("double") / F.sum("n_tokens"), 9),
         ).alias("chars_per_token"),
     )
 
@@ -1173,9 +1217,13 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT t, MIN(doc_id) AS first_doc FROM tok GROUP BY t
         ),
         tok_dec AS (
+          -- document-based (not unnest-based): a decile whose docs are all
+          -- zero-token still appears on the curve with n_tokens = 0,
+          -- matching the plan's scan-local size() aggregation
           SELECT CAST(floor(doc_id * 10.0 / (SELECT m FROM mx)) AS BIGINT) AS decile,
-                 CAST(COUNT(*) AS BIGINT) AS n_tokens
-          FROM tok GROUP BY 1
+                 CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1
         ),
         voc_dec AS (
           SELECT CAST(floor(first_doc * 10.0 / (SELECT m FROM mx)) AS BIGINT) AS decile,
@@ -1204,7 +1252,14 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental dedup.  All counts integers; one token shuffle for the
     min, one scan-local decile aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    m = d.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded scalar
+    mx = d.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    if mx is None:  # empty corpus: no curve (fuzzer finding)
+        return d.select(
+            F.lit(0).cast("bigint").alias("decile"),
+            F.lit(0).cast("bigint").alias("tokens_cum"),
+            F.lit(0).cast("bigint").alias("vocab_cum"),
+        ).limit(0)
+    m = mx + 1
     words = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
     # explicit floor: DuckDB CAST(float AS BIGINT) rounds-to-nearest
     # while Spark cast truncates — floor() is the portable spelling

@@ -65,7 +65,7 @@ _SPLIT = "2024-01-16 00:00:00"
                      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS ks_d,
                MIN(v) FILTER (WHERE d = (SELECT MAX(d) FROM diffs))
                  AS at_value
-        FROM diffs GROUP BY na, nb
+        FROM diffs WHERE na > 0 AND nb > 0 GROUP BY na, nb
     """,
 )
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,7 +93,14 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (a CDF over NULL is undefined; and unfiltered, Spark's window
     ORDER BY sorts NULLS FIRST where DuckDB defaults NULLS LAST, so the
     cumulative sums would silently diverge cross-engine — the filter
-    makes the parity independent of the fixture's non-null luck)."""
+    makes the parity independent of the fixture's non-null luck).
+
+    Degenerate cohorts: KS is undefined when either cohort is empty, and
+    the engines disagree on what x/0 does (Spark ANSI throws
+    DIVIDE_BY_ZERO; DuckDB floats to inf) — found by the adversarial
+    oracle fuzzer, not the fixture.  Both sides emit ZERO rows when
+    n_a·n_b = 0, so an empty week upstream yields "no statistic", not a
+    crashed monitoring job."""
     e = load_table(spark, sf_dir, "events")
     split = F.lit(_SPLIT).cast("timestamp")
     pts = (
@@ -120,6 +127,8 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cb").over(w).alias("cumb"),
         )
         .crossJoin(F.broadcast(tot))
+        # degenerate-cohort guard (see docstring): no rows, no statistic
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .select(
             "v",
             "na",

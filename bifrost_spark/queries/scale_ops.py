@@ -834,10 +834,13 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(MIN(k) AS BIGINT) AS n_keys,
                CAST(MIN(tot) AS BIGINT) AS n_rows,
                CAST(MAX(n) AS BIGINT) AS max_n,
-               CAST(MAX(CASE WHEN i = CAST((k + 1) / 2 AS BIGINT)
+               -- floor, not CAST: DuckDB CAST(1.5 AS BIGINT) rounds to 2
+               -- while Spark's cast truncates to 1 — divergent lower-middle
+               -- rank whenever the key count is EVEN (fuzzer finding)
+               CAST(MAX(CASE WHEN i = CAST(floor((k + 1) / 2.0) AS BIGINT)
                              THEN n END) AS BIGINT) AS median_n,
                round(CAST(MAX(n) AS DOUBLE)
-                     / MAX(CASE WHEN i = CAST((k + 1) / 2 AS BIGINT)
+                     / MAX(CASE WHEN i = CAST(floor((k + 1) / 2.0) AS BIGINT)
                                 THEN n END), 9) AS skew_ratio,
                round(CAST(SUM(CAST((2 * i - k - 1)
                                    AS DECIMAL(38,0)) * n) AS DOUBLE)
@@ -873,8 +876,14 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("k"),
         F.sum("n").over(Window.partitionBy()).cast("bigint").alias("tot"),
     )
+    # floor, not bare cast (fuzzer finding): with an EVEN key count the
+    # lower-middle rank is (k+1)/2 = x.5, which Spark's cast truncates but
+    # DuckDB's CAST rounds — floor() is the engine-portable spelling
     med = F.max(
-        F.when(F.col("i") == ((F.col("k") + 1) / 2).cast("bigint"), F.col("n"))
+        F.when(
+            F.col("i") == F.floor((F.col("k") + 1) / 2.0).cast("bigint"),
+            F.col("n"),
+        )
     )
     gini_num = F.sum(
         (2 * F.col("i") - F.col("k") - 1).cast("decimal(38,0)") * F.col("n")

@@ -49,7 +49,9 @@ def gopher_keep_predicate():
     total_chars = F.aggregate(
         words, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
     )
-    mean_wl = total_chars.cast("double") / n_words
+    # NULL (not ANSI crash) on zero-word docs — one junk crawl doc must
+    # not kill the streaming job; NULL comparisons make keep false.
+    mean_wl = F.when(n_words > 0, total_chars.cast("double") / n_words)
     stop_kinds = F.size(
         F.array_distinct(F.filter(words, lambda t: t.isin(*_STOPWORDS)))
     )

@@ -1,0 +1,280 @@
+"""Adversarial oracle-parity fuzzing for the events-based pipeline ops.
+
+The driver (and tests/test_oracle_parity.py) prove plan↔oracle parity on
+ONE fixture distribution.  These tests generate adversarial small event
+corpora — empty cohorts, single-user streams, tied timestamps, negative
+and zero metric values, types missing entirely — write them as a
+fixture-shaped events.parquet (other tables symlinked from the real
+fixture), and require the REAL registered query and its REAL DuckDB
+oracle to agree on every one.  No re-spelled "reference
+implementation" that could drift from production code: the property is
+exactly the driver's check, on inputs the fixture never exercises.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+from bifrost_spark import registry
+from oracle_harness import compare, duckdb_connection
+from conftest import SF_DIR
+
+# Generated events straddle (or miss) the 2024-01-16 cohort split used by
+# the drift queries; values include 0, negatives, and bin-edge magnitudes.
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user_id
+        st.sampled_from(EVENT_TYPES),
+        st.integers(0, 30 * 24 * 3600 - 1),  # seconds offset within 30 days
+        st.integers(-100, 50_000),  # value in cents: negatives + bin edges
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+FUZZED_QUERIES = (
+    "q_ks_drift",
+    "q_psi_drift",
+    "q_attribution",
+    "q_markov_transitions",
+    "q_seasonal_baseline",
+    "q_behavior_entropy",
+    "q_top_anomalies",
+    "q_temporal_split",
+    "q_autocorr",
+)
+
+
+def _write_fixture_dir(tmpdir: str, events) -> str:
+    """Symlink every fixture table into tmpdir, then replace events."""
+    for f in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, f), os.path.join(tmpdir, f))
+    os.unlink(os.path.join(tmpdir, "events.parquet"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # explicit arrow schema: an EMPTY pandas object column would otherwise
+    # round-trip as the `null` arrow type and load as VOID in Spark
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(events)), pa.int64()),
+            "ts": pa.array(
+                [base + pd.Timedelta(seconds=s) for _, _, s, _ in events],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _, _ in events], pa.int64()),
+            "event_type": pa.array(
+                [t for _, t, _, _ in events], pa.string()
+            ),
+            "value": pa.array(
+                [c / 100.0 for _, _, _, c in events], pa.float64()
+            ),
+            "props": pa.array(['{"k": 0}'] * len(events), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+@pytest.mark.parametrize("name", FUZZED_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(events=events_strategy)
+@example(events=[])  # empty stream
+@example(events=[(0, "click", 0, 100)])  # one cohort empty (KS guard)
+@example(events=[(0, "purchase", 0, 100)])  # organic purchase, no click
+@example(  # constant daily series: zero-variance autocorr -> NULL
+    events=[(0, "view", 0, 100), (0, "view", 86400, 100),
+            (0, "view", 172800, 100)]
+)
+def test_plan_oracle_parity_on_adversarial_events(
+    spark, tmp_path_factory, name, events
+):
+    tmpdir = _write_fixture_dir(
+        str(tmp_path_factory.mktemp("fuzz")), events
+    )
+    spark_df = registry.queries()[name](spark, tmpdir)
+    con = duckdb_connection(tmpdir)
+    try:
+        oracle_pdf = con.execute(registry.oracles()[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare(spark_df, oracle_pdf)
+    assert not problems, f"{name} diverged on {events!r}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# documents-based text ops: empty corpus, empty/whitespace-only texts,
+# unicode, single-word docs, heavy repetition, vocabulary collisions
+# ---------------------------------------------------------------------------
+
+WORDS = ("the", "of", "and", "data", "model", "x", "naïve", "Ünïcode", "a1")
+
+text_strategy = st.lists(
+    st.one_of(st.sampled_from(WORDS), st.just("")), min_size=0, max_size=12
+).map(" ".join)
+
+documents_strategy = st.lists(
+    st.tuples(
+        text_strategy,
+        st.sampled_from(("en", "de", "fr")),
+        st.sampled_from(("web", "wiki", "books")),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+DOC_QUERIES = (
+    "q_heavy_hitters_exact",
+    "q_text_stats",
+    "q_token_count",
+    "q_entropy",
+    "q_fingerprint",
+    "q_repetition",
+    "q_gopher_rules",
+    "q_collocations",
+    "q_qlm",
+    "q_tokenizer_fertility",
+    "q_vocab_growth",
+    "q_dedup_exact",
+    "q_lang_id",
+    "q_bm25",
+)
+
+
+def _write_documents_dir(tmpdir: str, docs) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, f), os.path.join(tmpdir, f))
+    os.unlink(os.path.join(tmpdir, "documents.parquet"))
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([t for t, _, _ in docs], pa.string()),
+            "lang": pa.array([l for _, l, _ in docs], pa.string()),
+            "source": pa.array([s for _, _, s in docs], pa.string()),
+            "n_chars": pa.array([len(t) for t, _, _ in docs], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "documents.parquet"))
+    return tmpdir
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(docs=documents_strategy)
+@example(docs=[])  # empty corpus (totals/avgdl/max-id guards)
+@example(docs=[("", "en", "web")])  # zero-word doc (gopher divide guard)
+@example(docs=[("x", "en", "web")])  # single-char doc (entropy -0.0)
+@example(docs=[("x", "en", "web"), ("", "de", "wiki")])  # zero-token lang
+def test_plan_oracle_parity_on_adversarial_documents(
+    spark, tmp_path_factory, name, docs
+):
+    tmpdir = _write_documents_dir(str(tmp_path_factory.mktemp("fuzzdoc")), docs)
+    spark_df = registry.queries()[name](spark, tmpdir)
+    con = duckdb_connection(tmpdir)
+    try:
+        oracle_pdf = con.execute(registry.oracles()[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare(spark_df, oracle_pdf)
+    assert not problems, f"{name} diverged on {docs!r}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# orders-based ops: tie-heavy groups, zero/tiny prices (Benford first-digit
+# edges), skewed key distributions
+# ---------------------------------------------------------------------------
+
+orders_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # o_custkey (skew-prone tiny domain)
+        st.sampled_from(("F", "O", "P")),
+        st.integers(1, 10_000_000),  # totalprice in cents (>0 like TPC-H)
+        st.integers(0, 700),  # order date offset days
+        st.sampled_from(
+            ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        ),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+ORDER_QUERIES = ("q_mode_per_group", "q_benford", "q_skew_report")
+
+
+def _write_orders_dir(tmpdir: str, orders) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, f), os.path.join(tmpdir, f))
+    os.unlink(os.path.join(tmpdir, "orders.parquet"))
+    base = pd.Timestamp("1996-01-01")
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+            "o_custkey": pa.array([c for c, _, _, _, _ in orders], pa.int64()),
+            "o_orderstatus": pa.array(
+                [s for _, s, _, _, _ in orders], pa.string()
+            ),
+            "o_totalprice": pa.array(
+                [p / 100.0 for _, _, p, _, _ in orders], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [base + pd.Timedelta(days=d) for _, _, _, d, _ in orders],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                [pr for _, _, _, _, pr in orders], pa.string()
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "orders.parquet"))
+    return tmpdir
+
+
+@pytest.mark.parametrize("name", ORDER_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(orders=orders_strategy)
+@example(orders=[])  # empty table
+@example(  # EVEN key count: the median cast-rounding divergence
+    orders=[(0, "F", 1, 0, "1-URGENT"), (0, "F", 1, 0, "1-URGENT"),
+            (1, "F", 1, 0, "1-URGENT")]
+)
+def test_plan_oracle_parity_on_adversarial_orders(
+    spark, tmp_path_factory, name, orders
+):
+    tmpdir = _write_orders_dir(str(tmp_path_factory.mktemp("fuzzord")), orders)
+    spark_df = registry.queries()[name](spark, tmpdir)
+    con = duckdb_connection(tmpdir)
+    try:
+        oracle_pdf = con.execute(registry.oracles()[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare(spark_df, oracle_pdf)
+    assert not problems, f"{name} diverged on {orders!r}: {problems}"
