@@ -217,10 +217,14 @@ _MIX_TOKEN_BUDGET = 1_000_000
     "q_mixture_weights",
     oracle=f"""
         WITH tok AS (
+          -- zero-token sources are excluded: they cannot be sampled, and
+          -- keeping them makes both the normalizer and the epochs ratio
+          -- 0/0 (fuzzer finding)
           SELECT source,
                  CAST(SUM(len(list_filter(string_split(text, ' '),
                                           t -> t <> ''))) AS BIGINT) AS n_tokens
           FROM documents GROUP BY source
+          HAVING n_tokens > 0
         ),
         powed AS (
           SELECT source, n_tokens,
@@ -257,6 +261,9 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.size(words).cast("bigint").alias("n"))
         .groupBy("source")
         .agg(F.sum("n").alias("n_tokens"))
+        # zero-token sources can't be sampled and would make the
+        # normalizer and epochs 0/0 (fuzzer finding)
+        .filter(F.col("n_tokens") > 0)
         .localCheckpoint(eager=True)
     )
     powed = tok.select(

@@ -39,16 +39,49 @@ events_strategy = st.lists(
     max_size=40,
 )
 
+# Every registered query that reads ONLY the events table and has a
+# DuckDB oracle (enumerated from load_table calls; keep in sync).
 FUZZED_QUERIES = (
-    "q_ks_drift",
-    "q_psi_drift",
+    "q_ab_test",
+    "q_agg_distinct",
     "q_attribution",
-    "q_markov_transitions",
-    "q_seasonal_baseline",
-    "q_behavior_entropy",
-    "q_top_anomalies",
-    "q_temporal_split",
     "q_autocorr",
+    "q_behavior_entropy",
+    "q_cohort_retention",
+    "q_ewma",
+    "q_filter_pushdown",
+    "q_funnel",
+    "q_interval_merge",
+    "q_join_asof",
+    "q_join_asof_tol",
+    "q_join_range",
+    "q_json_extract",
+    "q_json_schema",
+    "q_ks_drift",
+    "q_map_ops",
+    "q_markov_transitions",
+    "q_pagerank",
+    "q_pivot",
+    "q_psi_drift",
+    "q_rolling_median",
+    "q_running_distinct",
+    "q_scan_events",
+    "q_scd2",
+    "q_seasonal_baseline",
+    "q_seq_pattern",
+    "q_session_window",
+    "q_sliding_window",
+    "q_stratified_sample",
+    "q_temporal_split",
+    "q_time_weighted_avg",
+    "q_top_anomalies",
+    "q_topic_discovery",
+    "q_topic_filter",
+    "q_tumbling_window",
+    "q_variant",
+    "q_window_lead_lag",
+    "q_window_range_frame",
+    "q_window_running",
 )
 
 
@@ -86,7 +119,7 @@ def _write_fixture_dir(tmpdir: str, events) -> str:
 
 @pytest.mark.parametrize("name", FUZZED_QUERIES)
 @settings(
-    max_examples=6,
+    max_examples=4,
     deadline=None,
     derandomize=True,  # stable example set; drop to re-hunt
     suppress_health_check=list(HealthCheck),
@@ -136,21 +169,48 @@ documents_strategy = st.lists(
     max_size=12,
 )
 
+# Every registered query that reads ONLY the documents table and has a
+# DuckDB oracle (enumerated from load_table calls; keep in sync).
 DOC_QUERIES = (
-    "q_heavy_hitters_exact",
-    "q_text_stats",
-    "q_token_count",
-    "q_entropy",
-    "q_fingerprint",
-    "q_repetition",
-    "q_gopher_rules",
-    "q_collocations",
-    "q_qlm",
-    "q_tokenizer_fertility",
-    "q_vocab_growth",
-    "q_dedup_exact",
-    "q_lang_id",
     "q_bm25",
+    "q_ccnet_bucket",
+    "q_chunking",
+    "q_collocations",
+    "q_dataset_split",
+    "q_dataset_split_grouped",
+    "q_decontaminate",
+    "q_dedup_cluster",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_paragraph",
+    "q_domain_cap",
+    "q_dsir_weights_hires",
+    "q_dup_fraction",
+    "q_dup_spans",
+    "q_entropy",
+    "q_feature_hash",
+    "q_fingerprint",
+    "q_gopher_rules",
+    "q_heavy_hitters_exact",
+    "q_jaccard_ppjoin",
+    "q_lang_id",
+    "q_lm_bigram",
+    "q_lm_score",
+    "q_mixture_weights",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_pipeline_e2e",
+    "q_qlm",
+    "q_quality_score",
+    "q_repetition",
+    "q_sample_mixture",
+    "q_text_stats",
+    "q_tfidf",
+    "q_token_count",
+    "q_tokenizer_fertility",
+    "q_url_dedup",
+    "q_vocab_growth",
 )
 
 
@@ -176,7 +236,7 @@ def _write_documents_dir(tmpdir: str, docs) -> str:
 
 @pytest.mark.parametrize("name", DOC_QUERIES)
 @settings(
-    max_examples=5,
+    max_examples=4,
     deadline=None,
     derandomize=True,  # stable example set; drop to re-hunt
     suppress_health_check=list(HealthCheck),
