@@ -323,6 +323,12 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_dsum('o_totalprice', 'revenue')}
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        -- empty-relation semantics differ by engine: the SQL standard (and
+        -- DuckDB) emit the () grand-total row with n = 0 even over an empty
+        -- table; Spark's rollup/cube emit no rows.  The filter pins the
+        -- oracle to Spark's semantics — it can only remove that one
+        -- degenerate row, since every real group has n >= 1
+        HAVING COUNT(*) > 0
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,6 +347,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_dsum('o_totalprice', 'revenue')}
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        HAVING COUNT(*) > 0  -- empty-relation alignment, see q_rollup
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

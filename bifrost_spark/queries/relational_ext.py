@@ -156,6 +156,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_dsum("l_quantity", "sum_qty")}
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        HAVING COUNT(*) > 0  -- empty-relation alignment, see q_rollup
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,13 +354,19 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in sorted(counts):
         offsets[p] = acc
         acc += counts[p]
-    offset_map = F.create_map(
-        *[F.lit(x) for p in offsets for x in (p, offsets[p])]
+    # empty-table guard (fuzzer finding): F.create_map() with no entries
+    # types as map<void,void> and map()[part] fails analysis
+    offset_col = (
+        F.create_map(*[F.lit(x) for p in offsets for x in (p, offsets[p])])[
+            F.col("part")
+        ]
+        if offsets
+        else F.lit(0)
     )
 
     w = Window.partitionBy("part").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     ranked = bucketed.withColumn(
-        "r", (F.row_number().over(w) + offset_map[F.col("part")]).cast("bigint")
+        "r", (F.row_number().over(w) + offset_col).cast("bigint")
     )
     q, rem = divmod(total, 4)
     if q == 0:  # fewer rows than buckets: NTILE gives one row per bucket
@@ -703,23 +710,29 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_corr",
     oracle="""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice / 1000.0 AS DECIMAL(28,6)))
+                      AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_quantity * (l_extendedprice / 1000.0)
+                               AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                      AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST((l_extendedprice / 1000.0)
+                               * (l_extendedprice / 1000.0)
+                               AS DECIMAL(28,6))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        -- zero-variance guard: Pearson is undefined for a constant column
+        -- (or a single row per group) — NULL, identically on both engines
         SELECT l_returnflag,
-               (CAST(COUNT(*) AS DOUBLE)
-                  * CAST(SUM(CAST(l_quantity * (l_extendedprice / 1000.0) AS DECIMAL(28,6))) AS DOUBLE)
-                - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-                  * CAST(SUM(CAST(l_extendedprice / 1000.0 AS DECIMAL(28,6))) AS DOUBLE))
-               / sqrt(
-                   (CAST(COUNT(*) AS DOUBLE)
-                      * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-                    - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-                      * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE))
-                   * (CAST(COUNT(*) AS DOUBLE)
-                      * CAST(SUM(CAST((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) AS DECIMAL(28,6))) AS DOUBLE)
-                    - CAST(SUM(CAST(l_extendedprice / 1000.0 AS DECIMAL(28,6))) AS DOUBLE)
-                      * CAST(SUM(CAST(l_extendedprice / 1000.0 AS DECIMAL(28,6))) AS DOUBLE))
-                 ) AS qty_price_corr
-        FROM lineitem
-        GROUP BY l_returnflag
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN (n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+               END AS qty_price_corr
+        FROM m
     """,
 )
 def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,7 +753,12 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.sum((F.col("l_quantity") * px).cast(dec)).cast("double")
     sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec)).cast("double")
     syy = F.sum((px * px).cast(dec)).cast("double")
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    # zero-variance guard (fuzzer finding): constant column / single-row
+    # group → Pearson undefined → NULL (Spark ANSI would throw; DuckDB
+    # floats to NaN)
+    corr = F.when((vx > 0) & (vy > 0), (n * sxy - sx * sy) / F.sqrt(vx * vy))
     return li.groupBy("l_returnflag").agg(corr.alias("qty_price_corr"))
 
 

@@ -686,10 +686,13 @@ def q_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS DOUBLE) AS s2
           FROM lineitem GROUP BY l_returnflag
         )
+        -- singleton / zero-variance groups: z is undefined -> NULL
         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-               (l.l_quantity - m.s1 / m.n)
-                 / sqrt((m.n * m.s2 - m.s1 * m.s1) / (m.n * (m.n - 1)))
-                 AS qty_z
+               CASE WHEN m.n > 1 AND (m.n * m.s2 - m.s1 * m.s1) > 0
+                    THEN (l.l_quantity - m.s1 / m.n)
+                         / sqrt((m.n * m.s2 - m.s1 * m.s1)
+                                / (m.n * (m.n - 1)))
+               END AS qty_z
         FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag
     """,
 )
@@ -715,14 +718,15 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = l.join(F.broadcast(m), "l_returnflag")
     mean = F.col("s1") / F.col("n")
-    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) / (
-        F.col("n") * (F.col("n") - 1)
-    )
+    ssq = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    var = ssq / (F.col("n") * (F.col("n") - 1))
+    # singleton / zero-variance guard (fuzzer finding): z undefined → NULL
+    z = F.when((F.col("n") > 1) & (ssq > 0), (q - mean) / F.sqrt(var))
     return j.select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        ((q - mean) / F.sqrt(var)).alias("qty_z"),
+        z.alias("qty_z"),
     )
 
 
