@@ -105,6 +105,8 @@ def cosine_pair_candidates(
             f"corpus exceeds broadcast gate {max_broadcast_rows}; "
             "use the LSH-bucketed path for all-pairs at this scale"
         )
+    if not rows:  # empty corpus: a 0-row np.array is 1-D and axis=1 breaks
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -115,6 +117,8 @@ def cosine_pair_candidates(
 
         b_ids, b_mat = bc.value
         for pdf in batches:
+            if pdf.empty:  # np.stack needs at least one array
+                continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             v /= np.linalg.norm(v, axis=1, keepdims=True)
             sims = v @ b_mat.T  # |batch| × |corpus|

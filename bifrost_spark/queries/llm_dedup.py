@@ -26,7 +26,11 @@ from bifrost_spark.operators.dedup import (
     simhash64,
     simhash_near_pairs,
 )
-from bifrost_spark.operators.vectors import cosine, cosine_pair_candidates
+from bifrost_spark.operators.vectors import (
+    cosine,
+    cosine_pair_candidates,
+    norm2_fast,
+)
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -139,6 +143,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        AS DECIMAL(22,18)))
                        FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
           FROM embeddings
+          WHERE nrm2 > 0  -- zero vectors have no cosine; excluded both sides
         ),
         pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -168,7 +173,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_sim_ann_lsh) replaces it.  The raw double score is kept out of the
     compared output — decimal→double conversion differs by 1 ulp between
     engines."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # zero-norm exclusion (fuzzer finding): a zero embedding has no cosine
+    # with anything — under ANSI the division would fail the whole job on
+    # one junk vector; excluded identically in the oracle
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        norm2_fast(F.col("embedding")) > 0
+    )
     cand = cosine_pair_candidates(
         e, "vec_id", "embedding", COSINE_DUP_THRESHOLD, margin=1e-6
     )

@@ -27,6 +27,7 @@ EMB_DIM = 64
                                        AS DECIMAL(22,18)))
                        FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
           FROM embeddings
+          WHERE nrm2 > 0  -- zero vectors have no cosine; excluded both sides
         ),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -64,7 +65,12 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TOP_K+8 candidates, and only those are rescored with the exact decimal
     cosine before the final rank — so the decimal fold cost is
     O(|queries|·k), not O(|queries|·|corpus|)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # zero-norm exclusion (fuzzer finding): a zero embedding has no cosine
+    # with anything — under ANSI the division would fail the whole job on
+    # one junk vector; excluded identically in the oracle
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        norm2_fast(F.col("embedding")) > 0
+    )
     queries_df = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -123,6 +129,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
           FROM embeddings
         ), UNNEST(range(len(embedding))) AS t(pos)
+        WHERE nrm2 > 0  -- zero vectors have no unit form; excluded both sides
     """,
 )
 def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +147,11 @@ def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     below any information loss for unit components."""
     from bifrost_spark.operators.vectors import norm2
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # zero-norm exclusion (fuzzer finding): no unit form exists and the ANSI
+    # division would fail the job; excluded identically in the oracle
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        norm2_fast(F.col("embedding")) > 0
+    )
     nrm = F.sqrt(norm2(F.col("embedding")))
     return e.select(
         "vec_id",
@@ -366,6 +377,7 @@ _KNN_EVAL_SQL = f"""
                                        AS DECIMAL(22,18)))
                        FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
           FROM embeddings
+          WHERE nrm2 > 0  -- zero vectors have no cosine; excluded both sides
         ),
         scored AS (
           SELECT t.vec_id AS test_id, t.label AS true_label,
@@ -404,7 +416,10 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train side broadcast — the test scan never shuffles; the only shuffle
     is the per-test-vector argmax window.  Deterministic via the decimal
     cosine + neighbor_id tie-break; the confusion matrix is integer counts."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # zero-norm exclusion (fuzzer finding) — matches the oracle's nrm2 > 0
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        norm2_fast(F.col("embedding")) > 0
+    )
     train = F.broadcast(
         e.filter(F.col("vec_id") < TRAIN_MAX).select(
             F.col("vec_id").alias("neighbor_id"),
@@ -764,6 +779,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        AS DECIMAL(22,18)))
                        FROM UNNEST(embedding) AS u(x)) AS DOUBLE) AS nrm2
           FROM embeddings
+          WHERE nrm2 > 0  -- zero vectors have no cosine; excluded both sides
         ),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -797,7 +813,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale, swap the brute-force scan for one of the ANN paths
     (q_sim_ann_*) and apply the label filter on its shortlist — the
     per-query window and rescore stages are identical."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # zero-norm exclusion (fuzzer finding) — matches the oracle's nrm2 > 0
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        norm2_fast(F.col("embedding")) > 0
+    )
     queries_df = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),

@@ -418,7 +418,9 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT d.doc_id AS media_id,
                ['image', 'audio', 'video'][(d.doc_id % 3) + 1] AS media_type,
-               CAST(LENGTH(d.text) AS BIGINT) AS payload_bytes,
+               -- octet_length of the UTF-8 payload, not LENGTH(text):
+               -- those differ on any non-ASCII character (fuzzer finding)
+               CAST(octet_length(encode(d.text)) AS BIGINT) AS payload_bytes,
                e.label AS embedding_label
         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     """,

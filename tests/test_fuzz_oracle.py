@@ -48,6 +48,7 @@ FUZZED_QUERIES = (
     "q_autocorr",
     "q_behavior_entropy",
     "q_cohort_retention",
+    "q_commit_offsets",
     "q_ewma",
     "q_filter_pushdown",
     "q_funnel",
@@ -60,7 +61,10 @@ FUZZED_QUERIES = (
     "q_ks_drift",
     "q_map_ops",
     "q_markov_transitions",
+    "q_object_keys",
+    "q_offset_bounds",
     "q_pagerank",
+    "q_partition_demux",
     "q_pivot",
     "q_psi_drift",
     "q_rolling_median",
@@ -176,19 +180,24 @@ DOC_QUERIES = (
     "q_ccnet_bucket",
     "q_chunking",
     "q_collocations",
+    "q_compaction_plan",
     "q_dataset_split",
     "q_dataset_split_grouped",
     "q_decontaminate",
     "q_dedup_cluster",
     "q_dedup_exact",
     "q_dedup_incremental",
+    "q_dedup_keep_best",
     "q_dedup_ngram_jaccard",
     "q_dedup_paragraph",
     "q_domain_cap",
+    "q_dsir_resample",
+    "q_dsir_weights",
     "q_dsir_weights_hires",
     "q_dup_fraction",
     "q_dup_spans",
     "q_entropy",
+    "q_explode_tokens",
     "q_feature_hash",
     "q_fingerprint",
     "q_gopher_rules",
@@ -198,17 +207,24 @@ DOC_QUERIES = (
     "q_lm_bigram",
     "q_lm_score",
     "q_mixture_weights",
+    "q_multimodal_decode",
+    "q_multimodal_dedup",
+    "q_multimodal_frames",
+    "q_multimodal_meta",
+    "q_multimodal_pair",
     "q_pack_sequences",
     "q_pii_redact",
     "q_pipeline_e2e",
     "q_qlm",
     "q_quality_score",
     "q_repetition",
+    "q_rrf_fusion",
     "q_sample_mixture",
     "q_text_stats",
     "q_tfidf",
     "q_token_count",
     "q_tokenizer_fertility",
+    "q_udf_pandas",
     "q_url_dedup",
     "q_vocab_growth",
 )
@@ -379,11 +395,12 @@ RELATIONAL_QUERIES = (
     "q_corr", "q_cube", "q_date_arith", "q_gap_fill", "q_grouping_sets",
     "q_histogram", "q_integrity_check", "q_join_anti", "q_join_full",
     "q_join_inner", "q_join_left", "q_join_multiway", "q_join_semi",
-    "q_join_skew_salted", "q_median", "q_merge_upsert", "q_min_max_by",
+    "q_join_skew_salted", "q_lateral_topn", "q_median", "q_merge_upsert",
+    "q_min_max_by",
     "q_mode_per_group", "q_negative_sampling", "q_ntile",
     "q_null_semantics", "q_outlier_iqr", "q_percent_of_total",
     "q_percentile_cont", "q_profile", "q_project_expr", "q_regex_extract",
-    "q_rollup", "q_scalar_funcs", "q_set_ops", "q_skew_report",
+    "q_rollup", "q_scalar_funcs", "q_set_ops", "q_skew_report", "q_sql_api",
     "q_snapshot_diff", "q_sort_limit", "q_string_agg", "q_subquery_exists",
     "q_subquery_not_in", "q_subquery_scalar", "q_tpch02", "q_tpch03",
     "q_tpch04", "q_tpch05", "q_tpch06", "q_tpch07", "q_tpch08", "q_tpch09",
@@ -520,3 +537,178 @@ def test_plan_oracle_parity_on_adversarial_relational(
         con.close()
     problems = compare(spark_df, oracle_pdf)
     assert not problems, f"{name} diverged on {rel!r}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# embeddings-based ops: zero vectors (cosine 0/0), duplicate vectors (tied
+# similarities), constant labels (no hard negatives), empty train or test
+# side of the TRAIN_MAX split, single-vector corpora
+# ---------------------------------------------------------------------------
+
+# Rows: (is_test, label, components).  Components are small-integer
+# multiples of 1/4 → exact in float32, so cross-engine float→double casts
+# are lossless.  Dim fixed at 4 per corpus (the plans read len(embedding)).
+embeddings_strategy = st.lists(
+    st.tuples(
+        st.booleans(),  # test side (vec_id >= TRAIN_MAX) or train side
+        st.integers(0, 2),  # label
+        st.lists(st.integers(-8, 8), min_size=4, max_size=4),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+EMB_QUERIES = (
+    "q_array_ops",
+    "q_classifier_report",
+    "q_dedup_embedding",
+    "q_embedding_norm",
+    "q_embedding_quant",
+    "q_hard_negatives",
+    "q_knn_eval",
+    "q_sim_topk",
+    "q_split_balance",
+)
+
+
+def _write_embeddings_dir(tmpdir: str, rows) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, f), os.path.join(tmpdir, f))
+    os.unlink(os.path.join(tmpdir, "embeddings.parquet"))
+    # train rows take ids 0,1,2,… (ids < N_QUERIES double as the query
+    # vectors); test rows take ids 400,401,… (the TRAIN_MAX split)
+    ids, next_train, next_test = [], 0, 400
+    for is_test, _, _ in rows:
+        if is_test:
+            ids.append(next_test)
+            next_test += 1
+        else:
+            ids.append(next_train)
+            next_train += 1
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [[v / 4.0 for v in vec] for _, _, vec in rows],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([l for _, l, _ in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "embeddings.parquet"))
+    return tmpdir
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+@settings(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=embeddings_strategy)
+@example(rows=[])  # empty corpus
+@example(rows=[(False, 0, [0, 0, 0, 0])])  # one zero vector: cosine 0/0
+@example(  # zero query vs nonzero corpus + duplicate vectors (tied cosine)
+    rows=[(False, 0, [0, 0, 0, 0]), (False, 1, [4, 0, 0, 0]),
+          (False, 1, [4, 0, 0, 0]), (True, 0, [0, 4, 0, 0])]
+)
+@example(  # all same label: hard-negative set empty; test side populated
+    rows=[(False, 2, [4, 0, 0, 0]), (False, 2, [0, 4, 0, 0]),
+          (True, 2, [0, 0, 4, 0])]
+)
+def test_plan_oracle_parity_on_adversarial_embeddings(
+    spark, tmp_path_factory, name, rows
+):
+    tmpdir = _write_embeddings_dir(str(tmp_path_factory.mktemp("fuzzemb")), rows)
+    spark_df = registry.queries()[name](spark, tmpdir)
+    con = duckdb_connection(tmpdir)
+    try:
+        oracle_pdf = con.execute(registry.oracles()[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare(spark_df, oracle_pdf)
+    assert not problems, f"{name} diverged on {rows!r}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# part-based ops: name near-collisions (fuzzy join), duplicate
+# (size, price) points (Pareto ties), single-part and empty tables
+# ---------------------------------------------------------------------------
+
+PART_NAMES = ("azure", "azuze", "rose", "rosy", "navy blue", "navy")
+PART_BRANDS = ("Brand#1", "Brand#2")
+PART_TYPES = ("STANDARD", "ECONOMY")
+
+part_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(PART_NAMES),
+        st.sampled_from(PART_BRANDS),
+        st.sampled_from(PART_TYPES),
+        st.integers(1, 8),  # p_size (tiny domain → Pareto ties)
+        st.integers(100, 99999),  # retailprice in cents
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+PART_QUERIES = (
+    "q_fuzzy_join",
+    "q_pareto_frontier",
+    "q_recursive_cte",
+    "q_unpivot",
+)
+
+
+def _write_part_dir(tmpdir: str, parts) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, f), os.path.join(tmpdir, f))
+    os.unlink(os.path.join(tmpdir, "part.parquet"))
+    table = pa.table(
+        {
+            "p_partkey": pa.array(range(len(parts)), pa.int64()),
+            "p_name": pa.array([n for n, _, _, _, _ in parts], pa.string()),
+            "p_brand": pa.array([b for _, b, _, _, _ in parts], pa.string()),
+            "p_type": pa.array([t for _, _, t, _, _ in parts], pa.string()),
+            "p_size": pa.array([s for _, _, _, s, _ in parts], pa.int32()),
+            "p_retailprice": pa.array(
+                [p / 100.0 for _, _, _, _, p in parts], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "part.parquet"))
+    return tmpdir
+
+
+@pytest.mark.parametrize("name", PART_QUERIES)
+@settings(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(parts=part_strategy)
+@example(parts=[])  # empty table
+@example(  # duplicate Pareto points + near-identical names in one brand
+    parts=[("azure", "Brand#1", "STANDARD", 1, 100),
+           ("azuze", "Brand#1", "STANDARD", 1, 100),
+           ("rose", "Brand#2", "ECONOMY", 2, 100)]
+)
+def test_plan_oracle_parity_on_adversarial_part(
+    spark, tmp_path_factory, name, parts
+):
+    tmpdir = _write_part_dir(str(tmp_path_factory.mktemp("fuzzpart")), parts)
+    spark_df = registry.queries()[name](spark, tmpdir)
+    con = duckdb_connection(tmpdir)
+    try:
+        oracle_pdf = con.execute(registry.oracles()[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare(spark_df, oracle_pdf)
+    assert not problems, f"{name} diverged on {parts!r}: {problems}"
