@@ -641,7 +641,14 @@ def _ewma_kernel(pdf):
     value (pandas ewm(adjust=False) semantics), vectorized by pandas
     inside one Arrow batch per group."""
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-    ewma = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
+    # ignore_na=True: NULL observations are SKIPPED (state carries, the
+    # NULL row emits the carried state) — pandas' default gap-aware decay
+    # reweights across gaps, which no SQL recursion can mirror (fuzzer
+    # finding); the skip semantics are the textbook recursion over
+    # observed values, identical on both engines
+    ewma = pdf["value"].ewm(
+        alpha=_EWMA_ALPHA, adjust=False, ignore_na=True
+    ).mean()
     out = pdf[["user_id", "event_id", "ts", "value"]].copy()
     out["ewma"] = ewma.round(9)
     return out
@@ -668,17 +675,30 @@ def _ewma_scan(batches):
         for uid, idx in pdf.groupby("user_id", sort=False).indices.items():
             v = vals[idx]
             if uid in carry:  # boundary continuation: seeded recursion
-                y = carry[uid]
+                y = carry[uid]  # nan = not yet seeded (all-NULL so far)
                 arr = np.empty(len(v))
                 for j, x in enumerate(v):
-                    y = _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * y
+                    # NULL observations are skipped: state carries through
+                    # and re-seeds on the first real value (fuzzer finding
+                    # — the unguarded recursion NaN-poisoned the rest of
+                    # the series after a batch boundary)
+                    if not np.isnan(x):
+                        y = (
+                            x
+                            if np.isnan(y)
+                            else _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * y
+                        )
                     arr[j] = y
             else:
                 arr = (
-                    pd.Series(v).ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
+                    pd.Series(v)
+                    .ewm(alpha=_EWMA_ALPHA, adjust=False, ignore_na=True)
+                    .mean()
                     .to_numpy()
                 )
             out[idx] = arr
+            # arr[-1] IS the carried state: NULL rows emit the state, so
+            # the last element is nan only while the user is unseeded
             carry[uid] = arr[-1]
         res = pdf[["user_id", "event_id", "ts", "value"]].copy()
         res["ewma"] = np.round(out, 9)
@@ -694,16 +714,31 @@ def _ewma_scan(batches):
                                     ORDER BY ts, event_id) AS rn
           FROM events
         ),
+        -- NULL observations are SKIPPED (fuzzer finding): the recursion
+        -- walks the non-null subsequence; NULL rows then inherit the
+        -- carried state below (NULL while the user is unseeded)
+        obs AS (
+          SELECT user_id, rn, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY rn) AS orn
+          FROM seq WHERE value IS NOT NULL
+        ),
         walk AS (
-          SELECT user_id, event_id, ts, value, rn, value AS ewma
-          FROM seq WHERE rn = 1
+          SELECT user_id, rn, orn, value AS ewma
+          FROM obs WHERE orn = 1
           UNION ALL
-          SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
-                 {_EWMA_ALPHA} * s.value + {1 - _EWMA_ALPHA} * w.ewma
-          FROM seq s JOIN walk w
-            ON s.user_id = w.user_id AND s.rn = w.rn + 1
+          SELECT o.user_id, o.rn, o.orn,
+                 {_EWMA_ALPHA} * o.value + {1 - _EWMA_ALPHA} * w.ewma
+          FROM obs o JOIN walk w
+            ON o.user_id = w.user_id AND o.orn = w.orn + 1
         )
-        SELECT user_id, event_id, ts, value, round(ewma, 9) AS ewma FROM walk
+        SELECT s.user_id, s.event_id, s.ts, s.value,
+               round(last_value(w.ewma IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 9) AS ewma
+        FROM seq s LEFT JOIN walk w
+          ON w.user_id = s.user_id AND w.rn = s.rn
     """,
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,6 +751,9 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recursive CTE runs the SAME float64 multiply-add recursion
     (two products + one commutative add per step → bit-identical, then
     both engines round at 9 dp); verified hash-equal at sf0.001/0.01/0.1.
+    NULL observations are skipped on both engines (ignore_na=True /
+    non-null-subsequence walk): the state carries through and the NULL
+    row emits it — pinned by the NULL-value fuzz examples.
 
     Scale: one shuffle on user_id (the groupBy key); each group is one
     user's events — bounded and independent, so 100 TB parallelism is

@@ -660,9 +660,17 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     float score itself stays OUT of the compared output, same
     discipline as q_tfidf."""
     d = load_table(spark, sf_dir, "documents")
+    # NULL text tokenizes to the EMPTY token list (fuzzer finding): the
+    # doc stays in the corpus with dl = 0 and can never match — exactly
+    # DuckDB's arithmetic, where the NULL dl drops out of SUM(dl) while
+    # COUNT(*) still counts the doc; without the coalesce, sdl comes back
+    # None and the literal fold-back crashes
     toks = d.select(
         "doc_id",
-        F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "").alias("ws"),
+        F.coalesce(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != ""),
+            F.array().cast("array<string>"),
+        ).alias("ws"),
     ).select("doc_id", "ws", F.size("ws").alias("dl"))
 
     def _count_of(term: str):

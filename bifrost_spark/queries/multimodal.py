@@ -116,7 +116,15 @@ _ENCODED_SCHEMA = StructType(
 def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """media_table with payloads wrapped in REAL containers (PPM/WAV/fake
     MJPG) — the input side of the decode/resize/feature kernels."""
-    m = media_table(spark, sf_dir).select("media_id", "media_type", "payload")
+    # NULL payloads (source rows whose text never extracted) cannot be
+    # wrapped in a container — the encode kernel requires bytes; dropped
+    # here exactly as a production encoder would skip-and-count them
+    # (fuzzer finding: np.frombuffer(None) kills the Arrow batch)
+    m = (
+        media_table(spark, sf_dir)
+        .select("media_id", "media_type", "payload")
+        .filter(F.col("payload").isNotNull())
+    )
     return m.mapInPandas(_encode_media, _ENCODED_SCHEMA)
 
 
@@ -313,6 +321,9 @@ def _decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                               AS BIGINT) END AS duration_ms
         FROM documents
         WHERE CAST(doc_id % 3 AS INT) IN (0, 1)
+          -- a NULL payload (failed extraction) cannot round-trip; the
+          -- encode path drops it (fuzzer finding)
+          AND text IS NOT NULL
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1133,5 +1133,11 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.when(n % 2 == 1, odd).otherwise(even), 9).alias("med5"),
+        # n == 0 (every value in the frame NULL — collect_list drops them)
+        # falls through to NULL, matching DuckDB's NULL-ignoring median;
+        # without the n > 0 guard element_at(arr, 0) aborts under ANSI
+        # (fuzzer finding)
+        F.round(
+            F.when(n % 2 == 1, odd).when(n > 0, even), 9
+        ).alias("med5"),
     )

@@ -33,7 +33,10 @@ events_strategy = st.lists(
         st.integers(0, 3),  # user_id
         st.sampled_from(EVENT_TYPES),
         st.integers(0, 30 * 24 * 3600 - 1),  # seconds offset within 30 days
-        st.integers(-100, 50_000),  # value in cents: negatives + bin edges
+        # value in cents: negatives + bin edges + NULL (broken feeds emit
+        # NULL metrics; Spark windows sort NULLS FIRST where DuckDB
+        # defaults NULLS LAST, so every value-ordered frame is at risk)
+        st.one_of(st.none(), st.integers(-100, 50_000)),
     ),
     min_size=0,
     max_size=40,
@@ -112,7 +115,8 @@ def _write_fixture_dir(tmpdir: str, events) -> str:
                 [t for _, t, _, _ in events], pa.string()
             ),
             "value": pa.array(
-                [c / 100.0 for _, _, _, c in events], pa.float64()
+                [None if c is None else c / 100.0 for _, _, _, c in events],
+                pa.float64(),
             ),
             "props": pa.array(['{"k": 0}'] * len(events), pa.string()),
         }
@@ -130,6 +134,11 @@ def _write_fixture_dir(tmpdir: str, events) -> str:
 )
 @given(events=events_strategy)
 @example(events=[])  # empty stream
+@example(events=[(0, "view", 0, None)])  # all-NULL metric column
+@example(  # NULL value amid real ones: ordering/frame divergence probe
+    events=[(0, "view", 0, 100), (0, "view", 3600, None),
+            (0, "view", 7200, 50)]
+)
 @example(events=[(0, "click", 0, 100)])  # one cohort empty (KS guard)
 @example(events=[(0, "purchase", 0, 100)])  # organic purchase, no click
 @example(  # constant daily series: zero-variance autocorr -> NULL
@@ -165,7 +174,10 @@ text_strategy = st.lists(
 
 documents_strategy = st.lists(
     st.tuples(
-        text_strategy,
+        # None: a crawl row with NULL text (failed extraction) — distinct
+        # from the empty string, and a different hazard class (split/
+        # length/token expressions all go NULL instead of 0)
+        st.one_of(st.none(), text_strategy),
         st.sampled_from(("en", "de", "fr")),
         st.sampled_from(("web", "wiki", "books")),
     ),
@@ -243,7 +255,10 @@ def _write_documents_dir(tmpdir: str, docs) -> str:
             "text": pa.array([t for t, _, _ in docs], pa.string()),
             "lang": pa.array([l for _, l, _ in docs], pa.string()),
             "source": pa.array([s for _, _, s in docs], pa.string()),
-            "n_chars": pa.array([len(t) for t, _, _ in docs], pa.int64()),
+            "n_chars": pa.array(
+                [None if t is None else len(t) for t, _, _ in docs],
+                pa.int64(),
+            ),
         }
     )
     pq.write_table(table, os.path.join(tmpdir, "documents.parquet"))
@@ -259,6 +274,8 @@ def _write_documents_dir(tmpdir: str, docs) -> str:
 )
 @given(docs=documents_strategy)
 @example(docs=[])  # empty corpus (totals/avgdl/max-id guards)
+@example(docs=[(None, "en", "web")])  # NULL text (failed extraction)
+@example(docs=[(None, "en", "web"), ("x", "de", "wiki")])  # NULL + real
 @example(docs=[("", "en", "web")])  # zero-word doc (gopher divide guard)
 @example(docs=[("x", "en", "web")])  # single-char doc (entropy -0.0)
 @example(docs=[("x", "en", "web"), ("", "de", "wiki")])  # zero-token lang
