@@ -178,8 +178,11 @@ documents_strategy = st.lists(
         # from the empty string, and a different hazard class (split/
         # length/token expressions all go NULL instead of 0)
         st.one_of(st.none(), text_strategy),
-        st.sampled_from(("en", "de", "fr")),
-        st.sampled_from(("web", "wiki", "books")),
+        # NULL lang/source: missing metadata — every per-lang/per-source
+        # groupBy gets a NULL group, and Spark/DuckDB must agree on its
+        # membership, ordering, and share-of-total arithmetic
+        st.one_of(st.none(), st.sampled_from(("en", "de", "fr"))),
+        st.one_of(st.none(), st.sampled_from(("web", "wiki", "books"))),
     ),
     min_size=0,
     max_size=12,
@@ -276,6 +279,10 @@ def _write_documents_dir(tmpdir: str, docs) -> str:
 @example(docs=[])  # empty corpus (totals/avgdl/max-id guards)
 @example(docs=[(None, "en", "web")])  # NULL text (failed extraction)
 @example(docs=[(None, "en", "web"), ("x", "de", "wiki")])  # NULL + real
+@example(docs=[("x y", None, None)])  # metadata lost: NULL lang + source
+@example(  # NULL lang amid real groups: NULL-group membership/ordering
+    docs=[("a b", None, "web"), ("a b", "en", None), ("c", "en", "web")]
+)
 @example(docs=[("", "en", "web")])  # zero-word doc (gopher divide guard)
 @example(docs=[("x", "en", "web")])  # single-char doc (entropy -0.0)
 @example(docs=[("x", "en", "web"), ("", "de", "wiki")])  # zero-token lang
@@ -569,7 +576,12 @@ embeddings_strategy = st.lists(
     st.tuples(
         st.booleans(),  # test side (vec_id >= TRAIN_MAX) or train side
         st.integers(0, 2),  # label
-        st.lists(st.integers(-8, 8), min_size=4, max_size=4),
+        # None: the embedding job failed for this row — the vector column
+        # is NULL, not an empty or zero list.  Every norm/size/zip_with
+        # expression goes NULL and every numpy kernel would see None.
+        st.one_of(
+            st.none(), st.lists(st.integers(-8, 8), min_size=4, max_size=4)
+        ),
     ),
     min_size=0,
     max_size=10,
@@ -609,7 +621,10 @@ def _write_embeddings_dir(tmpdir: str, rows) -> str:
         {
             "vec_id": pa.array(ids, pa.int64()),
             "embedding": pa.array(
-                [[v / 4.0 for v in vec] for _, _, vec in rows],
+                [
+                    None if vec is None else [v / 4.0 for v in vec]
+                    for _, _, vec in rows
+                ],
                 pa.list_(pa.float32()),
             ),
             "label": pa.array([l for _, l, _ in rows], pa.int32()),
@@ -628,6 +643,11 @@ def _write_embeddings_dir(tmpdir: str, rows) -> str:
 )
 @given(rows=embeddings_strategy)
 @example(rows=[])  # empty corpus
+@example(rows=[(False, 0, None)])  # all embeddings NULL (job failed)
+@example(  # NULL embedding amid real ones: guards must drop, not crash
+    rows=[(False, 0, None), (False, 1, [4, 0, 0, 0]),
+          (True, 2, [0, 4, 0, 0]), (True, 0, None)]
+)
 @example(rows=[(False, 0, [0, 0, 0, 0])])  # one zero vector: cosine 0/0
 @example(  # zero query vs nonzero corpus + duplicate vectors (tied cosine)
     rows=[(False, 0, [0, 0, 0, 0]), (False, 1, [4, 0, 0, 0]),
