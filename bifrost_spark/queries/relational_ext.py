@@ -208,11 +208,16 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n,
                MIN(l_quantity) AS min_qty,
                MAX(l_quantity) AS max_qty,
-               (CAST(COUNT(*) AS DOUBLE)
-                  * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-                - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-                  * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE))
-               / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1)) AS var_qty
+               -- singleton groups have no sample variance: NULL, the
+               -- SQL-standard var_samp result (fuzzer finding — the
+               -- unguarded n·(n−1) divisor is 0 when n = 1)
+               CASE WHEN COUNT(*) > 1 THEN
+                 (CAST(COUNT(*) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1))
+               END AS var_qty
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -233,7 +238,12 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        ((n * ssq - s * s) / (n * (n - F.lit(1.0)))).alias("var_qty"),
+        # n = 1 → no sample variance: NULL (var_samp semantics) on both
+        # engines; unguarded, ANSI aborts on the n·(n−1) = 0 divisor
+        # (fuzzer finding)
+        F.when(
+            F.count("*") > 1, (n * ssq - s * s) / (n * (n - F.lit(1.0)))
+        ).alias("var_qty"),
     )
 
 

@@ -32,7 +32,13 @@ events_strategy = st.lists(
     st.tuples(
         st.integers(0, 3),  # user_id
         st.sampled_from(EVENT_TYPES),
-        st.integers(0, 30 * 24 * 3600 - 1),  # seconds offset within 30 days
+        # half the draws land on three fixed instants, so same-(user, ts)
+        # ties are COMMON, not astronomically rare: any window ordered by
+        # ts without a deterministic tiebreaker diverges cross-engine
+        st.one_of(
+            st.sampled_from((0, 3600, 16 * 24 * 3600)),
+            st.integers(0, 30 * 24 * 3600 - 1),
+        ),
         # value in cents: negatives + bin edges + NULL (broken feeds emit
         # NULL metrics; Spark windows sort NULLS FIRST where DuckDB
         # defaults NULLS LAST, so every value-ordered frame is at risk)
@@ -135,6 +141,12 @@ def _write_fixture_dir(tmpdir: str, events) -> str:
 @given(events=events_strategy)
 @example(events=[])  # empty stream
 @example(events=[(0, "view", 0, None)])  # all-NULL metric column
+@example(  # heavy (user, ts) ties incl. equal values: every window
+    # ordered by ts (or by value) must break ties deterministically
+    events=[(0, "view", 0, 100), (0, "click", 0, 100),
+            (0, "view", 0, 200), (1, "view", 0, 100),
+            (1, "purchase", 0, None), (1, "view", 0, 100)]
+)
 @example(  # NULL value amid real ones: ordering/frame divergence probe
     events=[(0, "view", 0, 100), (0, "view", 3600, None),
             (0, "view", 7200, 50)]
@@ -307,7 +319,9 @@ def test_plan_oracle_parity_on_adversarial_documents(
 
 orders_strategy = st.lists(
     st.tuples(
-        st.integers(0, 5),  # o_custkey (skew-prone tiny domain)
+        # o_custkey: skew-prone tiny domain + NULL (guest orders form a
+        # NULL group in mode/skew reports)
+        st.one_of(st.none(), st.integers(0, 5)),
         st.sampled_from(("F", "O", "P")),
         st.integers(1, 10_000_000),  # totalprice in cents (>0 like TPC-H)
         st.integers(0, 700),  # order date offset days
@@ -396,15 +410,20 @@ relational_strategy = st.tuples(
                   st.sampled_from(SEGMENTS)),
         min_size=0, max_size=8,
     ),
-    st.lists(  # orders: (custkey MAY dangle, status, price_cents, day, prio)
-        st.tuples(st.integers(0, 10), st.sampled_from(("F", "O", "P")),
+    st.lists(  # orders: (custkey MAY dangle OR be NULL — a guest order
+        #           with no registered customer; NULL keys are the classic
+        #           NOT IN / anti-join / outer-join semantics trap)
+        st.tuples(st.one_of(st.none(), st.integers(0, 10)),
+                  st.sampled_from(("F", "O", "P")),
                   st.integers(1, 10_000_000), st.integers(0, 900),
                   st.sampled_from(PRIORITIES)),
         min_size=0, max_size=15,
     ),
-    st.lists(  # lineitems: (orderkey MAY dangle, partkey, suppkey, qty,
-        #            price_cents, disc_bp, tax_bp, rflag, lstatus, ship_day)
-        st.tuples(st.integers(0, 18), st.integers(0, 30), st.integers(0, 10),
+    st.lists(  # lineitems: (orderkey MAY dangle or be NULL, partkey,
+        #   suppkey, qty, price_cents, disc_bp, tax_bp, rflag, lstatus,
+        #   ship_day)
+        st.tuples(st.one_of(st.none(), st.integers(0, 18)),
+                  st.integers(0, 30), st.integers(0, 10),
                   st.integers(1, 50), st.integers(1, 9_999_999),
                   st.integers(0, 10), st.integers(0, 8),
                   st.sampled_from(("R", "A", "N")),
@@ -547,6 +566,20 @@ def _write_relational_dir(tmpdir: str, rel) -> str:
         [(5, "F", 100, 0, "1-URGENT"), (0, "F", 100, 0, "1-URGENT")],
         [(9, 0, 0, 1, 100, 0, 0, "R", "O", 0),
          (0, 0, 0, 1, 100, 0, 0, "R", "O", 0)],
+    )
+)
+@example(  # single lineitem: a singleton group per (rflag, status) —
+    # sample variance has a 0 divisor at n = 1 (q_agg_stats regression)
+    rel=([], [], [(0, 0, 0, 7, 100, 0, 0, "R", "O", 0)])
+)
+@example(  # NULL foreign keys both levels: a guest order (NULL custkey)
+    # and an orphan lineitem (NULL orderkey) — NOT IN with a NULL in the
+    # subquery list, anti joins, and outer joins all hinge on these
+    rel=(
+        [(0, 100, "BUILDING"), (1, -50, "MACHINERY")],
+        [(None, "F", 100, 0, "1-URGENT"), (0, "O", 200, 10, "5-LOW")],
+        [(None, 0, 0, 1, 100, 0, 0, "R", "O", 0),
+         (1, 1, 1, 2, 300, 5, 2, "A", "F", 20)],
     )
 )
 def test_plan_oracle_parity_on_adversarial_relational(

@@ -1,0 +1,140 @@
+"""Stream↔batch differential fuzzing for the ingest-curation flow.
+
+The crafted-corpus tests in test_streaming_curate.py prove the flow on
+ONE corpus; here hypothesis generates adversarial ingest batches —
+duplicate-heavy pools, contaminated rows, junk/empty/NULL text, tied
+timestamps — and requires the STREAMING survivor set to equal the BATCH
+spelling of the same stages (dedup on content hash → broadcast-anti
+decontamination → Gopher gate) on every one.
+
+The batch side reuses the flow's own predicate and the same stage
+composition, so this is a differential over the STREAMING mechanics
+(watermark state, dropDuplicatesWithinWatermark, sink commit), not a
+re-spelled gate.  Scope: one micro-batch per example (single input file);
+cross-batch watermark eviction legitimately diverges from batch dedup and
+is covered by the state-bound tests in test_streaming_curate.py.
+
+Keeper identity under duplicate content is NOT part of the contract
+(both batch and streaming dedup keep an arbitrary row per key), so the
+compared survivor set is the CONTENT (hash) set, which is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bifrost_spark.streaming.curate import (
+    gopher_keep_predicate,
+    start_curated_ingest,
+)
+
+# Text pool: two gate-passing docs, a contaminated doc (also gate-passing,
+# so only decontamination can drop it), a short junk doc, a stopword-free
+# doc (fails stopword-kinds), an empty string, and NULL.
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and runs to the hills in "
+    "the morning light with a steady pace and a clear goal in mind today"
+)
+GOOD2 = (
+    "a good document is made of many plain words and the right mix of "
+    "stopwords to show that it is real text written in a natural way"
+)
+CONTAMINATED = (
+    "this text is secretly a benchmark item and must never reach the "
+    "training corpus because the eval would be contaminated by it today"
+)
+SHORT = "too short to keep"
+NO_STOPWORDS = " ".join(["lorem", "ipsum", "dolor", "sit", "amet"] * 5)
+
+TEXT_POOL = (GOOD, GOOD2, CONTAMINATED, SHORT, NO_STOPWORDS, "", None)
+
+corpus_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(TEXT_POOL),
+        # seconds offset; tiny domain → tied event times are common
+        st.sampled_from((0, 30, 3600)),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _write_corpus(spark, path: str, rows) -> None:
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [t for t, _ in rows],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s in rows],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf.astype({"doc_id": "int64"}),
+        schema="doc_id long, text string, ts timestamp",
+    )
+    # ONE file → one micro-batch: the scope where stream == batch exactly
+    df.coalesce(1).write.parquet(path)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=corpus_strategy)
+@example(rows=[])  # empty ingest batch
+@example(rows=[(None, 0), (None, 30)])  # all-NULL text (hashless rows)
+@example(  # duplicates of every pool class + a contaminated row, tied ts
+    rows=[(GOOD, 0), (GOOD, 0), (CONTAMINATED, 0), (CONTAMINATED, 30),
+          (SHORT, 0), ("", 0), (None, 0), (GOOD2, 3600), (GOOD2, 3600)]
+)
+def test_stream_batch_curation_equivalence(spark, tmp_path_factory, rows):
+    tmp = str(tmp_path_factory.mktemp("fuzzcur"))
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    _write_corpus(spark, src, rows)
+    contaminated = spark.createDataFrame(
+        pd.DataFrame({"text": [CONTAMINATED]})
+    ).select(F.md5("text").alias("content_hash"))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    q = start_curated_ingest(stream, contaminated, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        got = spark.read.parquet(out)
+        stream_hashes = sorted(
+            r["content_hash"] or "" for r in got.select("content_hash").collect()
+        )
+        stream_rows = got.count()
+    except Exception:  # zero-batch run: sink dir never created
+        stream_hashes, stream_rows = [], 0
+
+    # Batch spelling of the same stages, same predicate object
+    batch = (
+        spark.read.schema("doc_id long, text string, ts timestamp")
+        .parquet(src)
+        .withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["content_hash"])
+        .join(F.broadcast(contaminated), "content_hash", "left_anti")
+        .filter(gopher_keep_predicate())
+    )
+    batch_hashes = sorted(
+        r["content_hash"] or "" for r in batch.select("content_hash").collect()
+    )
+
+    assert stream_hashes == batch_hashes, (
+        f"stream {stream_hashes} != batch {batch_hashes} on {rows!r}"
+    )
+    # one surviving row per surviving content hash — the dedup contract
+    assert stream_rows == len(batch_hashes)
