@@ -69,10 +69,18 @@ def _bin_col(col: str, ref: ReferenceHistogram):
 
 
 def fit_reference(df: DataFrame, col: str, bin_width: float, n_bins: int) -> ReferenceHistogram:
-    """ONE bounded collect of ``n_bins`` longs over the reference frame."""
+    """ONE bounded collect of ``n_bins`` longs over the reference frame.
+
+    NULL observations are EXCLUDED on both the fit and the live side —
+    without the explicit filter, ``least()``'s NULL-skipping semantics
+    silently bucketed NULL metrics into the TOP bin as if they were
+    extreme values (fuzzer finding).  A broken feed's NULL rate is a
+    separate counter (archive quality meters), not distribution mass.
+    """
     probe = ReferenceHistogram(bin_width, n_bins, (), 0)
     rows = (
-        df.groupBy(_bin_col(col, probe).alias("bin"))
+        df.filter(F.col(col).isNotNull())
+        .groupBy(_bin_col(col, probe).alias("bin"))
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
@@ -88,9 +96,11 @@ def batch_psi(batch: DataFrame, col: str, ref: ReferenceHistogram) -> DataFrame:
     The reference probabilities enter as plan literals; bins absent from
     the batch still contribute (their smoothed probability is the
     1/(2n+B) floor), so the sum runs over ALL ``n_bins`` bins exactly like
-    q_psi_drift's oracle."""
+    q_psi_drift's oracle.  NULL observations are excluded (``n_rows``
+    counts scored rows only) — see ``fit_reference``."""
     counts = (
-        batch.groupBy(_bin_col(col, ref).alias("bin"))
+        batch.filter(F.col(col).isNotNull())
+        .groupBy(_bin_col(col, ref).alias("bin"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # left join the literal bin spine so empty bins surface with c=0

@@ -161,3 +161,24 @@ def test_negative_values_count_in_edge_bin_both_sides(spark):
     got = batch_psi(df, "value", ref).first()
     assert got["n_rows"] == 200  # live side keeps the negative rows too
     assert got["psi"] < 0.01 and not got["alert"]
+
+
+def test_null_values_excluded_both_sides(spark):
+    """NULL metrics are EXCLUDED from the distribution on both the fit and
+    the live side (fuzzer finding: least()'s NULL-skipping semantics
+    silently bucketed NULLs into the TOP bin as extreme values, so a feed
+    going part-NULL polluted the reference and inflated live drift).
+    Fitting and scoring the same part-NULL frame must read
+    in-distribution, with NULL rows absent from every count."""
+    import pandas as pd
+
+    vals = [float(v * 50) for v in range(10)] * 10
+    df = spark.createDataFrame(
+        pd.DataFrame({"value": vals + [None] * 37}), schema="value double"
+    )
+    ref = fit_reference(df, "value", BIN_W, NBINS)
+    assert ref.total == 100  # NULLs not fitted
+    assert ref.counts[-1] == 10  # top bin holds real data only, not NULLs
+    got = batch_psi(df, "value", ref).first()
+    assert got["n_rows"] == 100  # NULLs not scored
+    assert got["psi"] < 0.01 and not got["alert"]

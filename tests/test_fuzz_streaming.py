@@ -138,3 +138,76 @@ def test_stream_batch_curation_equivalence(spark, tmp_path_factory, rows):
     )
     # one surviving row per surviving content hash — the dedup contract
     assert stream_rows == len(batch_hashes)
+
+
+# ---------------------------------------------------------------------------
+# Drift monitor vs a from-scratch PSI model.  The monitor has no DuckDB
+# surface (its batch twin q_psi_drift is pinned to the fixture's cohort
+# split), so the differential is an independent numpy spelling of the
+# documented definition: both-end-clamped fixed-width bins over NON-NULL
+# values, add-half smoothing, 12-dp-rounded addends, 9-dp total.
+# Adversarial axes: negative values (edge-bin clamp), NULLs (excluded),
+# values past the top bin, empty reference or live side.
+# ---------------------------------------------------------------------------
+
+_BIN_W, _NBINS = 50.0, 10
+
+values_strategy = st.lists(
+    st.one_of(st.none(), st.integers(-300, 800)),  # scaled ×1 → spans bins
+    min_size=0,
+    max_size=30,
+)
+
+
+def _model_psi(ref_vals, live_vals):
+    import math
+
+    def hist(vs):
+        counts = [0] * _NBINS
+        for v in vs:
+            if v is None:
+                continue
+            b = min(max(int(math.floor(v / _BIN_W)), 0), _NBINS - 1)
+            counts[b] += 1
+        return counts, sum(counts)
+
+    rc, rn = hist(ref_vals)
+    lc, ln_ = hist(live_vals)
+    psi = 0.0
+    for b in range(_NBINS):
+        pa = (2.0 * rc[b] + 1) / (2.0 * rn + _NBINS)
+        pb = (2.0 * lc[b] + 1) / (2.0 * ln_ + _NBINS)
+        psi += round((pb - pa) * math.log(pb / pa), 12)
+    return ln_, round(psi, 9)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(ref_vals=values_strategy, live_vals=values_strategy)
+@example(ref_vals=[], live_vals=[0])  # empty reference (pure-floor probs)
+@example(ref_vals=[0], live_vals=[])  # empty live batch → n_rows 0
+@example(ref_vals=[None, None], live_vals=[None, 100])  # NULL-heavy feed
+@example(  # negatives + past-the-top values: both-end clamp on both sides
+    ref_vals=[-300, -1, 0, 499, 500, 799], live_vals=[-300, 800, 25]
+)
+def test_drift_monitor_matches_model(spark, ref_vals, live_vals):
+    import pandas as pd
+
+    from bifrost_spark.streaming.drift_monitor import batch_psi, fit_reference
+
+    def frame(vs):
+        return spark.createDataFrame(
+            pd.DataFrame({"value": [None if v is None else float(v) for v in vs]}),
+            schema="value double",
+        )
+
+    ref = fit_reference(frame(ref_vals), "value", _BIN_W, _NBINS)
+    got = batch_psi(frame(live_vals), "value", ref).first()
+    want_n, want_psi = _model_psi(ref_vals, live_vals)
+    assert got["n_rows"] == want_n, (ref_vals, live_vals)
+    # one 9-dp rounding step of slack for libm-vs-JVM log ulp divergence
+    assert abs(got["psi"] - want_psi) <= 2e-9, (ref_vals, live_vals, got)
