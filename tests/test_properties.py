@@ -372,6 +372,85 @@ def test_results_invariant_across_partition_counts(spark):
         spark.conf.set("spark.sql.shuffle.partitions", original)
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user_id
+            st.one_of(  # NULL observations interleave with real ones
+                st.none(),
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(1, 7),  # forced Arrow-batch size
+)
+@settings(max_examples=60, deadline=None)
+@example(rows=[(0, None), (0, 1.0), (0, None)], batch_size=1)  # NULL at
+# the boundary: the carry must stay unseeded, then re-seed, then hold
+def test_ewma_scan_batch_boundary_invariance(rows, batch_size):
+    """Chopping the partition-sorted frame at ANY Arrow-batch boundary —
+    including mid-user and on a NULL row — must reproduce the single-batch
+    scan exactly, and both must equal the skip-NULL reference recursion.
+    This pins the carried-state logic the NULL fuzz fix touched (an
+    unseeded user carries NaN until their first real value; NULL rows emit
+    the carried state)."""
+    import numpy as np
+    import pandas as pd
+
+    from bifrost_spark.queries.analytics import _EWMA_ALPHA, _ewma_scan
+
+    rows = sorted(enumerate(rows), key=lambda t: (t[1][0], t[0]))
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for _, (u, _) in rows],
+            "event_id": [i for i, _ in rows],
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([i for i, _ in rows], unit="s"),
+            "value": pd.array(
+                [v for _, (_, v) in rows], dtype="float64"
+            ).to_numpy(dtype="float64", na_value=np.nan),
+        }
+    )
+
+    def run(chunks):
+        out = pd.concat(list(_ewma_scan(chunks)), ignore_index=True)
+        return list(zip(out["event_id"], out["ewma"]))
+
+    whole = dict(run([pdf]))
+    chopped = dict(
+        run(
+            [
+                pdf.iloc[i : i + batch_size].reset_index(drop=True)
+                for i in range(0, len(pdf), batch_size)
+            ]
+        )
+    )
+    # reference: skip-NULL recursion per user over the same order
+    ref, acc = {}, {}
+    for i, (u, v) in rows:
+        if v is not None:
+            acc[u] = (
+                v
+                if u not in acc
+                else _EWMA_ALPHA * v + (1 - _EWMA_ALPHA) * acc[u]
+            )
+        ref[i] = round(acc[u], 9) if u in acc else None
+    for i in ref:
+        w, c = whole[i], chopped[i]
+        if ref[i] is None:
+            assert np.isnan(w) and np.isnan(c), (i, w, c)
+        else:
+            assert w == c, (i, w, c)  # boundary-invariant, bit-identical
+            assert abs(w - ref[i]) <= 1e-8 * max(1.0, abs(ref[i]))
+
+
 def test_ewma_scan_carry_across_arrow_batches(spark):
     """The mapInPandas EWMA scan must continue a user's recursion exactly
     when their rows straddle an Arrow batch boundary — forced here with a
