@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
@@ -370,6 +371,38 @@ def test_results_invariant_across_partition_counts(spark):
                     baseline[name] = rows
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
+
+
+# ---------------------------------------------------------------------------
+# Baldr frame codec: arbitrary binary payloads round-trip byte-exactly;
+# any mid-frame truncation is detected, and a frame-boundary cut yields
+# exactly the preceding record prefix (reference wire format, kafka.clj:9).
+
+@given(st.lists(st.binary(min_size=0, max_size=200), max_size=20),
+       st.integers(0, 10_000))
+@settings(max_examples=150, deadline=None)
+@example(payloads=[b""], cut=4)  # empty record, mid-header cut
+def test_baldr_codec_roundtrip_and_truncation(payloads, cut):
+    from bifrost_spark.sources.baldr import frame_records, unframe_records
+
+    wire = frame_records(payloads)
+    assert unframe_records(wire) == payloads
+
+    cut = min(cut, len(wire))
+    prefix, pos = wire[:cut], 0
+    # walk the record boundaries to predict the verdict for this cut
+    boundary, n_whole = True, 0
+    for p in payloads:
+        nxt = pos + 8 + len(p)
+        if nxt > cut:
+            boundary = cut == pos
+            break
+        pos, n_whole = nxt, n_whole + 1
+    if boundary:
+        assert unframe_records(prefix) == payloads[:n_whole]
+    else:
+        with pytest.raises(ValueError):
+            unframe_records(prefix)
 
 
 @given(
