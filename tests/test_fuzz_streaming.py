@@ -181,6 +181,71 @@ def _model_psi(ref_vals, live_vals):
     return ln_, round(psi, 9)
 
 
+# ---------------------------------------------------------------------------
+# Baldr archive write→read round-trip on GENERATED message sets: arbitrary
+# binary payloads (empty records, NULs, gzip magic bytes, newlines),
+# ragged partition populations, single-record objects, an empty stream.
+# The fixture round-trips in test_baldr.py prove ONE distribution; the
+# reference's consumers would feed the archiver arbitrary Kafka bytes.
+# ---------------------------------------------------------------------------
+
+messages_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(("view", "click")),  # topic
+        st.integers(0, 2),  # partition
+        st.binary(min_size=0, max_size=64),  # payload (raw Kafka value)
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(msgs=messages_strategy)
+@example(msgs=[])  # empty stream: an empty archive day must not crash
+@example(  # adversarial payloads: empty record, gzip magic, NULs, newline
+    msgs=[("view", 0, b""), ("view", 0, b"\x1f\x8b\x08"),
+          ("click", 2, b"\x00" * 9), ("click", 2, b"a\nb")]
+)
+def test_baldr_archive_roundtrip_on_generated_messages(
+    spark, tmp_path_factory, msgs
+):
+    import pandas as pd
+
+    from bifrost_spark.sources.baldr import (
+        read_baldr_archive,
+        write_baldr_archive,
+    )
+
+    root = str(tmp_path_factory.mktemp("fuzzbaldr") / "arch")
+    # dense per-(topic, partition) offsets in list order — the Kafka log
+    seen: dict = {}
+    rows = []
+    for topic, part, payload in msgs:
+        off = seen.get((topic, part), 0)
+        seen[(topic, part)] = off + 1
+        rows.append((topic, part, off, payload))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["topic", "partition", "offset", "value"]),
+        schema="topic string, partition int, offset long, value binary",
+    )
+    manifest = write_baldr_archive(df, root).collect()
+    assert sum(r.n_records for r in manifest) == len(rows)
+    if not rows:
+        return  # nothing written; reader has no objects to list
+    back = read_baldr_archive(spark, root)
+    got = {
+        (r.topic, r.partition, r.offset, bytes(r.value))
+        for r in back.collect()
+    }
+    assert got == {(t, p, o, bytes(v)) for t, p, o, v in rows}
+
+
 @settings(
     max_examples=8,
     deadline=None,
