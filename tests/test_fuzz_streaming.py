@@ -141,6 +141,88 @@ def test_stream_batch_curation_equivalence(spark, tmp_path_factory, rows):
 
 
 # ---------------------------------------------------------------------------
+# Keyed-upsert sink vs the last-per-key model: a generated CDC update
+# sequence, cut into arbitrary micro-batches, must leave the state view
+# equal to argmax per key by (version, tiebreak) — regardless of where
+# the batch boundaries fall, how often a key repeats within one batch,
+# or whether versions regress (late-arriving old updates must lose).
+# ---------------------------------------------------------------------------
+
+updates_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key (small domain → heavy per-key churn)
+        st.sampled_from(("a", "b", "c")),  # payload (also the tiebreak)
+        st.integers(0, 5),  # version: ties AND regressions are common
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(updates=updates_strategy, batch_size=st.integers(1, 4))
+@example(updates=[], batch_size=1)  # no updates: empty state view
+@example(  # same key+version, different payloads (pure tiebreak), then a
+    # REGRESSING version arriving in a later batch (must lose)
+    updates=[(0, "a", 5), (0, "b", 5), (0, "c", 1)], batch_size=1
+)
+def test_upsert_state_matches_last_per_key_model(
+    spark, tmp_path_factory, updates, batch_size
+):
+    from bifrost_spark.streaming.upsert import read_state, start_keyed_upsert
+
+    tmp = str(tmp_path_factory.mktemp("fuzzup"))
+    src = os.path.join(tmp, "in")
+    schema = "key long, payload string, version long"
+    batches = [
+        updates[i : i + batch_size]
+        for i in range(0, len(updates), batch_size)
+    ] or [[]]
+    for rows in batches:
+        df = spark.createDataFrame(rows, schema) if rows else (
+            spark.createDataFrame([], schema)
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_keyed_upsert(
+        stream,
+        os.path.join(tmp, "state"),
+        os.path.join(tmp, "ckpt"),
+        key_cols=["key"],
+        ts_col="version",
+        tiebreak_cols=["payload"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        state = read_state(
+            spark, os.path.join(tmp, "state"), ["key"], "version", ["payload"]
+        )
+        got = {(r.key, r.payload, r.version) for r in state.collect()}
+    except Exception:  # zero-update run: state dir never created
+        got = set()
+
+    want = {}
+    for k, p, v in updates:
+        if k not in want or (v, p) > (want[k][1], want[k][0]):
+            want[k] = (p, v)
+    assert got == {(k, p, v) for k, (p, v) in want.items()}, (
+        updates, batch_size
+    )
+
+
+# ---------------------------------------------------------------------------
 # Drift monitor vs a from-scratch PSI model.  The monitor has no DuckDB
 # surface (its batch twin q_psi_drift is pinned to the fixture's cohort
 # split), so the differential is an independent numpy spelling of the
