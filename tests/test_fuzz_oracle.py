@@ -705,6 +705,97 @@ def test_plan_oracle_parity_on_adversarial_embeddings(
 
 
 # ---------------------------------------------------------------------------
+# nation/region (q_collect_sorted — the last oracle query no other
+# strategy mutates): duplicate and comma-containing and non-ASCII nation
+# names (sort-order + delimiter stress), NULL names (both engines'
+# collectors skip them), dangling/NULL region keys, duplicate REGION
+# names (two regions merging into one output group), empty tables
+# ---------------------------------------------------------------------------
+
+NATION_NAMES = ("FRANCE", "france", "CÔTE D'IVOIRE", "A,B", "ÅLAND", None)
+
+nation_region_strategy = st.tuples(
+    st.lists(  # regions: (regionkey, name — duplicates allowed)
+        st.tuples(st.integers(0, 3), st.sampled_from(("EUROPE", "ASIA"))),
+        min_size=0, max_size=4,
+    ),
+    st.lists(  # nations: (regionkey MAY dangle or be NULL, name MAY be NULL)
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)),
+                  st.sampled_from(NATION_NAMES)),
+        min_size=0, max_size=10,
+    ),
+)
+
+
+def _write_nation_region_dir(tmpdir: str, rel) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    regions, nations = rel
+    for f in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, f), os.path.join(tmpdir, f))
+    for t in ("nation", "region"):
+        os.unlink(os.path.join(tmpdir, f"{t}.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(
+                    [k for k, _ in regions], pa.int32()
+                ),
+                "r_name": pa.array([n for _, n in regions], pa.string()),
+            }
+        ),
+        os.path.join(tmpdir, "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(len(nations)), pa.int32()),
+                "n_name": pa.array([n for _, n in nations], pa.string()),
+                "n_regionkey": pa.array(
+                    [k for k, _ in nations], pa.int32()
+                ),
+            }
+        ),
+        os.path.join(tmpdir, "nation.parquet"),
+    )
+    return tmpdir
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(rel=nation_region_strategy)
+@example(rel=([], []))  # both empty
+@example(  # duplicate region keys AND names: the join fans out, the
+    # groups merge; NULL + comma + case-variant + accented names sort
+    rel=(
+        [(0, "EUROPE"), (0, "EUROPE"), (1, "EUROPE")],
+        [(0, "A,B"), (0, None), (0, "france"), (1, "FRANCE"),
+         (None, "ÅLAND"), (5, "CÔTE D'IVOIRE")],
+    )
+)
+def test_plan_oracle_parity_on_adversarial_nation_region(
+    spark, tmp_path_factory, rel
+):
+    name = "q_collect_sorted"
+    tmpdir = _write_nation_region_dir(
+        str(tmp_path_factory.mktemp("fuzznat")), rel
+    )
+    spark_df = registry.queries()[name](spark, tmpdir)
+    con = duckdb_connection(tmpdir)
+    try:
+        oracle_pdf = con.execute(registry.oracles()[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare(spark_df, oracle_pdf)
+    assert not problems, f"{name} diverged on {rel!r}: {problems}"
+
+
+# ---------------------------------------------------------------------------
 # part-based ops: name near-collisions (fuzzy join), duplicate
 # (size, price) points (Pareto ties), single-part and empty tables
 # ---------------------------------------------------------------------------
