@@ -114,6 +114,11 @@ def sample_rows(df, vec_col: str, id_col: str, max_rows: int = TRAIN_SAMPLE_MAX)
         .limit(max_rows)
         .collect()
     )
+    if not rows:
+        # keep the 2-D contract: np.asarray([]) is 1-D and every axis=1
+        # reduction downstream would AxisError (fuzzer finding — an
+        # all-zero/all-NULL corpus leaves the usable-vector frame empty)
+        return np.zeros((0, 0), dtype=np.float64)
     return np.asarray([r["v"] for r in rows], dtype=np.float64)
 
 
@@ -140,6 +145,11 @@ def kmeans_fit(
     on the clustered SemDeDup gate).  Restarts multiply TRAINING cost
     only, and training is sample-bounded."""
     n = len(X)
+    if n == 0 or X.ndim != 2 or X.shape[1] == 0:
+        # no trainable sample (empty / all-degenerate corpus): no centers.
+        # Callers treat [] as "index has no cells" and emit empty results
+        # instead of crashing the whole job on one junk partition.
+        return []
     k = min(k, n)
     best, best_inertia = None, None
     for run in range(max(1, n_init)):
@@ -231,13 +241,18 @@ def opq_fit(
     fixed matrix; sign ambiguity in SVD columns cancels in U·Vᵀ.
 
     Returns R as a d×d nested list (row-major: rotated = x @ R), ready
-    for ``rotate_vectors``.  Reduces quantization MSE exactly when the
-    data has cross-subspace correlation (anisotropic embeddings — the
-    realistic case); on isotropic data it converges to ~identity cost.
+    for ``rotate_vectors``, or ``None`` when no rotation can be fitted —
+    an empty/degenerate sample, or a corpus dimension m_sub does not
+    divide (junk feed with the wrong embedding width).  OPQ is a pure
+    shortlist-quality optimization, so callers fall back to the identity
+    (plain IVF-PQ) rather than crash the job (fuzzer finding).
     """
+    if X.ndim != 2 or len(X) == 0 or X.shape[1] == 0:
+        return None
     n, d = X.shape
     d_sub = d // m_sub
-    assert m_sub * d_sub == d, "m_sub must divide d"
+    if m_sub * d_sub != d:
+        return None
     R = np.eye(d)
     for _ in range(max(1, iters)):
         Xr = X @ R

@@ -481,6 +481,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     n = unit.count()
+    if n == 0:
+        # no usable vectors (empty / all-zero / all-NULL corpus): nothing
+        # to dedup — an empty drop list, not a crashed fit (fuzzer finding)
+        return spark.createDataFrame(
+            [], "drop_id long, keeper_id long, cluster bigint, cos_sim double"
+        )
     centers = train_kmeans(
         unit, "unit", "vec_id", semdedup_k(n), seed=13,
         max_rows=SEMDEDUP_FIT_SAMPLE,

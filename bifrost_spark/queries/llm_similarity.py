@@ -229,7 +229,13 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sim_topk asserted in tests (≥0.8 gate; measured 1.0 on the
     fixtures)."""
     n_bits, n_tables = 4, 8
-    e = load_table(spark, sf_dir, "embeddings")
+    # zero-norm exclusion (fuzzer finding): a zero vector has a valid SRP
+    # bucket, reaches the candidate join, and ANSI-aborts the cosine's
+    # division — the same nrm2 > 0 discipline as every cosine query (a
+    # NULL embedding also fails the predicate and drops here)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        norm2_fast(F.col("embedding")) > 0
+    )
     buckets = F.array(
         *[
             srp_bucket(F.col("embedding"), EMB_DIM, n_bits=n_bits, seed=1000 + t)
@@ -332,6 +338,13 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bifrost_spark.operators.cells import assign_cell, rank_cells, train_kmeans
 
     centers = train_kmeans(unit, "unit", "vec_id", k, seed=7)
+    if not centers:
+        # no usable vectors (empty / all-zero / all-NULL corpus): an
+        # index with no cells serves no candidates (fuzzer finding —
+        # unguarded, the empty training sample AxisError'd the fit)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk bigint"
+        )
 
     corpus = unit.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -538,7 +551,11 @@ def _ivfpq_core(
     # its worst case (residuals are near-full-norm), so the exact-rescore
     # shortlist is sized at ~half the probed candidates (150 of ~310);
     # clustered real corpora need far less — tune with the recall gate.
-    m_sub, d_sub, k_pq, refine = 8, 8, 16, 150
+    # m_sub/d_sub here are the d=64 production split; the effective split
+    # is re-derived from the trained centers below so a corpus with a
+    # different width degrades to fewer/wider subspaces instead of
+    # slicing past the vector (fuzzer finding).
+    m_sub, k_pq, refine = 8, 16, 150
 
     e = load_table(spark, sf_dir, "embeddings")
     nrm = e.select(
@@ -566,6 +583,15 @@ def _ivfpq_core(
     )
 
     centers = train_kmeans(unit, "unit", "vec_id", k_c, seed=7)
+    if not centers:
+        # no usable vectors: no cells, no candidates (fuzzer finding)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rnk bigint"
+        )
+    d = len(centers[0])
+    if d % m_sub != 0:
+        m_sub = 1  # junk-width corpus: one whole-vector codebook
+    d_sub = d // m_sub
     # the residual/ADC lookups below index centers by the ALREADY-assigned
     # cell id, so they stay O(k_c·d) literals only in this lookup table —
     # the per-row k_c-way argmin (the part that explodes at production
@@ -727,10 +753,21 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     e = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings (failed embedding job) carry no coordinates for the
+    # covariance; excluded like every vector op (fuzzer finding — an
+    # all-NULL or empty corpus otherwise crashes the d probe below)
     dbl = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    d = len(dbl.select("emb").first()["emb"])
+    ).filter(F.col("emb").isNotNull())
+    head = dbl.select("emb").limit(2).collect()
+    if len(head) < 2:
+        # a 0- or 1-vector corpus has no covariance (MLlib requires ≥2
+        # rows; a single mean-centered vector is identically zero) —
+        # no components, not a crash (fuzzer finding)
+        return spark.createDataFrame(
+            [], "vec_id long, component bigint, loading double"
+        )
+    d = len(head[0]["emb"])
     means = dbl.select(
         *[F.avg(F.element_at("emb", i + 1)).alias(f"m{i}") for i in range(d)]
     ).first()
@@ -742,7 +779,9 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = centered.select(
         "vec_id", array_to_vector("cemb").alias("feat")
     )
-    model = MLPCA(k=_PCA_K, inputCol="feat", outputCol="pc").fit(feats)
+    # a corpus narrower than the production component count caps k at d
+    # (MLlib requires k ≤ d; fuzzer finding)
+    model = MLPCA(k=min(_PCA_K, d), inputCol="feat", outputCol="pc").fit(feats)
 
     comps = model.pc.toArray()  # d × k loadings
     signs = []

@@ -873,3 +873,97 @@ def test_plan_oracle_parity_on_adversarial_part(
         con.close()
     problems = compare(spark_df, oracle_pdf)
     assert not problems, f"{name} diverged on {parts!r}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no DuckDB oracle: sketches, randomized LSH, kernels).
+# The driver only ever runs them on the FIXTURE; here they must RUN and
+# keep a stable schema on the same adversarial corpora the oracle fuzz
+# uses — empty corpora, NULL text/vectors, zero vectors, NULL metrics.
+# This is precisely the class that produced the zero-norm ANSI crash and
+# the np.frombuffer(None) Arrow kill in the oracle-backed queries.
+# ---------------------------------------------------------------------------
+
+ROWS_ONLY_EVENTS = ("q_agg_approx", "q_hll_rollup", "q_theta_overlap")
+ROWS_ONLY_DOCS = (
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_decontaminate_fuzzy",
+    "q_heavy_hitters",
+    "q_quality_classifier",
+    "q_multimodal_resize",
+    "q_multimodal_features",
+    "q_multimodal_patches",
+)
+ROWS_ONLY_EMB = (
+    "q_dedup_semantic",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_sim_ann_ivfpq",
+    "q_sim_ann_opq",
+    "q_embedding_pca",
+)
+ROWS_ONLY_LINEITEM = ("q_agg_approx_quantile",)
+
+
+def _smoke(spark, name, tmpdir):
+    df = registry.queries()[name](spark, tmpdir)
+    fixture_cols = registry.queries()[name](spark, SF_DIR).columns
+    assert df.columns == fixture_cols, (name, df.columns, fixture_cols)
+    df.collect()  # must execute without raising on the adversarial corpus
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_EVENTS)
+@settings(max_examples=3, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(events=events_strategy)
+@example(events=[])
+@example(events=[(0, "view", 0, None)])  # all-NULL metric
+def test_rows_only_queries_run_on_adversarial_events(
+    spark, tmp_path_factory, name, events
+):
+    tmpdir = _write_fixture_dir(str(tmp_path_factory.mktemp("fzre")), events)
+    _smoke(spark, name, tmpdir)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_DOCS)
+@settings(max_examples=3, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(docs=documents_strategy)
+@example(docs=[])
+@example(docs=[(None, "en", "web")])  # NULL text only
+@example(docs=[("", "en", "web"), (None, None, None)])  # empty + NULL
+def test_rows_only_queries_run_on_adversarial_documents(
+    spark, tmp_path_factory, name, docs
+):
+    tmpdir = _write_documents_dir(str(tmp_path_factory.mktemp("fzrd")), docs)
+    _smoke(spark, name, tmpdir)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_EMB)
+@settings(max_examples=3, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(rows=embeddings_strategy)
+@example(rows=[])
+@example(rows=[(False, 0, None)])  # all-NULL embedding
+@example(rows=[(False, 0, [0, 0, 0, 0])])  # lone zero vector
+@example(rows=[(False, 0, None), (False, 1, [4, 0, 0, 0]),
+               (True, 0, [0, 0, 0, 0])])  # NULL + zero + one real
+def test_rows_only_queries_run_on_adversarial_embeddings(
+    spark, tmp_path_factory, name, rows
+):
+    tmpdir = _write_embeddings_dir(str(tmp_path_factory.mktemp("fzrm")), rows)
+    _smoke(spark, name, tmpdir)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_LINEITEM)
+@settings(max_examples=3, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(rel=relational_strategy)
+@example(rel=([], [], []))
+@example(rel=([], [], [(0, 0, 0, 1, 100, 0, 0, "R", "O", 0)]))  # singleton
+def test_rows_only_queries_run_on_adversarial_lineitem(
+    spark, tmp_path_factory, name, rel
+):
+    tmpdir = _write_relational_dir(str(tmp_path_factory.mktemp("fzrl")), rel)
+    _smoke(spark, name, tmpdir)
