@@ -523,6 +523,11 @@ def _qc_train(X, y):
     n, d = X.shape
     w = np.zeros(d)
     b = 0.0
+    if n == 0:
+        # empty training sample (empty / all-unusable corpus): the
+        # untrained neutral model (every score sigmoid(0) = 0.5), not
+        # NaN weights from the 0/0 gradient (fuzzer finding)
+        return w, b
     for _ in range(_QC_ITERS):
         z = X @ w + b
         p = 1.0 / (1.0 + np.exp(-z))
