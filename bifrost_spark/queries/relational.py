@@ -520,16 +520,25 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         FROM events
-        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        WHERE props IS NOT NULL AND json_valid(props)
+          AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
     """,
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction over the opaque payload column (the reference
-    never parses payloads — kafka.clj:58; this is the engine's upgrade)."""
+    never parses payloads — kafka.clj:58; this is the engine's upgrade).
+
+    Junk tolerance (fuzzer finding): telemetry props are crash-prone —
+    malformed JSON, non-numeric k, empty strings.  Spark's
+    get_json_object already NULLs malformed input; the CAST becomes
+    try_cast so a string-valued k degrades to NULL instead of an ANSI
+    abort.  The oracle mirrors with json_valid + TRY_CAST (DuckDB's JSON
+    functions RAISE on malformed input, and integral-string casts differ
+    cross-engine on floats — the contract is integer-literal k)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return ev.select("event_id", k.alias("k_value")).filter(F.col("k_value").isNotNull())
 
 

@@ -584,8 +584,9 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-                 AS sum_k
+               CAST(SUM(CASE WHEN json_valid(props) THEN
+                      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS sum_k
         FROM events
         WHERE props IS NOT NULL
         GROUP BY event_type
@@ -596,7 +597,12 @@ def q_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema (JsonToStructs — vectorizable, typed, fails fast on drift),
     versus q_json_extract's schema-less get_json_object path.  Aggregating
     the parsed field proves the struct column composes with downstream
-    relational ops."""
+    relational ops.
+
+    Junk tolerance (fuzzer finding): from_json's default PERMISSIVE mode
+    already NULLs malformed documents and mistyped fields, so rows stay
+    counted in n while their k drops out of sum_k; the oracle mirrors
+    with json_valid + TRY_CAST (DuckDB raises on malformed JSON)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     parsed = ev.withColumn("j", F.from_json("props", "k BIGINT"))
     return parsed.groupBy("event_type").agg(

@@ -495,14 +495,18 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_variant",
     oracle="""
+        WITH k AS (
+          SELECT event_type,
+                 CASE WHEN props IS NOT NULL AND json_valid(props) THEN
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END AS k_val
+          FROM events
+        )
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                 AS BIGINT) AS sum_k,
-               CAST(COUNT(*) FILTER (
-                 WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-               ) AS BIGINT) AS n_big_k
-        FROM events
+               CAST(SUM(k_val) AS BIGINT) AS sum_k,
+               CAST(COUNT(*) FILTER (WHERE k_val > 50) AS BIGINT) AS n_big_k
+        FROM k
         GROUP BY event_type
     """,
 )
@@ -516,9 +520,15 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contrast with q_json_schema (from_json with a declared schema): variant
     keeps undeclared structure queryable.  Aggregates are exact integers →
     engine-stable; the oracle uses DuckDB's JSON extraction over the same
-    strings."""
+    strings.
+
+    Junk tolerance (fuzzer finding): the strict parse_json/variant_get
+    pair ABORTS the whole job on one malformed document or one
+    string-valued k — the try_ variants degrade those to NULL (rows stay
+    counted in n, drop out of sum_k/n_big_k), matching the oracle's
+    json_valid + TRY_CAST spelling."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),

@@ -28,6 +28,25 @@ from conftest import SF_DIR
 # the drift queries; values include 0, negatives, and bin-edge magnitudes.
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 
+# Telemetry props payloads: valid integer k, string/NULL/missing k,
+# malformed JSON, the empty string, NULL, arrays, nesting, unicode keys.
+# No FLOAT k by contract: DuckDB's TRY_CAST('1.9' AS BIGINT) rounds to 2
+# where Spark's try_cast (and variant_get) NULL/truncate — integer-literal
+# k is the declared schema, junk is the hazard being fuzzed.
+PROPS_POOL = (
+    '{"k": 7}',
+    '{"k": -3}',
+    '{"k": 123, "nested": {"a": [1, 2]}}',
+    '{"k": "abc"}',  # string-valued k: try_cast → NULL, never an abort
+    '{"k": null}',
+    '{}',  # k missing entirely
+    "not json",  # malformed: json_valid gates the oracle, Spark NULLs
+    "",  # empty string is NOT valid JSON
+    None,
+    "[]",  # valid JSON, no $.k path
+    '{"κλειδί": "значение", "k": 0}',
+)
+
 events_strategy = st.lists(
     st.tuples(
         st.integers(0, 3),  # user_id
@@ -43,6 +62,7 @@ events_strategy = st.lists(
         # NULL metrics; Spark windows sort NULLS FIRST where DuckDB
         # defaults NULLS LAST, so every value-ordered frame is at risk)
         st.one_of(st.none(), st.integers(-100, 50_000)),
+        st.sampled_from(PROPS_POOL),
     ),
     min_size=0,
     max_size=40,
@@ -107,24 +127,26 @@ def _write_fixture_dir(tmpdir: str, events) -> str:
     import pyarrow.parquet as pq
 
     base = pd.Timestamp("2024-01-01 00:00:00")
+    # rows may be 4-tuples (legacy examples) or 5-tuples with props
+    events = [e if len(e) == 5 else (*e, '{"k": 0}') for e in events]
     # explicit arrow schema: an EMPTY pandas object column would otherwise
     # round-trip as the `null` arrow type and load as VOID in Spark
     table = pa.table(
         {
             "event_id": pa.array(range(len(events)), pa.int64()),
             "ts": pa.array(
-                [base + pd.Timedelta(seconds=s) for _, _, s, _ in events],
+                [base + pd.Timedelta(seconds=s) for _, _, s, _, _ in events],
                 pa.timestamp("us"),
             ),
-            "user_id": pa.array([u for u, _, _, _ in events], pa.int64()),
+            "user_id": pa.array([u for u, _, _, _, _ in events], pa.int64()),
             "event_type": pa.array(
-                [t for _, t, _, _ in events], pa.string()
+                [t for _, t, _, _, _ in events], pa.string()
             ),
             "value": pa.array(
-                [None if c is None else c / 100.0 for _, _, _, c in events],
+                [None if c is None else c / 100.0 for _, _, _, c, _ in events],
                 pa.float64(),
             ),
-            "props": pa.array(['{"k": 0}'] * len(events), pa.string()),
+            "props": pa.array([p for _, _, _, _, p in events], pa.string()),
         }
     )
     pq.write_table(table, os.path.join(tmpdir, "events.parquet"))
@@ -150,6 +172,13 @@ def _write_fixture_dir(tmpdir: str, events) -> str:
 @example(  # NULL value amid real ones: ordering/frame divergence probe
     events=[(0, "view", 0, 100), (0, "view", 3600, None),
             (0, "view", 7200, 50)]
+)
+@example(  # junk telemetry props: malformed JSON, string-valued k, the
+    # empty string, NULL, pathless arrays — next to one clean row
+    events=[(0, "view", 0, 100, "not json"),
+            (0, "view", 60, 100, '{"k": "abc"}'),
+            (1, "click", 0, None, ""), (1, "view", 60, 50, None),
+            (2, "view", 0, 50, "[]"), (2, "view", 60, 50, '{"k": 7}')]
 )
 @example(events=[(0, "click", 0, 100)])  # one cohort empty (KS guard)
 @example(events=[(0, "purchase", 0, 100)])  # organic purchase, no click
