@@ -65,7 +65,7 @@ corpus_strategy = st.lists(
 )
 
 
-def _write_corpus(spark, path: str, rows) -> None:
+def _write_corpus(spark, path: str, rows, n_files: int = 1) -> None:
     base = pd.Timestamp("2024-01-01 00:00:00")
     pdf = pd.DataFrame(
         {
@@ -78,8 +78,25 @@ def _write_corpus(spark, path: str, rows) -> None:
         pdf.astype({"doc_id": "int64"}),
         schema="doc_id long, text string, ts timestamp",
     )
-    # ONE file → one micro-batch: the scope where stream == batch exactly
-    df.coalesce(1).write.parquet(path)
+    if n_files <= 1:
+        # ONE file → one micro-batch: stream == batch exactly
+        df.coalesce(1).write.parquet(path)
+        return
+    # sequential files in arrival order → one micro-batch each (the file
+    # source processes files in mtime order with maxFilesPerTrigger=1)
+    import time
+
+    chunk = max(1, -(-len(rows) // n_files))
+    for i in range(0, max(len(rows), 1), chunk):
+        (
+            df.filter(
+                (F.col("doc_id") >= i) & (F.col("doc_id") < i + chunk)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+        time.sleep(0.05)  # parquet file-source discovery is mtime-based
 
 
 @settings(
@@ -137,6 +154,73 @@ def test_stream_batch_curation_equivalence(spark, tmp_path_factory, rows):
         f"stream {stream_hashes} != batch {batch_hashes} on {rows!r}"
     )
     # one surviving row per surviving content hash — the dedup contract
+    assert stream_rows == len(batch_hashes)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=corpus_strategy, n_files=st.integers(2, 4))
+@example(  # a duplicate arriving in a LATER batch: only cross-batch
+    # dedup state can drop it (the single-batch test never exercises it)
+    rows=[(GOOD, 0), (GOOD2, 30), (GOOD, 3600), (CONTAMINATED, 3600),
+          (GOOD2, 3600)],
+    n_files=3,
+)
+def test_stream_batch_curation_equivalence_across_batches(
+    spark, tmp_path_factory, rows, n_files
+):
+    """Same differential, but the corpus arrives as several micro-batches
+    (one file each): duplicates straddling batch boundaries must be
+    dropped by the WATERMARK STATE, not batch-local dedup.  The pool's ts
+    spread (≤1 h) stays inside the 2 h watermark, so every cross-batch
+    duplicate is within the horizon and the batch spelling remains the
+    exact oracle."""
+    tmp = str(tmp_path_factory.mktemp("fuzzcurm"))
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    _write_corpus(spark, src, rows, n_files=n_files)
+    contaminated = spark.createDataFrame(
+        pd.DataFrame({"text": [CONTAMINATED]})
+    ).select(F.md5("text").alias("content_hash"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = start_curated_ingest(
+        stream, contaminated, out, ckpt, watermark="2 hours"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        got = spark.read.parquet(out)
+        stream_hashes = sorted(
+            r["content_hash"] or ""
+            for r in got.select("content_hash").collect()
+        )
+        stream_rows = got.count()
+    except Exception:  # zero-batch run: sink dir never created
+        stream_hashes, stream_rows = [], 0
+
+    batch = (
+        spark.read.schema("doc_id long, text string, ts timestamp")
+        .parquet(src)
+        .withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["content_hash"])
+        .join(F.broadcast(contaminated), "content_hash", "left_anti")
+        .filter(gopher_keep_predicate())
+    )
+    batch_hashes = sorted(
+        r["content_hash"] or ""
+        for r in batch.select("content_hash").collect()
+    )
+    assert stream_hashes == batch_hashes, (rows, n_files)
     assert stream_rows == len(batch_hashes)
 
 
