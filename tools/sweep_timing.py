@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Full-surface timing sweep: time EVERY registered query at a given SF
+(default sf0.1) with the same noop-sink protocol as bench.py, and print a
+sorted JSON report.  The headline bench (bench.py) tracks 51 curated
+shapes per-round; this sweep is the audit tool that finds slow outliers
+in the other ~150 registered queries before they matter at scale.
+
+Usage: python tools/sweep_timing.py [--sf-dir DIR] [--runs N] [--only a,b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bifrost_spark import registry
+from bifrost_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    spark = get_spark("bifrost-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    names = [n for n in args.only.split(",") if n] or list(qs)
+
+    # Warm JVM codegen + Arrow worker paths once (same as bench.py).
+    qs["q_agg_hash"](spark, "/root/testdata/sf0.001").count()
+    qs["q_dedup_embedding"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(args.runs):
+            df = qs[name](spark, args.sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"{timings[name]:8.3f}  {name}", file=sys.stderr)
+
+    ranked = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    print(json.dumps({"sf_dir": args.sf_dir, "total": round(sum(timings.values()), 3), "queries": ranked}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
