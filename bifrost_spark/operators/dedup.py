@@ -65,6 +65,14 @@ def exact_jaccard_pairs(
     uncapped one — hub-only overlap never reaches near-dup thresholds.
     Pass ``None`` for the unbounded exact measure.
     """
+    # Shingles collapse to 8-byte xxhash64 keys up front: every downstream
+    # shuffle (df count, self-join, pair groupBy) and the checkpoint carry
+    # longs, never k-char strings — the same discipline as the PPJoin
+    # spelling (whose DuckDB oracle is likewise string-equality: a 64-bit
+    # collision inside one candidate pair is ~1e-12 at these densities,
+    # accepted there and here).  Set-distinctness per doc is unchanged
+    # modulo that collision bound.
+    shingled = shingled.select(id_col, F.xxhash64("shingle").alias("shingle"))
     if max_shingle_df is not None:
         keep = (
             shingled.groupBy("shingle")
@@ -310,13 +318,23 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     map-side combinable, constant state.  Bits 0..62 are packed (bit 63 left
     clear to stay positive in a signed bigint).
     """
-    tok = df.select(
-        F.col(id_col), F.explode(F.split(F.lower(text_col), " ", -1)).alias("tok")
-    ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    # Tokens are hashed ONCE, in-row, and only the 8-byte hash explodes:
+    # the 63 bit-sum aggregates below all reference the same materialized
+    # h column.  (The 63-buffer aggregate exceeds the codegen field limit
+    # and runs interpreted, where nothing CSEs a repeated xxhash64(tok) —
+    # spelled per-sum it computed 63 hashes per token, measured ~5 s of
+    # pure hashing at sf0.1.)  The explode expression stays directly under
+    # Generate so no filter pushdown can re-derive the token array.
+    h_arr = F.transform(
+        F.filter(F.split(F.lower(text_col), " ", -1), lambda x: x != ""),
+        lambda x: F.xxhash64(x),
+    )
+    tok = df.select(F.col(id_col), F.explode(h_arr).alias("h"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(63)
     ]
@@ -368,12 +386,19 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 7) -> Dat
     )
     a = ex.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk")
-    cand = (
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    # The hamming gate runs BEFORE dropDuplicates: candidate volume on
+    # prose corpora is near-quadratic (simhash bits are correlated across
+    # documents sharing common tokens, so 8-bit chunk values cluster —
+    # measured 7.1M candidate pairs from 5k docs at sf0.1), but the
+    # bit_count filter is a cheap map-side expression that kills ~99% of
+    # them, so the dedup shuffle sees only true near-dup pairs (×≤8 chunk
+    # copies) instead of the full candidate stream.  Same result set:
+    # hamming is a pure per-pair function, identical on every duplicate.
+    return (
         a.join(b, ["chunk_id", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )

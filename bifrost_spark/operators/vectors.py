@@ -77,6 +77,34 @@ def with_norm(df: DataFrame, vec_col: str, out: str = "nrm2") -> DataFrame:
     return df.withColumn(out, norm2(F.col(vec_col)))
 
 
+def scale_by(vec: Column, divisor: Column, round_dp: int | None = None) -> Column:
+    """Element-wise ``vec / divisor`` with the divisor evaluated ONCE per row.
+
+    NEVER write ``F.transform(vec, lambda x: x / divisor_expr)`` when the
+    divisor is a computed expression (a norm fold, an aggregate, even a
+    projected alias of one): Catalyst's CollapseProject inlines the alias
+    into the lambda BODY, where higher-order functions re-evaluate it per
+    ELEMENT — the O(d)-per-row normalization silently becomes O(d²)
+    (measured: 11 s instead of <1 s on 2000 rows × 64 dims at sf0.1,
+    because the interpreted decimal/double fold ran 64× per row).
+
+    Zipping against ``array_repeat(divisor, size(vec))`` pins the divisor
+    in zip_with's ARGUMENT position — arguments are evaluated once per row,
+    only the lambda body runs per element — so the shape stays O(d)/row no
+    matter where CollapseProject moves it.  Same defense class as the
+    Generate-filter recompute: make the expensive expression structurally
+    un-inlinable instead of hoping the optimizer keeps the projection.
+    """
+    per_elem = (
+        (lambda x, n: F.round(x.cast("double") / n, round_dp))
+        if round_dp is not None
+        else (lambda x, n: x.cast("double") / n)
+    )
+    return F.zip_with(
+        vec, F.array_repeat(divisor.cast("double"), F.size(vec)), per_elem
+    )
+
+
 def cosine_pair_candidates(
     df: DataFrame,
     id_col: str,

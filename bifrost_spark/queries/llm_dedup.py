@@ -30,6 +30,7 @@ from bifrost_spark.operators.vectors import (
     cosine,
     cosine_pair_candidates,
     norm2_fast,
+    scale_by,
 )
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
@@ -476,9 +477,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("nrm") > 0)
     unit = nrm.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias(
-            "unit"
-        ),
+        scale_by(F.col("embedding"), F.col("nrm")).alias("unit"),
     )
     n = unit.count()
     if n == 0:

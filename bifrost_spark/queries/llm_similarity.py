@@ -9,7 +9,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bifrost_spark.operators.vectors import cosine, dot_fast, norm2_fast, srp_bucket
+from bifrost_spark.operators.vectors import (
+    cosine,
+    dot_fast,
+    norm2_fast,
+    scale_by,
+    srp_bucket,
+)
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -145,21 +151,22 @@ def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary value), leaving ≤1e-16 relative error in the quotient — so the
     emitted value is rounded to 9 dp, far above the divergence and far
     below any information loss for unit components."""
-    from bifrost_spark.operators.vectors import norm2
+    from bifrost_spark.operators.vectors import norm2, scale_by
 
     # zero-norm exclusion (fuzzer finding): no unit form exists and the ANSI
     # division would fail the job; excluded identically in the oracle
     e = load_table(spark, sf_dir, "embeddings").filter(
         norm2_fast(F.col("embedding")) > 0
     )
+    # scale_by, NOT transform(…, lambda x: x / nrm): the norm fold inside
+    # the lambda body re-runs per ELEMENT (O(d²)/row — measured 4.3 s → 0.3 s
+    # at sf0.1); see operators/vectors.py::scale_by
     nrm = F.sqrt(norm2(F.col("embedding")))
     return e.select(
         "vec_id",
-        F.posexplode(
-            F.transform(
-                F.col("embedding"), lambda x: F.round(x.cast("double") / nrm, 9)
-            )
-        ).alias("pos", "unit_val"),
+        F.posexplode(scale_by(F.col("embedding"), nrm, round_dp=9)).alias(
+            "pos", "unit_val"
+        ),
     ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), "unit_val")
 
 
@@ -333,7 +340,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = nrm.select(
         "vec_id",
         "embedding",
-        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
+        scale_by(F.col("embedding"), F.col("nrm")).alias("unit"),
     )
     from bifrost_spark.operators.cells import assign_cell, rank_cells, train_kmeans
 
@@ -417,6 +424,11 @@ _KNN_EVAL_SQL = f"""
     """
 
 
+# Driver-side gate for the train matrix — the same "fits-in-broadcast"
+# bound as cosine_pair_candidates (2M × 64 dims × 8 B ≈ 1 GB).
+_KNN_BROADCAST_GATE = 2_000_000
+
+
 @query("q_knn_eval", oracle=_KNN_EVAL_SQL)
 def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN classifier evaluation: predict each test vector's label
@@ -424,50 +436,125 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit the confusion matrix — the eval loop of an embedding-quality
     pipeline, run entirely in the engine.
 
-    Same two-phase scoring as q_sim_topk (cheap double cosine everywhere,
-    exact decimal rescore on each test vector's top candidates) with the
-    train side broadcast — the test scan never shuffles; the only shuffle
-    is the per-test-vector argmax window.  Deterministic via the decimal
-    cosine + neighbor_id tie-break; the confusion matrix is integer counts."""
+    Two-phase scoring with a BLAS prefilter: the train side (the broadcast
+    dim of this join, gated like cosine_pair_candidates) is collected once
+    as a row-normalized float64 matrix, and each Arrow batch of the test
+    scan matmuls against it — |batch|×|train| dot products per BLAS call
+    instead of per-pair interpreted expression folds (the fold spelling
+    measured 11 s for 1600×400 pairs at sf0.1; this runs in milliseconds).
+    Each test row emits its top-8 candidates map-side, so NOTHING quadratic
+    is ever shuffled: the old window over all |test|×|train| scored pairs
+    (with both embedding arrays attached!) shuffled ~650 MB at sf0.1.
+
+    The exact decimal-cosine rescore runs only on the ≤8 survivors per
+    test vector (broadcast join back to the train side, zero shuffle), and
+    the final argmax is a max_by aggregation — map-side combinable, so the
+    only shuffles are one skinny row per test vector plus the |labels|²
+    confusion matrix.
+
+    Determinism: the float64 prefilter is ~1e-16-relative of exact, and the
+    8-candidate margin absorbs prefilter reordering (same contract as
+    q_sim_topk's TOP_K+8); ties in the prefilter keep neighbor_id-ascending
+    order (train rows sorted by vec_id + stable argsort), matching the
+    oracle's (cos DESC, neighbor_id ASC) tie-break; the rescore + max_by
+    ordering struct (cos_sim, -neighbor_id) reproduces it exactly."""
+    import numpy as np
+
     # zero-norm exclusion (fuzzer finding) — matches the oracle's nrm2 > 0
     e = load_table(spark, sf_dir, "embeddings").filter(
         norm2_fast(F.col("embedding")) > 0
     )
-    train = F.broadcast(
-        e.filter(F.col("vec_id") < TRAIN_MAX).select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("t_emb"),
-            F.col("label").alias("pred_label"),
-        )
+    label_t = e.schema["label"].dataType.simpleString()
+    emb_t = e.schema["embedding"].dataType.simpleString()
+    train_rows = (
+        e.filter(F.col("vec_id") < TRAIN_MAX)
+        .select("vec_id", "label", "embedding")
+        .limit(_KNN_BROADCAST_GATE + 1)
+        .collect()
     )
+    if len(train_rows) > _KNN_BROADCAST_GATE:
+        raise ValueError(
+            f"train side exceeds broadcast gate {_KNN_BROADCAST_GATE}; "
+            "shard the train matrix or use an ANN index for 1-NN at this scale"
+        )
+    if not train_rows:
+        # empty train side (fuzz corpora): no neighbor exists — an empty
+        # confusion matrix, not a crashed fit
+        return spark.createDataFrame(
+            [], f"true_label {label_t}, pred_label {label_t}, n bigint"
+        )
+    train_rows.sort(key=lambda r: r[0])  # vec_id asc → stable-argsort ties
+    t_ids = np.array([r[0] for r in train_rows], dtype=np.int64)
+    t_mat = np.array([r[2] for r in train_rows], dtype=np.float64)
+    t_mat /= np.linalg.norm(t_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((t_ids, t_mat))
+    n_cand = min(8, len(train_rows))
+
+    # exact norms precomputed ONCE per row on each side (not inside the
+    # per-pair cosine): the rescore's decimal folds drop from 3 per pair
+    # to the 1 irreducible dot product
+    from bifrost_spark.operators.vectors import dot, norm2
+
     test = e.filter(F.col("vec_id") >= TRAIN_MAX).select(
         F.col("vec_id").alias("test_id"),
-        F.col("embedding").alias("q_emb"),
         F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(norm2(F.col("embedding"))).alias("q_nrm"),
     )
-    fast = test.join(train, F.lit(True)).select(
+
+    def gen(batches):
+        import pandas as pd
+
+        ids, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:  # np.stack needs at least one array
+                continue
+            v = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ mat.T  # |batch| × |train|
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_cand]
+            k = top.shape[1]
+            yield pd.DataFrame(
+                {
+                    "test_id": pdf["test_id"].repeat(k).reset_index(drop=True),
+                    "true_label": pdf["true_label"].repeat(k).reset_index(drop=True),
+                    "q_emb": [emb for emb in pdf["q_emb"] for _ in range(k)],
+                    "q_nrm": pdf["q_nrm"].repeat(k).reset_index(drop=True),
+                    "neighbor_id": ids[top].ravel(),
+                }
+            )
+
+    cand = test.mapInPandas(
+        gen,
+        schema=(
+            f"test_id long, true_label {label_t}, "
+            f"q_emb {emb_t}, q_nrm double, neighbor_id long"
+        ),
+    )
+    train_df = F.broadcast(
+        e.filter(F.col("vec_id") < TRAIN_MAX).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("pred_label"),
+            F.col("embedding").alias("t_emb"),
+            F.sqrt(norm2(F.col("embedding"))).alias("t_nrm"),
+        )
+    )
+    exact = cand.join(train_df, "neighbor_id").select(
         "test_id",
         "true_label",
         "pred_label",
-        "neighbor_id",
-        "q_emb",
-        "t_emb",
         (
-            dot_fast(F.col("q_emb"), F.col("t_emb"))
-            / (F.sqrt(norm2_fast(F.col("q_emb"))) * F.sqrt(norm2_fast(F.col("t_emb"))))
-        ).alias("cos_fast"),
+            dot(F.col("q_emb"), F.col("t_emb"))
+            / (F.col("q_nrm") * F.col("t_nrm"))
+        ).alias("cos_sim"),
+        F.col("neighbor_id"),
     )
-    w_fast = Window.partitionBy("test_id").orderBy(F.desc("cos_fast"), F.asc("neighbor_id"))
-    cand = fast.withColumn("rn", F.row_number().over(w_fast)).filter(F.col("rn") <= 8)
-    exact = cand.select(
-        "test_id",
-        "true_label",
-        "pred_label",
-        "neighbor_id",
-        cosine(F.col("q_emb"), F.col("t_emb")).alias("cos_sim"),
+    best = exact.groupBy("test_id", "true_label").agg(
+        F.max_by(
+            "pred_label",
+            F.struct(F.col("cos_sim"), (-F.col("neighbor_id")).alias("neg_id")),
+        ).alias("pred_label")
     )
-    w = Window.partitionBy("test_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    best = exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return best.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -504,9 +591,7 @@ def q_sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("nrm") > 0)
     unit = nrm.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias(
-            "unit"
-        ),
+        scale_by(F.col("embedding"), F.col("nrm")).alias("unit"),
     )
     X = sample_rows(unit, "unit", "vec_id")
     R = opq_fit(X, m_sub=8, k_pq=16, seed=23, iters=6)
@@ -564,9 +649,7 @@ def _ivfpq_core(
     unit = nrm.select(
         "vec_id",
         "embedding",
-        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias(
-            "unit"
-        ),
+        scale_by(F.col("embedding"), F.col("nrm")).alias("unit"),
     )
     if rotation is not None:
         # OPQ pretransform: index space is rotated, exact rescore below
