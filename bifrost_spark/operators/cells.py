@@ -29,21 +29,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from bifrost_spark.operators.vectors import dot_fast
+from bifrost_spark.operators.vectors import dot_fast, lit_struct_table
 
 LITERAL_K_MAX = 64
 
 
 def _rank_cells_literal(col: Column, centers: list[list[float]], nprobe: int) -> Column:
+    # The (cell, centroid) table is ONE parsed literal expression and the
+    # k dot folds run as a transform over it — k·d F.lit() calls cost one
+    # py4j round-trip EACH (plan construction, not execution: measured
+    # seconds of driver wall per ANN query); see vectors.py::lit_vector.
+    tab = lit_struct_table(centers, "cell", "c")
     ranked = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    (-dot_fast(col, F.array(*[F.lit(v) for v in c]))).alias("negd"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centers)
-            ]
+        F.transform(
+            tab,
+            lambda s: F.struct(
+                (-dot_fast(col, s.c)).alias("negd"), s.cell.alias("cell")
+            ),
         )
     )
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s.cell)

@@ -105,6 +105,60 @@ def scale_by(vec: Column, divisor: Column, round_dp: int | None = None) -> Colum
     )
 
 
+def _sql_double(v: float) -> str:
+    """Shortest-exact SQL double literal (Double.parseDouble round-trips
+    repr() bit-exactly; verified incl. exponents and -0.0)."""
+    f = float(v)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal {v!r} in plan constant")
+    return f"{f!r}D"
+
+
+def lit_vector(row: list[float]) -> Column:
+    """array<double> literal built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(v) for v in row])`` costs one py4j round-trip per
+    element — building the IVF-PQ codebook tables this way spent ~13 s of
+    pure plan construction (48k gateway calls) per query at k·d ≈ 2k
+    literals.  One F.expr string is one round-trip regardless of size."""
+    return F.expr("array(" + ",".join(_sql_double(v) for v in row) + ")")
+
+
+def lit_bigint_vector(row: list[int]) -> Column:
+    """array<bigint> literal as ONE parsed SQL expression (see lit_vector)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in row) + ")")
+
+
+def lit_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal as ONE parsed SQL expression (see
+    lit_vector for why)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(v) for v in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
+def lit_struct_table(
+    rows: list[list[float]], id_field: str, vec_field: str
+) -> Column:
+    """array<struct<id_field int, vec_field array<double>>> literal — the
+    (id, centroid) lookup table shape consumed by transform-based argmin
+    scans — as ONE parsed SQL expression (see lit_vector for why)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('{id_field}', {i}, '{vec_field}', array("
+            + ",".join(_sql_double(v) for v in r)
+            + "))"
+            for i, r in enumerate(rows)
+        )
+        + ")"
+    )
+
+
 def cosine_pair_candidates(
     df: DataFrame,
     id_col: str,
@@ -180,12 +234,23 @@ def srp_bucket(vec: Column, dim: int, n_bits: int = 16, seed: int = 42) -> Colum
     bucket bit b = sign(vec · signs_b) where signs_b is a deterministic ±1
     literal array (see ``_srp_signs``).  Per row: n_bits double-fold dot
     products over the vector — no per-row hashing at all.
+
+    The n_bits × dim sign matrix is ONE parsed literal (lit_matrix) and
+    the per-bit terms come from an index-aware transform over it — the
+    per-element F.lit() spelling cost n_bits·dim py4j round-trips of plan
+    construction per query.  Same bucket value: Σ (1 << b) over positive
+    projections.
     """
-    bucket = F.lit(0).cast("bigint")
-    for bit in range(n_bits):
-        signs = F.array(*[F.lit(s) for s in _srp_signs(seed, bit, dim)])
-        signed = dot_fast(vec, signs)
-        bucket = bucket + F.when(signed > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return bucket
+    signs_tab = lit_matrix([_srp_signs(seed, bit, dim) for bit in range(n_bits)])
+    terms = F.transform(
+        signs_tab,
+        lambda s, i: F.when(
+            dot_fast(vec, s) > 0,
+            # call_function: the PySpark shiftleft wrapper only takes a
+            # Python int for numBits; the SQL function accepts a column
+            F.call_function("shiftleft", F.lit(1).cast("bigint"), i),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )

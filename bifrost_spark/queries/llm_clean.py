@@ -411,8 +411,12 @@ def dsir_weights(
     # per-token addend as a literal lookup — the log2/round/decimal chain
     # is IDENTICAL to the former join spelling (Spark evaluates the same
     # expressions on the same integer counts), so results are bit-equal
-    cr_arr = F.array(*[F.lit(v) for v in cr])
-    ct_arr = F.array(*[F.lit(v) for v in ct])
+    # single-expression literals: the per-element F.lit spelling costs one
+    # py4j round-trip per bucket (2×1024 calls at hires) of plan-build time
+    from bifrost_spark.operators.vectors import lit_bigint_vector
+
+    cr_arr = lit_bigint_vector(cr)
+    ct_arr = lit_bigint_vector(ct)
     addend = F.round(
         F.log2(F.element_at(ct_arr, F.col("bucket") + 1) + 1), 12
     ).cast("decimal(28,12)") - F.round(
@@ -597,7 +601,15 @@ def quality_classifier(
         .orderBy(F.xxhash64(F.col("doc_id")), F.col("doc_id"))
         .limit(_QC_SAMPLE_MAX)
     )
-    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    # NULL-source docs are NOT target: isin() is NULL on a NULL source,
+    # which cast to a NULL label and np.float64(None) = NaN — one
+    # missing-metadata doc in the sample NaN-poisoned the whole gradient
+    # and every corpus score (fuzzer finding, caught by lit_vector's
+    # non-finite guard; the DSIR twin at line ~396 was already safe —
+    # count_if skips NULL)
+    is_target = F.coalesce(
+        F.col("source").isin(*_DSIR_TARGET_SOURCES), F.lit(False)
+    )
     per_doc = (
         tok.join(F.broadcast(sample_docs.select("doc_id")), "doc_id")
         .groupBy("doc_id", "source", "bucket")
@@ -624,7 +636,9 @@ def quality_classifier(
     w, b = _qc_train(X, y)
 
     # corpus-wide scoring: mean of w[bucket] per doc + bias, all JVM
-    w_arr = F.array(*[F.lit(float(v)) for v in w])
+    from bifrost_spark.operators.vectors import lit_vector
+
+    w_arr = lit_vector([float(v) for v in w])
     scored = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.avg(F.element_at(w_arr, F.col("bucket") + 1)).alias("wx"),

@@ -682,9 +682,13 @@ def _ivfpq_core(
     # The PQ codebooks are inherently small (m_sub·k_pq·d_sub = 1024
     # floats here; k_pq ≤ 256 by construction — codes are one byte), so
     # literal codebook lookups never face the production-k problem.
-    centers_lit = F.array(
-        *[F.array(*[F.lit(v) for v in c]) for c in centers]
-    )
+    # single-expression literals (vectors.py::lit_matrix): the per-element
+    # F.lit spelling cost one py4j round-trip per float — 48k gateway calls
+    # ≈ 13 s of pure PLAN CONSTRUCTION for this query's codebook tables,
+    # measured before execution even started
+    from bifrost_spark.operators.vectors import lit_matrix, lit_struct_table
+
+    centers_lit = lit_matrix(centers)
 
     with_res = unit.select(
         "vec_id",
@@ -710,28 +714,19 @@ def _ivfpq_core(
 
     def sub_argmin(m):
         sl = F.slice("res", m * d_sub + 1, d_sub)
-        return F.element_at(
-            F.sort_array(
-                F.array(
-                    *[
-                        F.struct(
-                            F.aggregate(
-                                F.zip_with(
-                                    sl,
-                                    F.array(*[F.lit(v) for v in c]),
-                                    lambda a, b: (a - b) * (a - b),
-                                ),
-                                F.lit(0.0),
-                                lambda acc, x: acc + x,
-                            ).alias("d2"),
-                            F.lit(j).alias("code"),
-                        )
-                        for j, c in enumerate(codebooks[m])
-                    ]
-                )
+        cb_tab = lit_struct_table(codebooks[m], "code", "c")
+        scored = F.transform(
+            cb_tab,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(sl, s.c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                s.code.alias("code"),
             ),
-            1,
-        ).code
+        )
+        return F.element_at(F.sort_array(scored), 1).code
 
     corpus = with_res.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -749,10 +744,7 @@ def _ivfpq_core(
     )
 
     # ADC: approx cos = q·center[cell] + Σ_m q_m · codebook_m[code_m]
-    sub_lits = [
-        F.array(*[F.array(*[F.lit(v) for v in c]) for c in codebooks[m]])
-        for m in range(m_sub)
-    ]
+    sub_lits = [lit_matrix(codebooks[m]) for m in range(m_sub)]
     adc = dot_fast(F.col("q_unit"), F.element_at(centers_lit, F.col("cell") + 1))
     for m in range(m_sub):
         adc = adc + dot_fast(
@@ -854,7 +846,9 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = dbl.select(
         *[F.avg(F.element_at("emb", i + 1)).alias(f"m{i}") for i in range(d)]
     ).first()
-    mean_arr = F.array(*[F.lit(float(means[f"m{i}"])) for i in range(d)])
+    from bifrost_spark.operators.vectors import lit_vector
+
+    mean_arr = lit_vector([float(means[f"m{i}"]) for i in range(d)])
     centered = dbl.select(
         "vec_id",
         F.zip_with("emb", mean_arr, lambda x, m: x - m).alias("cemb"),
@@ -871,7 +865,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(comps.shape[1]):
         col = comps[:, j]
         signs.append(1.0 if col[abs(col).argmax()] >= 0 else -1.0)
-    sign_arr = F.array(*[F.lit(s) for s in signs])
+    sign_arr = lit_vector(signs)
 
     projected = model.transform(feats).select(
         "vec_id",

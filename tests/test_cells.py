@@ -202,3 +202,43 @@ def test_rotate_vectors_matches_numpy(spark):
     rows = df.select("vec_id", cells.rotate_vectors(R)(F.col("unit")).alias("r")).collect()
     got = np.vstack([r["r"] for r in sorted(rows, key=lambda r: r["vec_id"])])
     assert np.allclose(got, V @ Q, atol=1e-12)
+
+
+def test_lit_builders_round_trip_bit_exactly(spark):
+    """lit_vector / lit_matrix / lit_struct_table build plan literals as ONE
+    parsed SQL expression (the per-element F.lit spelling cost one py4j
+    round-trip per float — ~13 s of plan construction for the IVF-PQ
+    codebooks, round 5).  The parse must be BIT-exact for arbitrary
+    doubles: repr() is shortest-exact and Double.parseDouble round-trips
+    it, including exponents and -0.0."""
+    import struct as _struct
+
+    from bifrost_spark.operators.vectors import (
+        lit_bigint_vector,
+        lit_matrix,
+        lit_struct_table,
+        lit_vector,
+    )
+
+    vals = [0.1, -1.5e-18, 2.3456789012345678e30, 7.123456789012345e-05,
+            -0.0, 1.0, -3.141592653589793]
+    row = spark.range(1).select(
+        lit_vector(vals).alias("v"),
+        lit_matrix([vals, vals[::-1]]).alias("m"),
+        lit_struct_table([vals], "cell", "c").alias("t"),
+        lit_bigint_vector([0, -7, 2**62]).alias("b"),
+    ).collect()[0]
+    bits = lambda x: _struct.pack(">d", x)
+    assert [bits(a) for a in row["v"]] == [bits(v) for v in vals]
+    assert [bits(a) for a in row["m"][1]] == [bits(v) for v in vals[::-1]]
+    assert row["t"][0]["cell"] == 0
+    assert [bits(a) for a in row["t"][0]["c"]] == [bits(v) for v in vals]
+    assert list(row["b"]) == [0, -7, 2**62]
+
+
+def test_lit_builders_reject_non_finite():
+    from bifrost_spark.operators.vectors import lit_vector
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError):
+            lit_vector([1.0, bad])

@@ -429,3 +429,42 @@ def test_single_partition_stages_are_bounded(spark, sf_dir):
         "frame, document it in SINGLE_PARTITION_BUDGET; otherwise "
         "pre-prune like q_pareto_frontier"
     )
+
+
+def _lambda_bodies(plan: str) -> list[str]:
+    """Balanced-paren extraction of every lambdafunction(...) body."""
+    out = []
+    i = 0
+    while True:
+        j = plan.find("lambdafunction(", i)
+        if j < 0:
+            return out
+        k = j + len("lambdafunction(")
+        depth = 1
+        while depth and k < len(plan):
+            depth += {"(": 1, ")": -1}.get(plan[k], 0)
+            k += 1
+        out.append(plan[j:k])
+        i = k
+
+
+def test_embedding_norm_fold_stays_out_of_lambda_bodies(spark, sf_dir):
+    """Pin the scale_by defense (round 5): a row-level norm fold referenced
+    inside a higher-order-function lambda body is re-evaluated per array
+    ELEMENT (CollapseProject inlines projected aliases into lambdas), which
+    turned this O(d)/row normalization into O(d²)/row — 4.3 s instead of
+    0.3 s at sf0.1.  The zip_with(vec, array_repeat(nrm, d)) spelling pins
+    the fold in argument position; this test fails if any future edit (or
+    optimizer change) moves an aggregate fold back inside a lambda."""
+    plan = (
+        registry.queries()["q_embedding_norm"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "aggregate(" in plan  # the norm fold is still there...
+    for body in _lambda_bodies(plan):
+        assert "aggregate(" not in body, (
+            "norm fold re-entered a lambda body (per-element re-evaluation): "
+            + body[:200]
+        )
