@@ -38,19 +38,34 @@ def main() -> None:
     qs["q_agg_hash"](spark, "/root/testdata/sf0.001").count()
     qs["q_dedup_embedding"](spark, "/root/testdata/sf0.001").count()
 
+    # build = query-construction wall (plan assembly + any driver-side
+    # fits/collects, e.g. k-means training or eager checkpoints) — costs
+    # the noop-sink exec timer never sees but every real caller pays.
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        best = best_b = float("inf")
         for _ in range(args.runs):
+            tb = time.perf_counter()
             df = qs[name](spark, args.sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            best_b = min(best_b, t0 - tb)
         timings[name] = round(best, 3)
-        print(f"{timings[name]:8.3f}  {name}", file=sys.stderr)
+        builds[name] = round(best_b, 3)
+        print(f"{builds[name]:8.3f}b {timings[name]:8.3f}x  {name}", file=sys.stderr)
 
-    ranked = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
-    print(json.dumps({"sf_dir": args.sf_dir, "total": round(sum(timings.values()), 3), "queries": ranked}))
+    ranked = dict(
+        sorted(timings.items(), key=lambda kv: -(kv[1] + builds[kv[0]]))
+    )
+    print(json.dumps({
+        "sf_dir": args.sf_dir,
+        "total": round(sum(timings.values()), 3),
+        "total_build": round(sum(builds.values()), 3),
+        "queries": ranked,
+        "builds": {k: builds[k] for k in ranked},
+    }))
     spark.stop()
 
 
