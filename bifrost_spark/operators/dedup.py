@@ -71,8 +71,13 @@ def exact_jaccard_pairs(
     # spelling (whose DuckDB oracle is likewise string-equality: a 64-bit
     # collision inside one candidate pair is ~1e-12 at these densities,
     # accepted there and here).  Set-distinctness per doc is unchanged
-    # modulo that collision bound.
-    shingled = shingled.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    # modulo that collision bound.  NULL shingles (a NULL-text document
+    # grams to [NULL]) are dropped FIRST: a NULL string key never matches
+    # an equi-join, but xxhash64(NULL) is the non-NULL seed 42, which made
+    # two NULL-text docs a phantom pair (fuzzer finding).
+    shingled = shingled.filter(F.col("shingle").isNotNull()).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
     if max_shingle_df is not None:
         keep = (
             shingled.groupBy("shingle")

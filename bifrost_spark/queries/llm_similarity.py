@@ -77,12 +77,22 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
         norm2_fast(F.col("embedding")) > 0
     )
+    # norms are materialized BELOW the join (a Project under a Join cannot
+    # be collapsed across it), so each side's fold runs once per ROW; the
+    # per-pair work is the one irreducible dot product.  Same IEEE ops →
+    # cos_fast is bit-identical to the fold-per-pair spelling.
     queries_df = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.sqrt(norm2_fast(F.col("embedding"))).alias("q_nrm"),
         )
     )
-    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(norm2_fast(F.col("embedding"))).alias("c_nrm"),
+    )
     fast = (
         corpus.join(queries_df, F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -92,10 +102,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_emb",
             (
                 dot_fast(F.col("q_emb"), F.col("c_emb"))
-                / (
-                    F.sqrt(norm2_fast(F.col("q_emb")))
-                    * F.sqrt(norm2_fast(F.col("c_emb")))
-                )
+                / (F.col("q_nrm") * F.col("c_nrm"))
             ).alias("cos_fast"),
         )
     )
@@ -933,17 +940,21 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
         norm2_fast(F.col("embedding")) > 0
     )
+    # per-side norms below the join (see q_sim_topk): fold once per row,
+    # one dot per pair — bit-identical cos_fast
     queries_df = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("q_label"),
             F.col("embedding").alias("q_emb"),
+            F.sqrt(norm2_fast(F.col("embedding"))).alias("q_nrm"),
         )
     )
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
         F.col("embedding").alias("c_emb"),
+        F.sqrt(norm2_fast(F.col("embedding"))).alias("c_nrm"),
     )
     fast = corpus.join(
         queries_df,
@@ -956,10 +967,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_emb",
         (
             dot_fast(F.col("q_emb"), F.col("c_emb"))
-            / (
-                F.sqrt(norm2_fast(F.col("q_emb")))
-                * F.sqrt(norm2_fast(F.col("c_emb")))
-            )
+            / (F.col("q_nrm") * F.col("c_nrm"))
         ).alias("cos_fast"),
     )
     w_fast = Window.partitionBy("query_id").orderBy(

@@ -327,6 +327,10 @@ def _write_documents_dir(tmpdir: str, docs) -> str:
 @example(docs=[("", "en", "web")])  # zero-word doc (gopher divide guard)
 @example(docs=[("x", "en", "web")])  # single-char doc (entropy -0.0)
 @example(docs=[("x", "en", "web"), ("", "de", "wiki")])  # zero-token lang
+@example(  # two NULL-text docs: xxhash64(NULL) = 42 made a phantom
+    # Jaccard pair where NULL string keys never equi-join (round-5 find)
+    docs=[(None, None, None), (None, None, None)]
+)
 def test_plan_oracle_parity_on_adversarial_documents(
     spark, tmp_path_factory, name, docs
 ):
