@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def char_shingle_array(text_col: str, k: int = 10) -> Column:
@@ -79,15 +80,16 @@ def exact_jaccard_pairs(
         id_col, F.xxhash64("shingle").alias("shingle")
     )
     if max_shingle_df is not None:
-        keep = (
-            shingled.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
+        # df via count-over-window, not groupBy+join-back: ONE shuffle of
+        # the shingle stream instead of an aggregate pass plus a join-back
+        # of the full stream against it (the PPJoin spelling's discipline;
+        # measured 7.9 → 4.0 s for the capped frame at sf0.1, same rows)
+        wdf = Window.partitionBy("shingle")
+        shingled = (
+            shingled.withColumn("_df", F.count(F.lit(1)).over(wdf))
             .filter(F.col("_df") <= max_shingle_df)
-            .select("shingle")
+            .drop("_df")
         )
-        # join on shingle: co-partitioned with the candidate self-join below,
-        # so AQE reuses the shuffle layout rather than adding one
-        shingled = shingled.join(keep, "shingle")
     # The (possibly df-capped) shingle frame feeds FOUR consumers — both
     # self-join sides plus the per-doc counts referenced as ca AND cb —
     # and Catalyst never reuses duplicate subtrees, so without a
