@@ -131,6 +131,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 # Dispatch
 
+# Everything a corrupt-but-sniffable payload can raise out of the codecs:
+# bad magic / truncated raster / missing chunks (ValueError), unsupported
+# encodings (NotImplementedError), short struct reads on truncated WAV
+# chunk headers (struct.error), header scans running off the end
+# (IndexError).  Decode KERNELS catch this tuple and skip-and-drop the
+# row — at corpus scale a single corrupt payload must never kill the job
+# (the same discipline as the zero-vector / junk-JSON guards); production
+# pipelines route the skipped rows to a quarantine sink.
+DECODE_ERRORS = (ValueError, NotImplementedError, IndexError, struct.error)
+
 
 def sniff(data: bytes) -> str:
     """Container detection by magic bytes."""

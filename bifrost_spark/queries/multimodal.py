@@ -149,6 +149,7 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     regardless of batch split."""
     import numpy as np
 
+    from bifrost_spark.operators.media import DECODE_ERRORS
     from bifrost_spark.operators.media import decode_media as _decode
 
     for pdf in batches:
@@ -159,7 +160,10 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             try:
                 decoded_kind, value = _decode(payload, kind)
                 arr = value.ravel() if decoded_kind == "image" else value[0]
-            except NotImplementedError:
+            except DECODE_ERRORS:
+                # undecodable blob — compressed codec OR corrupt payload
+                # (truncated raster, bad header): opaque byte stats, the
+                # production-extractor fallback; never kill the job
                 decoded_kind, arr = "opaque", np.frombuffer(payload, dtype=np.uint8)
             a = arr.astype(np.int64)
             n = len(a)
@@ -215,19 +219,30 @@ def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Binary-in/binary-out Arrow transform: REAL decode (PPM) →
     nearest-neighbor resize to 8×8 → re-encode (PPM).  Deterministic: same
     payload → same resized bytes on every executor."""
-    from bifrost_spark.operators.media import decode_ppm, encode_ppm, resize_nearest
+    from bifrost_spark.operators.media import (
+        DECODE_ERRORS,
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
 
     for pdf in batches:
-        out = [
-            encode_ppm(resize_nearest(decode_ppm(p), _RESIZE_H, _RESIZE_W))
-            for p in pdf["payload"]
-        ]
+        ids, out = [], []
+        for mid, p in zip(pdf["media_id"], pdf["payload"]):
+            try:
+                resized = encode_ppm(
+                    resize_nearest(decode_ppm(p), _RESIZE_H, _RESIZE_W)
+                )
+            except DECODE_ERRORS:
+                continue  # corrupt payload: skip-and-drop, never kill the job
+            ids.append(mid)
+            out.append(resized)
         yield pd.DataFrame(
             {
-                "media_id": pdf["media_id"].values,
+                "media_id": ids,
                 "resized_payload": out,
-                "out_w": [_RESIZE_W] * len(pdf),
-                "out_h": [_RESIZE_H] * len(pdf),
+                "out_w": [_RESIZE_W] * len(ids),
+                "out_h": [_RESIZE_H] * len(ids),
             }
         )
 
@@ -267,7 +282,11 @@ _DECODE_SCHEMA = StructType(
 
 
 def _decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """REAL decode of every uncompressed payload → typed geometry."""
+    """REAL decode of every uncompressed payload → typed geometry.
+    Corrupt payloads are skipped, never fatal (production would route them
+    to a quarantine sink); the fixture encode path only produces valid
+    containers, so the DuckDB oracle's arithmetic row set is unaffected."""
+    from bifrost_spark.operators.media import DECODE_ERRORS
     from bifrost_spark.operators.media import decode_media as _decode
 
     for pdf in batches:
@@ -275,7 +294,10 @@ def _decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for mid, kind, payload in zip(
             pdf["media_id"], pdf["media_type"], pdf["payload"]
         ):
-            decoded_kind, value = _decode(payload, kind)
+            try:
+                decoded_kind, value = _decode(payload, kind)
+            except DECODE_ERRORS:
+                continue  # corrupt payload: skip-and-drop, never kill the job
             if decoded_kind == "image":
                 h, w = value.shape[:2]
                 rows.append((mid, kind, w, h, None, None))
@@ -477,13 +499,16 @@ def _patch_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     import numpy as np
 
-    from bifrost_spark.operators.media import decode_ppm
+    from bifrost_spark.operators.media import DECODE_ERRORS, decode_ppm
 
     P = _PATCH
     for pdf in batches:
         out = []
         for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-            img = decode_ppm(bytes(payload))
+            try:
+                img = decode_ppm(bytes(payload))
+            except DECODE_ERRORS:
+                continue  # corrupt payload: skip-and-drop, never kill the job
             h, w = img.shape[:2]
             nr, nc = h // P, w // P
             if nr == 0 or nc == 0:

@@ -222,3 +222,56 @@ def test_patch_kernel_matches_numpy_reference(spark):
                 )
     assert got == want
     assert not any(k[0] == 3 for k in got)  # sub-patch image emits nothing
+
+
+def test_corrupt_payloads_skip_not_crash(spark):
+    """One corrupt payload must NEVER kill a decode job (the junk-partition
+    class at corpus scale): every decode kernel skips (or falls back to
+    opaque stats for features) and still emits the valid rows.  Junk
+    shapes: truncated raster, garbage magic, unsupported maxval, truncated
+    header, truncated WAV chunk table, empty bytes."""
+    from bifrost_spark.operators.media import encode_ppm, encode_wav
+    from bifrost_spark.queries.multimodal import (
+        _DECODE_SCHEMA,
+        _FEATURE_SCHEMA,
+        _PATCH_SCHEMA,
+        _RESIZE_SCHEMA,
+        _decode_meta,
+        _extract_features,
+        _patch_kernel,
+        _resize_kernel,
+    )
+
+    rng = np.random.RandomState(7)
+    good_img = encode_ppm(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8))
+    good_wav = encode_wav((rng.randint(-100, 100, 64)).astype(np.int16))
+    junk = [
+        good_img[: len(good_img) // 2],      # truncated raster
+        b"GIF89a" + b"\x00" * 20,            # undecodable magic
+        b"P6\n2 2\n999\n" + b"\x00" * 12,    # unsupported maxval
+        b"P6\n2",                            # truncated header
+        good_wav[:14],                       # truncated WAV chunk table
+        b"RIFF\x00\x00\x00\x00WAVE",         # WAV with no chunks
+        b"",                                 # empty payload
+    ]
+    rows = [(0, "image", bytearray(good_img)), (1, "audio", bytearray(good_wav))]
+    rows += [(10 + i, "image", bytearray(j)) for i, j in enumerate(junk)]
+    src = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+
+    decoded = src.mapInPandas(_decode_meta, _DECODE_SCHEMA).collect()
+    assert sorted(r.media_id for r in decoded) == [0, 1]
+
+    img_side = src.filter("media_type = 'image'")
+    resized = img_side.mapInPandas(_resize_kernel, _RESIZE_SCHEMA).collect()
+    assert [r.media_id for r in resized] == [0]
+
+    patches = img_side.mapInPandas(_patch_kernel, _PATCH_SCHEMA).collect()
+    assert {r.media_id for r in patches} == {0}
+
+    feats = {r.media_id: r.kind
+             for r in src.mapInPandas(_extract_features, _FEATURE_SCHEMA).collect()}
+    assert feats[0] == "image" and feats[1] == "audio"
+    # junk payloads degrade to opaque byte stats, they don't vanish or raise
+    assert all(feats[10 + i] == "opaque" for i in range(len(junk)))
