@@ -809,18 +809,20 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     float are wasteful, and the feature-decorrelation stage OPQ-style
     quantizers build on.
 
-    Scale shape (100 TB): the expensive part is the d×d covariance, which
-    MLlib's PCA computes in ONE distributed pass over the corpus (the
-    Gramian aggregate is map-side combinable: d² = 4096 doubles of state
-    per task, merged associatively); the eigendecomposition runs on the
-    driver over that 64×64 matrix — O(d³) work INDEPENDENT of corpus
-    size.  Mean-centering subtracts a broadcast 64-double literal (one
-    scalar aggregate job).  The projection back over the corpus is
-    scan-local: k dot products per row, no shuffle, no Python.
+    Scale shape (100 TB): the expensive part is the d×d covariance, built
+    from ONE Arrow-batched moments pass over the corpus — each batch
+    emits (n, Σx, Σxxᵀ) computed by BLAS, d²+d+1 doubles of state per
+    batch, summed on the driver (the same one-pass moments formula
+    MLlib's RowMatrix.computeCovariance uses, without MLlib's extra
+    means/fit job scheduling — the same replace-the-MLlib-fit decision as
+    operators/cells.py::kmeans_fit, measured 4.9 → 1.9 s of build at
+    sf0.1).  The eigendecomposition runs on the driver over that 64×64
+    matrix — O(d³), independent of corpus size.  The projection back
+    over the corpus is scan-local with the centering FOLDED INTO the
+    literal table: pc_j = x·w_j − μ·w_j, where μ·w_j is a driver scalar —
+    k dot folds per row, no centering pass, no shuffle, no Python.
 
-    Determinism: breeze's dense eigendecomposition is deterministic for a
-    fixed covariance matrix, and covariance is computed in one fixed
-    reduction tree... except partial-sum order can flip the last ulp under
+    Determinism: partial-moment order can flip the last ulp under
     repartitioning — so eigenvector SIGNS are canonicalized (each
     component flipped so its largest-|loading| coordinate is positive)
     and projections are rounded to 6 dp, far above any ulp drift.  No
@@ -831,8 +833,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns only, so the driver's pandas canonicalization (which cannot
     sort/hash array cells) gets a clean rows-only count, and per-component
     loadings stay directly comparable across engines (VERDICT r4 item 2)."""
-    from pyspark.ml.feature import PCA as MLPCA
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
     # NULL embeddings (failed embedding job) carry no coordinates for the
@@ -843,49 +844,66 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("emb").isNotNull())
     head = dbl.select("emb").limit(2).collect()
     if len(head) < 2:
-        # a 0- or 1-vector corpus has no covariance (MLlib requires ≥2
-        # rows; a single mean-centered vector is identically zero) —
-        # no components, not a crash (fuzzer finding)
+        # a 0- or 1-vector corpus has no covariance (a single mean-centered
+        # vector is identically zero) — no components, not a crash
+        # (fuzzer finding)
         return spark.createDataFrame(
             [], "vec_id long, component bigint, loading double"
         )
     d = len(head[0]["emb"])
-    means = dbl.select(
-        *[F.avg(F.element_at("emb", i + 1)).alias(f"m{i}") for i in range(d)]
-    ).first()
-    from bifrost_spark.operators.vectors import lit_vector
 
-    mean_arr = lit_vector([float(means[f"m{i}"]) for i in range(d)])
-    centered = dbl.select(
-        "vec_id",
-        F.zip_with("emb", mean_arr, lambda x, m: x - m).alias("cemb"),
+    def moments(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(M)],
+                    "sx": [M.sum(axis=0)],
+                    "g": [(M.T @ M).ravel()],
+                }
+            )
+
+    parts = dbl.select("emb").mapInPandas(
+        moments, "n long, sx array<double>, g array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    sx = np.sum([p["sx"] for p in parts], axis=0)
+    G = np.sum([p["g"] for p in parts], axis=0).reshape(d, d)
+    mu = sx / n
+    cov = (G - n * np.outer(mu, mu)) / (n - 1)  # RowMatrix.computeCovariance
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][: min(_PCA_K, d)]  # k capped at d
+    W = evecs[:, order]  # d × k loadings
+    for j in range(W.shape[1]):
+        col = W[:, j]
+        if col[np.abs(col).argmax()] < 0:
+            W[:, j] = -col
+
+    # projection table: one literal row per component with the centering
+    # pre-folded ((x − μ)·w = x·w − μ·w); built as ONE parsed expression
+    from bifrost_spark.operators.vectors import dot_fast, lit_struct_table
+
+    comp_tab = lit_struct_table(
+        [list(W[:, j]) + [float(mu @ W[:, j])] for j in range(W.shape[1])],
+        "j",
+        "wb",  # wb = the component vector with μ·w appended as last slot
     )
-    feats = centered.select(
-        "vec_id", array_to_vector("cemb").alias("feat")
-    )
-    # a corpus narrower than the production component count caps k at d
-    # (MLlib requires k ≤ d; fuzzer finding)
-    model = MLPCA(k=min(_PCA_K, d), inputCol="feat", outputCol="pc").fit(feats)
-
-    comps = model.pc.toArray()  # d × k loadings
-    signs = []
-    for j in range(comps.shape[1]):
-        col = comps[:, j]
-        signs.append(1.0 if col[abs(col).argmax()] >= 0 else -1.0)
-    sign_arr = lit_vector(signs)
-
-    projected = model.transform(feats).select(
-        "vec_id",
-        F.zip_with(
-            vector_to_array("pc"),
-            sign_arr,
-            lambda x, s: F.round(x * s, 6),
-        ).alias("pc"),
+    pc = F.transform(
+        comp_tab,
+        lambda s: F.round(
+            dot_fast(F.col("emb"), F.slice(s.wb, 1, d))
+            - F.element_at(s.wb, d + 1),
+            6,
+        ),
     )
     # Flatten the k-array to scalar rows: posexplode is scan-local (no
     # shuffle — k rows emitted per input row inside the same stage).
-    return projected.select(
-        "vec_id", F.posexplode("pc").alias("component", "loading")
+    return dbl.select(
+        "vec_id", F.posexplode(pc).alias("component", "loading")
     ).select(
         "vec_id",
         (F.col("component") + 1).cast("bigint").alias("component"),
