@@ -538,8 +538,14 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"q_emb {emb_t}, q_nrm double, neighbor_id long"
         ),
     )
+    # the rescore's train side is rebuilt FROM THE COLLECTED ROWS, not a
+    # third corpus scan (review finding): the rows are already on the
+    # driver, and the t_nrm decimal fold runs over |train| local rows in
+    # the same JVM arithmetic the scan spelling used
     train_df = F.broadcast(
-        e.filter(F.col("vec_id") < TRAIN_MAX).select(
+        spark.createDataFrame(
+            train_rows, f"vec_id long, label {label_t}, embedding {emb_t}"
+        ).select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("pred_label"),
             F.col("embedding").alias("t_emb"),
@@ -851,6 +857,13 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_id long, component bigint, loading double"
         )
     d = len(head[0]["emb"])
+    if d == 0:
+        # zero-width vectors (junk feed): no coordinates, no components —
+        # and lit_struct_table([]) would emit an untyped array() whose
+        # field access fails analysis (review finding)
+        return spark.createDataFrame(
+            [], "vec_id long, component bigint, loading double"
+        )
 
     def moments(batches):
         import pandas as pd

@@ -56,15 +56,14 @@ def main() -> None:
         builds[name] = round(best_b, 3)
         print(f"{builds[name]:8.3f}b {timings[name]:8.3f}x  {name}", file=sys.stderr)
 
-    ranked = dict(
-        sorted(timings.items(), key=lambda kv: -(kv[1] + builds[kv[0]]))
-    )
+    # ranked by the value each map DISPLAYS (a combined ranking over
+    # exec-only values hid slow-build queries behind small numbers)
     print(json.dumps({
         "sf_dir": args.sf_dir,
         "total": round(sum(timings.values()), 3),
         "total_build": round(sum(builds.values()), 3),
-        "queries": ranked,
-        "builds": {k: builds[k] for k in ranked},
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
+        "builds": dict(sorted(builds.items(), key=lambda kv: -kv[1])),
     }))
     spark.stop()
 
