@@ -36,69 +36,74 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The external correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order, so ordering is part of the driver contract.  Queries
 # named here are yielded first (in this order); everything else follows in
-# registration order.  Round 5 window (surface FROZEN this round — no new
-# operators, VERDICT r4 item 1): the 26 round-4 additions that have never
-# had a driver CORRECTNESS row, plus q_embedding_pca (its r4 row errored on
-# the array-typed output — flattened to scalar rows this round, re-proven
-# here), with the remaining 23 slots re-verifying the STALEST standing
-# greens (round-1 rows never re-checked since; the six r1 leftovers —
-# q_agg_approx (rows-only policy) and five scalar-function ids — rotate
-# into round 6).  Rounds-2..4 greens keep their standing rows.
+# registration order.  Round 6 window (VERDICT r5 item 1): after round 5
+# the driver-unchecked backlog is zero, so this window is pure staleness
+# rotation plus any round-6 additions.  Contents: the six ids standing on
+# round-1 rows never re-checked since round 1 (q_agg_approx is rows-only by
+# policy; the other five are oracle-checked scalar-function ids), any NEW
+# round-6 operators (each new id must land in its own round's window so the
+# unchecked backlog never re-grows), then the stalest round-2 standing rows
+# (oracle-checked ids first — rows-only re-verification is weaker evidence).
+# Deferred to round 7: the remaining round-2 cohort, then round 3.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Round-4 pipeline-ops family (no driver row yet)
-    "q_ks_drift",
-    "q_psi_drift",
-    "q_attribution",
-    "q_mode_per_group",
-    "q_compaction_plan",
-    "q_pareto_frontier",
-    "q_markov_transitions",
-    "q_benford",
-    "q_seasonal_baseline",
-    "q_behavior_entropy",
-    "q_split_balance",
-    "q_top_anomalies",
-    # Round-4 text/retrieval + dedup + scale ops (no driver row yet)
-    "q_collocations",
-    "q_qlm",
-    "q_rrf_fusion",
-    "q_tokenizer_fertility",
-    "q_vocab_growth",
-    "q_dup_fraction",
-    "q_jaccard_ppjoin",
-    "q_autocorr",
-    "q_heavy_hitters_exact",
-    "q_negative_sampling",
-    "q_temporal_split",
-    "q_skew_report",
-    "q_classifier_report",
-    "q_multimodal_patches",
-    # r4 row was an err (array output) — flattened this round, re-proven
-    "q_embedding_pca",
-    # Re-verification of the stalest greens (round-1 rows, never since)
-    "q_join_full",
-    "q_join_asof",
-    "q_join_range",
-    "q_pivot",
-    "q_grouping_sets",
-    "q_explode_tokens",
-    "q_agg_stats",
-    "q_window_range_frame",
-    "q_window_lead_lag",
-    "q_ntile",
-    "q_median",
-    "q_composite_report",
-    "q_subquery_scalar",
-    "q_udf_pandas",
-    "q_histogram",
-    "q_json_schema",
-    "q_corr",
-    "q_dedup_keep_best",
-    "q_subquery_exists",
-    "q_subquery_not_in",
-    "q_unpivot",
-    "q_window_distribution",
-    "q_cond_agg",
+    # Round-1 rows, never re-checked since round 1
+    "q_agg_approx",
+    "q_string_agg",
+    "q_date_arith",
+    "q_regex_extract",
+    "q_null_semantics",
+    "q_min_max_by",
+    # Round-2 standing rows — streaming/parity analogs (reference operators)
+    "q_topic_discovery",
+    "q_topic_filter",
+    "q_partition_demux",
+    "q_offset_bounds",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_object_keys",
+    "q_commit_offsets",
+    # Round-2 dedup/similarity cohort (heavily rewritten by round-5 perf work)
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_dedup_cluster",
+    "q_embedding_norm",
+    "q_embedding_quant",
+    "q_knn_eval",
+    "q_dup_spans",
+    # Round-2 text/cleaning cohort
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_sample_mixture",
+    "q_fingerprint",
+    "q_tfidf",
+    "q_repetition",
+    "q_chunking",
+    "q_pii_redact",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_entropy",
+    "q_domain_cap",
+    "q_ccnet_bucket",
+    "q_mixture_weights",
+    # Round-2 multimodal cohort (decode kernels touched by round-5 hardening)
+    "q_multimodal_meta",
+    "q_multimodal_frames",
+    "q_multimodal_dedup",
+    "q_multimodal_pair",
+    "q_multimodal_decode",
+    # Round-2 misc relational
+    "q_fuzzy_join",
+    "q_variant",
+    "q_udaf_pandas",
+    "q_sql_api",
+    "q_collect_sorted",
+    # Round-2 rows-only ids (weaker check — lowest priority; q_multimodal_
+    # resize/features and q_agg_approx_quantile roll to round 7)
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
 )
 
 

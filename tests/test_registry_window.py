@@ -10,42 +10,17 @@ from bifrost_spark import registry
 
 WINDOW = 50
 
-# Ids with no driver CORRECTNESS row after rounds 1-4 that the round-5
-# window must cover (VERDICT r4 "Next round" item 1 — the 26 round-4
-# additions), plus q_embedding_pca whose r4 row ERRORED on the array-typed
-# output (VERDICT r4 item 2; flattened to scalar rows this round and
-# re-proven here).
-ROUND5_MUST_COVER = {
-    # round-4 pipeline-ops family
-    "q_ks_drift",
-    "q_psi_drift",
-    "q_attribution",
-    "q_mode_per_group",
-    "q_compaction_plan",
-    "q_pareto_frontier",
-    "q_markov_transitions",
-    "q_benford",
-    "q_seasonal_baseline",
-    "q_behavior_entropy",
-    "q_split_balance",
-    "q_top_anomalies",
-    # round-4 text/retrieval + dedup + scale ops
-    "q_collocations",
-    "q_qlm",
-    "q_rrf_fusion",
-    "q_tokenizer_fertility",
-    "q_vocab_growth",
-    "q_dup_fraction",
-    "q_jaccard_ppjoin",
-    "q_autocorr",
-    "q_heavy_hitters_exact",
-    "q_negative_sampling",
-    "q_temporal_split",
-    "q_skew_report",
-    "q_classifier_report",
-    "q_multimodal_patches",
-    # errored r4 row, re-proven after the flat-output fix
-    "q_embedding_pca",
+# Round-6 hard targets (VERDICT r5 "Next round" item 1): the six ids whose
+# standing driver rows date from round 1 and were never re-checked since.
+# The rest of the window is staleness rotation over the round-2 cohort plus
+# any round-6 additions (each NEW id must land in its own round's window).
+ROUND6_MUST_COVER = {
+    "q_agg_approx",
+    "q_string_agg",
+    "q_date_arith",
+    "q_regex_extract",
+    "q_null_semantics",
+    "q_min_max_by",
 }
 
 
@@ -65,9 +40,9 @@ def test_window_is_check_priority_in_order():
     assert first == list(registry.CHECK_PRIORITY)
 
 
-def test_round5_targets_inside_window():
+def test_round6_targets_inside_window():
     window = set(list(registry.queries())[:WINDOW])
-    assert ROUND5_MUST_COVER <= window
+    assert ROUND6_MUST_COVER <= window
 
 
 def test_registered_outputs_are_scalar_only(spark, sf_dir):
