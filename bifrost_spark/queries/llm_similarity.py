@@ -807,6 +807,48 @@ def _ivfpq_core(
 _PCA_K = 8
 
 
+def pca_moment_totals(dbl: DataFrame, d: int) -> DataFrame:
+    """One-pass corpus moments for PCA, reduced to a BOUNDED frame.
+
+    Each Arrow batch emits one flat (1+d+d²)-slot partial [n, Σx, Σxxᵀ]
+    computed by BLAS; the partials are then reduced ENGINE-SIDE (VERDICT r5
+    item 2) by exploding the flat array and summing per position — the hash
+    aggregate's map-side partial combine means each task ships at most
+    1+d+d² partial rows, and the caller's collect receives exactly 1+d+d²
+    scalar rows (d=64 → 4161) REGARDLESS of corpus/batch count, never
+    O(batches) rows (the previous per-batch collect was ~33 GB of driver
+    memory at 10^10 vectors).  Summation order stays nondeterministic at
+    the ulp level, which q_embedding_pca's 6-dp rounding and eigenvector
+    sign canonicalization absorb.  n rides as a double — exact below 2^53
+    rows."""
+    import numpy as np
+
+    def moments(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "sxg": [
+                        np.concatenate(
+                            [[float(len(M))], M.sum(axis=0), (M.T @ M).ravel()]
+                        )
+                    ]
+                }
+            )
+
+    return (
+        dbl.select("emb")
+        .mapInPandas(moments, "sxg array<double>")
+        .select(F.posexplode("sxg").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+    )
+
+
 @query("q_embedding_pca", oracle=None)  # eigendecomposition → rows-only
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction for the embedding corpus: project every
@@ -818,12 +860,15 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the expensive part is the d×d covariance, built
     from ONE Arrow-batched moments pass over the corpus — each batch
     emits (n, Σx, Σxxᵀ) computed by BLAS, d²+d+1 doubles of state per
-    batch, summed on the driver (the same one-pass moments formula
-    MLlib's RowMatrix.computeCovariance uses, without MLlib's extra
-    means/fit job scheduling — the same replace-the-MLlib-fit decision as
+    batch (the same one-pass moments formula MLlib's
+    RowMatrix.computeCovariance uses, without MLlib's extra means/fit
+    job scheduling — the same replace-the-MLlib-fit decision as
     operators/cells.py::kmeans_fit, measured 4.9 → 1.9 s of build at
-    sf0.1).  The eigendecomposition runs on the driver over that 64×64
-    matrix — O(d³), independent of corpus size.  The projection back
+    sf0.1).  The batch partials are reduced to ONE total engine-side
+    (posexplode + positional sum with map-side partial combine), so the
+    driver receives exactly d²+d+1 scalars no matter how many batches
+    the corpus splits into.  The eigendecomposition runs on the driver
+    over that 64×64 matrix — O(d³), independent of corpus size.  The projection back
     over the corpus is scan-local with the centering FOLDED INTO the
     literal table: pc_j = x·w_j − μ·w_j, where μ·w_j is a driver scalar —
     k dot folds per row, no centering pass, no shuffle, no Python.
@@ -865,27 +910,13 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_id long, component bigint, loading double"
         )
 
-    def moments(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            M = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-            yield pd.DataFrame(
-                {
-                    "n": [len(M)],
-                    "sx": [M.sum(axis=0)],
-                    "g": [(M.T @ M).ravel()],
-                }
-            )
-
-    parts = dbl.select("emb").mapInPandas(
-        moments, "n long, sx array<double>, g array<double>"
-    ).collect()
-    n = sum(p["n"] for p in parts)
-    sx = np.sum([p["sx"] for p in parts], axis=0)
-    G = np.sum([p["g"] for p in parts], axis=0).reshape(d, d)
+    moment_rows = pca_moment_totals(dbl, d).collect()
+    tot = np.zeros(1 + d + d * d)
+    for r in moment_rows:
+        tot[r["pos"]] = r["s"]
+    n = int(tot[0])
+    sx = tot[1 : 1 + d]
+    G = tot[1 + d :].reshape(d, d)
     mu = sx / n
     cov = (G - n * np.outer(mu, mu)) / (n - 1)  # RowMatrix.computeCovariance
     evals, evecs = np.linalg.eigh(cov)

