@@ -473,17 +473,22 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     label_t = e.schema["label"].dataType.simpleString()
     emb_t = e.schema["embedding"].dataType.simpleString()
-    train_rows = (
-        e.filter(F.col("vec_id") < TRAIN_MAX)
-        .select("vec_id", "label", "embedding")
-        .limit(_KNN_BROADCAST_GATE + 1)
-        .collect()
+    train = e.filter(F.col("vec_id") < TRAIN_MAX)
+    # Gate probe BEFORE the matrix collect, over ids only: the old probe
+    # collected gate+1 FULL embedding rows (~1 GB at the 2M gate) to the
+    # driver just to decide to raise — the failure path risked the very
+    # driver OOM it guards against (ADVICE r5).  A limited ids-only count
+    # stops the scan after gate+1 skinny rows and moves no vectors.
+    over = (
+        train.select("vec_id").limit(_KNN_BROADCAST_GATE + 1).count()
+        > _KNN_BROADCAST_GATE
     )
-    if len(train_rows) > _KNN_BROADCAST_GATE:
+    if over:
         raise ValueError(
             f"train side exceeds broadcast gate {_KNN_BROADCAST_GATE}; "
             "shard the train matrix or use an ANN index for 1-NN at this scale"
         )
+    train_rows = train.select("vec_id", "label", "embedding").collect()
     if not train_rows:
         # empty train side (fuzz corpora): no neighbor exists — an empty
         # confusion matrix, not a crashed fit

@@ -140,7 +140,12 @@ def monitor_stream(
     checkpoint_path: str,
 ) -> StreamingQuery:
     """Start the monitor: one PSI row per micro-batch appended to
-    ``output_path`` (parquet), keyed by batch_id for idempotent replay."""
+    ``output_path`` (parquet), keyed by batch_id for idempotent replay.
+
+    Upgrade note: outputs written by the pre-partitioned (plain append)
+    layout of this sink are NOT compatible — a leftover flat parquet dir
+    mixes schemas with the ``batch_id=N`` directory layout for readers.
+    Point an upgraded monitor at a CLEAN ``output_path``."""
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -150,6 +155,21 @@ def monitor_stream(
         # between sink write and checkpoint commit re-runs the batch into
         # the same batch_id=N directory instead of appending a duplicate
         # row (exactly-once at the sink, not reader-side dedup).
+        #
+        # Idempotence DEPENDS on dynamic partition overwrite: if the mode
+        # silently resolved to static (a Spark build/conf that ignores the
+        # per-write option), every emit would wipe all prior batches.  Set
+        # the session conf too (the per-write option takes precedence where
+        # honored) and refuse to write if the resolved value is not dynamic
+        # — a loud failure beats silent history loss (ADVICE r5).
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        resolved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        if resolved.lower() != "dynamic":
+            raise RuntimeError(
+                "drift monitor requires dynamic partition overwrite for "
+                f"replay idempotence; resolved mode is {resolved!r}"
+            )
         (
             batch_psi(batch, col, ref)
             .withColumn("batch_id", F.lit(batch_id).cast("bigint"))

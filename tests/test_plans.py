@@ -20,19 +20,21 @@ def _plan(spark, sf_dir, name: str) -> str:
     return buf.getvalue()
 
 
-_ALL_PLANS: dict[str, str] = {}
+# Keyed by sf_dir so a parametrized fixture or a second data dir can never
+# silently reuse the first invocation's plans (ADVICE r5).
+_ALL_PLANS: dict[str, dict[str, str]] = {}
 
 
 def _all_plans(spark, sf_dir) -> dict[str, str]:
     """Executed-plan text for every registered query, built once per
-    session — the two whole-surface sweeps below share this cache instead
-    of each re-building 201 plans (~2 min apiece)."""
-    if not _ALL_PLANS:
-        for name, fn in sorted(registry.queries().items()):
-            _ALL_PLANS[name] = (
-                fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-            )
-    return _ALL_PLANS
+    (session, sf_dir) — the two whole-surface sweeps below share this cache
+    instead of each re-building 201 plans (~2 min apiece)."""
+    if sf_dir not in _ALL_PLANS:
+        _ALL_PLANS[sf_dir] = {
+            name: fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            for name, fn in sorted(registry.queries().items())
+        }
+    return _ALL_PLANS[sf_dir]
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
