@@ -83,6 +83,11 @@ HEADLINE = [
     "q_jaccard_ppjoin",
     "q_collocations",
     "q_qlm",
+    # round-6 additions: second-stage rerank, incremental fuzzy dedup,
+    # contamination reporting
+    "q_rerank_cross",
+    "q_dedup_incremental_minhash",
+    "q_contamination_report",
 ]
 
 

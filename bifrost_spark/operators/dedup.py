@@ -204,17 +204,10 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
-) -> DataFrame:
-    """LSH banding: docs agreeing on all rows of ≥1 band become candidates.
-
-    Bucket key = xxhash64(band_id, band slice) → explode → self-join on
-    (band, bucket).  At scale the join is on bucket ids (16 bytes), and
-    candidate volume tracks true near-dup volume, not |docs|².
-    """
-    n = bands * rows_per_band
-    band_cols = F.array(
+def _band_bucket_array(bands: int, rows_per_band: int) -> Column:
+    """One (band, bucket) struct per LSH band over the ``signature`` column:
+    bucket = xxhash64(band_id, the band's signature slice)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -225,6 +218,19 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of ≥1 band become candidates.
+
+    Bucket key = xxhash64(band_id, band slice) → explode → self-join on
+    (band, bucket).  At scale the join is on bucket ids (16 bytes), and
+    candidate volume tracks true near-dup volume, not |docs|².
+    """
+    n = bands * rows_per_band
+    band_cols = _band_bucket_array(bands, rows_per_band)
     # The signature frame feeds BOTH self-join sides, and Catalyst neither
     # dedups the subtrees nor reuses the exchange (differing output aliases
     # defeat ReuseExchange here — 2 corpus scans measured): without a
@@ -256,6 +262,64 @@ def lsh_candidate_pairs(
     return pairs.select(
         "id_a",
         "id_b",
+        (matches.cast("double") / F.lit(n)).alias("est_jaccard"),
+    )
+
+
+def lsh_probe_pairs(
+    probe_sig: DataFrame,
+    index_sig: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Asymmetric LSH banding: PROBE docs against an existing INDEX.
+
+    The incremental twin of :func:`lsh_candidate_pairs` — a new batch's
+    signatures join the standing corpus's band buckets instead of
+    self-joining, so the per-drop cost is |new|·bands bucket rows probing
+    the index, never a rebuild over |corpus|.  At 100 TB the index side's
+    exploded (band, bucket, signature) table is the persistent artifact:
+    write it bucketed by (band, bucket) (io.py::write_bucketed_table) and
+    each daily drop joins shuffle-free on the bucket key.
+
+    Both inputs must already be materialized/checkpointed by the caller if
+    they share an upstream subtree (Catalyst does not dedup it).  Returns
+    one row per (probe_id, index_id) candidate pair with the estimated
+    Jaccard; the caller thresholds.
+    """
+    n = bands * rows_per_band
+    band_cols = _band_bucket_array(bands, rows_per_band)
+    p = probe_sig.select(
+        F.col(id_col), F.col("signature"), F.explode(band_cols).alias("bb")
+    ).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("signature").alias("sig_p"),
+        "bb.band",
+        "bb.bucket",
+    )
+    ix = index_sig.select(
+        F.col(id_col), F.col("signature"), F.explode(band_cols).alias("bb")
+    ).select(
+        F.col(id_col).alias("index_id"),
+        F.col("signature").alias("sig_i"),
+        "bb.band",
+        "bb.bucket",
+    )
+    pairs = (
+        p.join(ix, ["band", "bucket"])
+        .select("probe_id", "index_id", "sig_p", "sig_i")
+        .dropDuplicates(["probe_id", "index_id"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_p", "sig_i", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "probe_id",
+        "index_id",
         (matches.cast("double") / F.lit(n)).alias("est_jaccard"),
     )
 

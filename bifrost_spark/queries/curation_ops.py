@@ -1,0 +1,718 @@
+"""Round-6 corpus-curation + evaluation operator family.
+
+Beyond-reference operators a large-scale training-data pipeline runs on
+top of the retrieval/dedup/cleaning stack already in the engine:
+
+* **cross-encoder-style reranking** (``q_rerank_cross``) — second-stage
+  rescoring of the hybrid-retrieval shortlist (Nogueira & Cho 2019 shape:
+  expensive scorer over a small candidate list, never the corpus);
+* **contamination reporting** (``q_contamination_report``) — the
+  per-source rollup of eval-set contamination (the Brown et al. 2020
+  appendix-C audit, run as a report instead of a filter);
+* **per-class embedding centroids** (``q_embedding_centroid``) — the
+  class-prototype vectors used for nearest-centroid eval and drift checks;
+* **ranking under small samples** (``q_ctr_wilson``) — Wilson-score
+  lower-bound ranking (Wilson 1927), the standard fix for naive-rate
+  ranking of low-trial variants;
+* **lexical-richness + frequency-spectrum stats** (``q_hapax_report``,
+  ``q_freq_spectrum``) — hapax counts per document and the corpus
+  frequency-of-frequencies table (the Good–Turing input, Gale & Sampson
+  1995);
+* **classifier calibration** (``q_calibration_bins``) — reliability-
+  diagram binning (Guo et al. 2017 shape);
+* **annotator agreement** (``q_kappa_agreement``) — Cohen's kappa (1960)
+  between two labelers;
+* **template detection** (``q_dedup_prefix``) — documents sharing a
+  leading token prefix (boilerplate/template families, the CCNet-style
+  head-dedup signal).
+
+Determinism discipline (same as the rest of the engine): compared doubles
+are either single IEEE operations on exact integers (bit-stable across
+engines) or are rounded at 9 dp after an identically-spelled expression
+tree; decimal accumulation for order-independent sums; ranks break ties
+on ids.  All outputs are scalar columns only (driver canonicalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bifrost_spark.queries.llm_text import (
+    _BM25_SQL,
+    _QLM_SQL,
+    _SW_SQL,
+    BENCH_DOC_MAX,
+    BM25_TERMS,
+    RRF_K,
+    STOPWORDS,
+    q_rrf_fusion,
+)
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q_rerank_cross — second-stage rerank of the RRF shortlist
+# ---------------------------------------------------------------------------
+
+# Adjacent query-term bigrams get a phrase bonus — the minimal "interaction
+# feature" a cross-encoder sees that neither bag-of-words retriever does.
+_PHRASES = [f"{a} {b}" for a, b in zip(BM25_TERMS, BM25_TERMS[1:])]
+
+
+@query(
+    "q_rerank_cross",
+    oracle=f"""
+        WITH bm AS ({_BM25_SQL}),
+        qm AS ({_QLM_SQL}),
+        fused AS (
+          SELECT COALESCE(bm.doc_id, qm.doc_id) AS doc_id,
+                 COALESCE(1.0 / ({RRF_K} + bm.rnk), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + qm.rnk), 0.0) AS rrf
+          FROM bm FULL OUTER JOIN qm ON bm.doc_id = qm.doc_id
+        ),
+        topl AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                   AS fused_rnk
+          FROM fused
+        ),
+        feat AS (
+          SELECT f.doc_id, f.fused_rnk,
+                 len(list_filter(d.ws, x -> x = 'vector')) AS tfv,
+                 len(list_filter(d.ws, x -> x = 'hash')) AS tfh,
+                 len(list_filter(d.ws, x -> x = 'scan')) AS tfs,
+                 d.lt
+          FROM topl f JOIN (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws,
+                   lower(text) AS lt
+            FROM documents
+          ) d ON d.doc_id = f.doc_id
+        ),
+        scored AS (
+          SELECT doc_id, fused_rnk,
+                 CAST((tfv > 0)::INT + (tfh > 0)::INT + (tfs > 0)::INT
+                      AS BIGINT) AS coverage,
+                 ((tfv > 0)::INT + (tfh > 0)::INT + (tfs > 0)::INT) * 10.0
+                   + (CASE WHEN contains(lt, '{_PHRASES[0]}') THEN 2.0 ELSE 0.0 END)
+                   + (CASE WHEN contains(lt, '{_PHRASES[1]}') THEN 2.0 ELSE 0.0 END)
+                   + CAST(tfv AS DOUBLE) / (tfv + 1)
+                   + CAST(tfh AS DOUBLE) / (tfh + 1)
+                   + CAST(tfs AS DOUBLE) / (tfs + 1) AS score
+          FROM feat
+        )
+        SELECT doc_id, fused_rnk, coverage,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rerank_rnk
+        FROM scored
+    """,
+)
+def q_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style second-stage rerank over the RRF shortlist: the
+    fused top list (q_rrf_fusion) is re-scored with a richer query-document
+    interaction — term coverage, adjacent-phrase hits, and saturated term
+    frequency — and re-ranked.  In production the scorer is a model
+    inference (an Arrow-batched pandas UDF over (query, doc) pairs); here
+    it is a deterministic lexical interaction so the DuckDB oracle can
+    check the join/rescore/rank plumbing exactly.  The economics are the
+    operator's point (Nogueira & Cho 2019): the expensive scorer touches
+    ONLY the |shortlist| candidates, never the corpus.
+
+    Scale shape: the shortlist (≤ ~top-20 per retriever) broadcasts into
+    the documents scan (semi-join pruning fetches just those texts); the
+    final rank is a window over the shortlist — a one-task stage bounded
+    by the top-k contract, independent of corpus size.
+
+    Determinism: score is a fixed left-associated sum of exact comparisons
+    and single int/int divisions — bit-identical across engines; the rank
+    (tie-break doc_id) is what's compared, the raw score stays internal."""
+    fused = q_rrf_fusion(spark, sf_dir).select("doc_id", "fused_rnk")
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
+    docs = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.lower("text").alias("lt"),
+    )
+    feat = docs.join(F.broadcast(fused), "doc_id").select(
+        "doc_id",
+        "fused_rnk",
+        F.size(F.filter("ws", lambda x: x == F.lit("vector"))).alias("tfv"),
+        F.size(F.filter("ws", lambda x: x == F.lit("hash"))).alias("tfh"),
+        F.size(F.filter("ws", lambda x: x == F.lit("scan"))).alias("tfs"),
+        "lt",
+    )
+    cov = (
+        (F.col("tfv") > 0).cast("int")
+        + (F.col("tfh") > 0).cast("int")
+        + (F.col("tfs") > 0).cast("int")
+    )
+    score = (
+        cov * 10.0
+        + F.when(F.col("lt").contains(_PHRASES[0]), 2.0).otherwise(0.0)
+        + F.when(F.col("lt").contains(_PHRASES[1]), 2.0).otherwise(0.0)
+        + F.col("tfv").cast("double") / (F.col("tfv") + 1)
+        + F.col("tfh").cast("double") / (F.col("tfh") + 1)
+        + F.col("tfs").cast("double") / (F.col("tfs") + 1)
+    )
+    scored = feat.select(
+        "doc_id",
+        "fused_rnk",
+        cov.cast("bigint").alias("coverage"),
+        score.alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "fused_rnk",
+        "coverage",
+        F.row_number().over(w).cast("bigint").alias("rerank_rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_contamination_report — per-source eval-contamination rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_contamination_report",
+    oracle=f"""
+        WITH grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, GREATEST(LENGTH(text) - 10 + 2, 2)),
+                   i -> lower(substr(text, CAST(i AS INT), 10)))) AS g
+          FROM documents
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {BENCH_DOC_MAX}),
+        hits AS (
+          SELECT DISTINCT t.doc_id
+          FROM grams t JOIN bench b ON b.g = t.g
+          WHERE t.doc_id >= {BENCH_DOC_MAX}
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+               CAST(COUNT(h.doc_id) AS DOUBLE) / COUNT(*) AS contamination_rate
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id >= {BENCH_DOC_MAX}
+        GROUP BY d.source
+    """,
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source eval-set contamination report: for every training source,
+    the count and share of documents sharing ANY 10-char gram with the
+    held-out benchmark (doc_id < {B} stands in) — the audit table a data
+    vendor publishes per slice (Brown et al. 2020 appendix C), built from
+    the same directional gram check as q_decontaminate
+    (llm_text.py:q_decontaminate cites the mechanics).
+
+    Scale shape: benchmark grams are a small distinct set → broadcast semi
+    join against the training gram stream; the per-source rollup shuffles
+    one (source, flag) pair per doc — counts, never text.  NULL source is
+    a reported group (metadata-lost docs are exactly the slice an audit
+    must not silently drop).
+
+    Determinism: counts are exact; the rate is one int/int IEEE division —
+    bit-stable across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 9, F.lit(1))),
+        lambda i: F.lower(F.col("text").substr(i, F.lit(10))),
+    )
+    g = d.select("doc_id", F.explode(grams).alias("g"))
+    bench = F.broadcast(
+        g.filter(F.col("doc_id") < BENCH_DOC_MAX).select("g").distinct()
+    )
+    hits = (
+        g.filter(F.col("doc_id") >= BENCH_DOC_MAX)
+        .join(bench, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.filter(F.col("doc_id") >= BENCH_DOC_MAX)
+        .select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("hit").cast("bigint").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_centroid — per-class mean embedding (class prototypes)
+# ---------------------------------------------------------------------------
+
+# Order-independent element sums: embedding components are float32 (exact in
+# double); 16 integral digits of headroom hold ~1e15 unit-scale addends.
+# The per-value double→decimal cast differs across engines only below
+# 1e-16 relative (see _util.py's contract) — the 9-dp output rounding sits
+# far above the accumulated drift at any realistic corpus size.
+_DEC_EMB = "DECIMAL(32,16)"
+
+
+@query(
+    "q_embedding_centroid",
+    oracle=f"""
+        SELECT label,
+               CAST(pos AS BIGINT) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               round(CAST(SUM(CAST(CAST(embedding[pos + 1] AS DOUBLE)
+                                   AS {_DEC_EMB})) AS DOUBLE) / COUNT(*), 9)
+                 AS centroid_val
+        FROM embeddings, UNNEST(range(len(embedding))) AS t(pos)
+        GROUP BY label, pos
+    """,
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the class-prototype table behind
+    nearest-centroid classification, SemDeDup-style cluster summaries, and
+    embedding-drift monitoring (compare today's centroids to yesterday's).
+
+    Scale shape: posexplode emits (label, pos, x) scalars inside the scan
+    stage; ONE hash aggregate with map-side partial combine reduces them —
+    each task ships at most |labels|·d partial rows no matter how many
+    vectors it read (the same bounded-partials argument as the PCA moments
+    pass).  Output is |labels|·d rows — flat scalars, no arrays.
+
+    Determinism: element sums accumulate in {_DEC_EMB} (order-independent);
+    the mean divides two exact values and is rounded at 9 dp, far above
+    the cross-engine decimal-cast drift documented on _DEC_EMB.  NULL
+    embeddings contribute no rows (posexplode of NULL), matching the
+    oracle's UNNEST(range(len(NULL)))."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return flat.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("x").cast(_DEC_EMB)).cast("double") / F.count(F.lit(1)), 9
+        ).alias("centroid_val"),
+    ).select(
+        "label",
+        F.col("pos").cast("bigint").alias("pos"),
+        "n_vecs",
+        "centroid_val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ctr_wilson — Wilson-score lower-bound ranking
+# ---------------------------------------------------------------------------
+
+_WILSON_VARIANTS = 16  # deterministic experiment-arm assignment: user_id % 16
+
+
+@query(
+    "q_ctr_wilson",
+    oracle=f"""
+        WITH v AS (
+          SELECT user_id % {_WILSON_VARIANTS} AS variant,
+                 CAST(COUNT(*) AS BIGINT) AS n_trials,
+                 CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                      AS BIGINT) AS n_successes
+          FROM events
+          WHERE user_id IS NOT NULL
+          GROUP BY user_id % {_WILSON_VARIANTS}
+        ),
+        s AS (
+          SELECT variant, n_trials, n_successes,
+                 (CAST(n_successes AS DOUBLE) / n_trials
+                    + (1.96 * 1.96) / (2.0 * n_trials)
+                    - 1.96 * sqrt((CAST(n_successes AS DOUBLE) / n_trials
+                                     * (1.0 - CAST(n_successes AS DOUBLE) / n_trials)
+                                   + (1.96 * 1.96) / (4.0 * n_trials))
+                                  / n_trials))
+                 / (1.0 + (1.96 * 1.96) / n_trials) AS lb
+          FROM v
+        )
+        SELECT variant, n_trials, n_successes,
+               round(lb, 9) + 0.0 AS wilson_lb,
+               CAST(ROW_NUMBER() OVER (ORDER BY round(lb, 9) + 0.0 DESC,
+                                       variant) AS BIGINT) AS rnk
+        FROM s
+    """,
+)
+def q_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound ranking (Wilson 1927) of experiment arms by
+    conversion rate: the standard correction that stops a 1/1 arm from
+    outranking a 900/1000 arm — how any ranking over low-trial binomial
+    rates (arms, sellers, documents-by-click) should be ordered.  Arm =
+    ``user_id % {_WILSON_VARIANTS}`` (deterministic assignment stand-in);
+    success = a purchase event.  Events without a user can't be assigned
+    an arm and are excluded on both engines (the q_ks_drift NULL-ordering
+    discipline).
+
+    Scale shape: one hash aggregate (map-side combinable) to {_WILSON_VARIANTS}
+    arm rows; the scoring and final rank run over that bounded arm table —
+    the single-partition stage is bounded by the modulus, never the event
+    volume.
+
+    Determinism: the bound derives from two exact integers through an
+    identically-spelled expression tree, but DuckDB constant-folds parts
+    of it at extended precision (measured: a zero-success arm's
+    algebraically-zero bound comes back ±5e-17 there vs exactly 0.0 on
+    the JVM — fuzzer finding), so raw doubles are NOT comparable.  Both
+    the displayed bound and the rank ordering therefore use the 9-dp
+    rounded value with +0.0 canonicalizing IEEE negative zero (the
+    q_entropy discipline); sub-1e-9 bound differences tie-break on the
+    arm id, identically on both engines."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    v = e.groupBy(
+        (F.col("user_id") % _WILSON_VARIANTS).alias("variant")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+        .cast("bigint")
+        .alias("n_successes"),
+    )
+    p = F.col("n_successes").cast("double") / F.col("n_trials")
+    z2 = F.lit(1.96) * F.lit(1.96)
+    lb = (
+        p
+        + z2 / (F.lit(2.0) * F.col("n_trials"))
+        - F.lit(1.96)
+        * F.sqrt(
+            (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * F.col("n_trials")))
+            / F.col("n_trials")
+        )
+    ) / (F.lit(1.0) + z2 / F.col("n_trials"))
+    s = v.select(
+        "variant",
+        "n_trials",
+        "n_successes",
+        (F.round(lb, 9) + F.lit(0.0)).alias("wilson_lb"),
+    )
+    w = Window.orderBy(F.desc("wilson_lb"), F.asc("variant"))
+    return s.select(
+        "variant",
+        "n_trials",
+        "n_successes",
+        "wilson_lb",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_hapax_report / q_freq_spectrum — lexical-richness + Good–Turing input
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hapax_report",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS t
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+               CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE) / SUM(c)
+                 AS hapax_frac
+        FROM tf GROUP BY doc_id
+    """,
+)
+def q_hapax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hapax legomena report: how many of a document's tokens
+    occur exactly once within it, and the hapax fraction — the classic
+    lexical-richness signal (high: diverse prose; low: boilerplate/
+    keyword-stuffing), a standard quality feature next to the Gopher
+    ratios.  Documents with no tokens (empty or NULL text) have no lexical
+    profile and emit no row on either engine.
+
+    Scale shape: explode → ONE (doc_id, token) hash aggregate → one
+    per-doc rollup keyed by doc_id; both shuffles carry counts with
+    map-side partial combine, text never moves past the scan stage.
+
+    Determinism: integer counts; hapax_frac is one int/int IEEE division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("c") == 1, F.lit(1))).cast("bigint").alias("n_hapax"),
+        (
+            F.count(F.when(F.col("c") == 1, F.lit(1))).cast("double")
+            / F.sum("c")
+        ).alias("hapax_frac"),
+    )
+
+
+@query(
+    "q_freq_spectrum",
+    oracle="""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS t
+          FROM documents
+        ),
+        tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY t)
+        SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM tf GROUP BY freq
+    """,
+)
+def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-of-frequencies spectrum: for each occurrence count
+    r, the number of token types occurring exactly r times — the N_r table
+    Good–Turing smoothing consumes (Gale & Sampson 1995), the Zipf
+    diagnostic for tokenizer/vocab work, and the quickest corpus-health
+    check there is (a duplicated crawl shows up as mass at improbable r).
+
+    Scale shape: explode → token-count hash aggregate (|vocab| rows out of
+    the shuffle, map-side combined) → a second tiny aggregate keyed by the
+    count itself (|distinct frequencies| ≈ hundreds even at 100 TB, and
+    the second shuffle's input is only |vocab| rows).
+
+    Determinism: all integers."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    tf = (
+        d.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return tf.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_calibration_bins — reliability-diagram binning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_calibration_bins",
+    oracle="""
+        WITH s AS (
+          SELECT CAST(len(list_distinct(list_filter(
+                        string_split(lower(text), ' '), t -> t <> '')))
+                      AS DOUBLE)
+                   / len(list_filter(string_split(lower(text), ' '),
+                                     t -> t <> '')) AS score,
+                 CASE WHEN lang IS NOT DISTINCT FROM 'en' THEN 1 ELSE 0 END
+                   AS y
+          FROM documents
+          WHERE text IS NOT NULL
+            AND len(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) > 0
+        )
+        SELECT CAST(LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS BIGINT)
+                 AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM s GROUP BY 1
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram binning (the calibration table of Guo et al.
+    2017): bucket a [0,1] prediction score into 10 equal-width bins and
+    count positives per bin — miscalibration is visible as n_pos/n far
+    from the bin center.  Score and label are fixture stand-ins (score:
+    type-token ratio; label: lang == 'en'); a real model score + gold
+    label drop into the same two expressions.  Zero-token docs carry no
+    score and are excluded on both engines.
+
+    Scale shape: scan-local score/label expressions → ONE hash aggregate
+    to ≤10 bin rows (map-side combined) — a reliability diagram over
+    10^11 predictions is one aggregation pass.
+
+    Determinism: score is one int/int IEEE division, bin derivation is
+    floor on bit-identical doubles (float→int truncation spelled as
+    explicit FLOOR on both engines), outputs are integers."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    s = d.select(
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("score"),
+        F.col("lang").eqNullSafe("en").cast("int").alias("y"),
+    ).filter(F.size(toks) > 0)
+    return s.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9).cast("bigint")).alias(
+            "bin"
+        ),
+        "y",
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_kappa_agreement — Cohen's kappa between two labelers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kappa_agreement",
+    oracle=f"""
+        WITH l AS (
+          SELECT CASE WHEN lang IS NOT DISTINCT FROM 'en' THEN 1 ELSE 0 END
+                   AS a,
+                 CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                           t -> t IN {_SW_SQL})) * 20
+                           >= len(string_split(text, ' '))
+                      THEN 1 ELSE 0 END AS b
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(a), 0) AS BIGINT) AS a1,
+                 CAST(COALESCE(SUM(b), 0) AS BIGINT) AS b1,
+                 CAST(COALESCE(SUM(a * b), 0) AS BIGINT) AS n11,
+                 CAST(COALESCE(SUM((1 - a) * (1 - b)), 0) AS BIGINT) AS n00
+          FROM l
+        )
+        SELECT n,
+               n11 + n00 AS n_agree,
+               round(CAST(n11 + n00 AS DOUBLE) / n, 9) AS po,
+               round((CAST(a1 AS DOUBLE) * b1
+                      + CAST(n - a1 AS DOUBLE) * (n - b1))
+                     / (CAST(n AS DOUBLE) * n), 9) AS pe,
+               CASE WHEN (CAST(a1 AS DOUBLE) * b1
+                          + CAST(n - a1 AS DOUBLE) * (n - b1))
+                         = CAST(n AS DOUBLE) * n
+                    THEN NULL
+                    ELSE round((CAST(n11 + n00 AS DOUBLE) / n
+                                - (CAST(a1 AS DOUBLE) * b1
+                                   + CAST(n - a1 AS DOUBLE) * (n - b1))
+                                  / (CAST(n AS DOUBLE) * n))
+                               / (1.0 - (CAST(a1 AS DOUBLE) * b1
+                                         + CAST(n - a1 AS DOUBLE) * (n - b1))
+                                        / (CAST(n AS DOUBLE) * n)), 9)
+               END AS kappa
+        FROM c WHERE n > 0
+    """,
+)
+def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (1960) between two document labelers — the standard
+    chance-corrected agreement statistic run over every double-annotated
+    slice of a labeling pipeline.  Labeler A: the lang metadata says 'en';
+    labeler B: the stopword-ratio heuristic (q_lang_id's classifier).
+    Docs with NULL text can't be labeled and are excluded on both engines.
+
+    Scale shape: two scan-local 0/1 expressions → ONE scalar aggregate
+    (map-side combined; a single summary row regardless of corpus size).
+
+    Determinism: po/pe/kappa derive from exact integer counts via an
+    identically-spelled IEEE expression tree; pe = 1 (degenerate chance
+    agreement, e.g. both labelers constant) makes kappa undefined → NULL
+    on both engines, the guard an adversarial constant-label corpus needs.
+    Products run in double (a1·b1 overflows bigint at ~10^10 docs)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks_lower = F.split(F.lower("text"), " ", -1)
+    sw_hits = F.size(F.filter(toks_lower, lambda t: t.isin(*STOPWORDS)))
+    n_toks = F.size(F.split("text", " ", -1))
+    l = d.select(
+        F.col("lang").eqNullSafe("en").cast("int").alias("a"),
+        (sw_hits * 20 >= n_toks).cast("int").alias("b"),
+    )
+    c = l.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("a"), F.lit(0)).cast("bigint").alias("a1"),
+        F.coalesce(F.sum("b"), F.lit(0)).cast("bigint").alias("b1"),
+        F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.coalesce(F.sum((1 - F.col("a")) * (1 - F.col("b"))), F.lit(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe_num = F.col("a1").cast("double") * F.col("b1") + (
+        n - F.col("a1")
+    ).cast("double") * (n - F.col("b1"))
+    pe = pe_num / (nd * n)
+    return c.select(
+        "n",
+        (F.col("n11") + F.col("n00")).alias("n_agree"),
+        F.round(po, 9).alias("po"),
+        F.round(pe, 9).alias("pe"),
+        F.when(pe_num == nd * n, F.lit(None).cast("double"))
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 9))
+        .alias("kappa"),
+    ).filter(n > 0)
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_prefix — leading-token template detection
+# ---------------------------------------------------------------------------
+
+_PREFIX_TOKENS = 3
+
+
+@query(
+    "q_dedup_prefix",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, array_to_string(ws[1:{_PREFIX_TOKENS}], ' ') AS prefix
+          FROM w WHERE len(ws) >= {_PREFIX_TOKENS}
+        )
+        SELECT prefix,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+        FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-family detection by shared leading token prefix: groups of
+    documents opening with the same first {k} tokens — the cheap signal for
+    boilerplate families (auto-generated pages, form letters, scraped
+    templates) that full near-dup machinery then inspects.  Complements
+    q_dup_spans (any-position spans) with the head-anchored variant crawl
+    cleaners actually run first, at a fraction of the cost.
+
+    Scale shape: the prefix is a scan-local expression (slice of the first
+    {k} tokens — no full-text shuffle; only the ≤{k}-token prefix string
+    moves); one hash aggregate with map-side combine; HAVING ≥2 prunes the
+    output to actual template families.
+
+    Determinism: string grouping + integer counts, min-id keeper."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    p = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= _PREFIX_TOKENS)
+        .select(
+            "doc_id",
+            F.array_join(F.slice("ws", 1, _PREFIX_TOKENS), " ").alias("prefix"),
+        )
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

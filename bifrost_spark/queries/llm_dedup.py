@@ -584,6 +584,40 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_incremental_minhash", oracle=None)  # hash family → rows-only
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental NEAR-dup admission — the MinHash twin of
+    q_dedup_incremental (which is exact-hash): a new drop of documents
+    (fixture stand-in: doc_id % 4 = 0) probes the standing corpus's LSH
+    band buckets, and any new doc whose estimated Jaccard against an
+    existing doc clears the threshold is flagged with its match.  This is
+    the daily-ingest shape of fuzzy dedup: per-drop cost is |new| probing
+    a persisted band-bucket index (see operators/dedup.py::lsh_probe_pairs
+    for the bucketed-artifact layout at 100 TB), never an all-corpus
+    rebuild.
+
+    Signatures for both sides derive from ONE corpus pass (the shared
+    frame is checkpointed — Catalyst does not dedup the subtree); the
+    probe join moves 16-byte bucket keys plus 64-long signatures, never
+    text.  Deterministic xxhash64 family but not SQL-portable → rows-only
+    driver check; tests/test_sketch_quality.py gates recall/precision
+    against the exact cross-batch n-gram Jaccard pairs."""
+    from bifrost_spark.operators.dedup import lsh_probe_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        d, "text", "doc_id", num_hashes=64, winnow_mod=2, shingle="word"
+    ).localCheckpoint(eager=True)
+    new_sig = sig.filter(F.col("doc_id") % 4 == 0)
+    idx_sig = sig.filter(F.col("doc_id") % 4 != 0)
+    pairs = lsh_probe_pairs(new_sig, idx_sig, "doc_id", bands=16, rows_per_band=4)
+    return pairs.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD).select(
+        F.col("probe_id").alias("doc_id"),
+        F.col("index_id").alias("dup_of"),
+        "est_jaccard",
+    )
+
+
 # Exact set-similarity join (prefix filtering) parameters: word 3-gram
 # shingle sets, Jaccard >= PP_T_NUM/PP_T_DEN.
 PP_GRAM = 3

@@ -53,6 +53,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_regex_extract",
     "q_null_semantics",
     "q_min_max_by",
+    # NEW round-6 operators (curation_ops.py + the incremental-minhash
+    # twin) — every new id lands in its own round's window
+    "q_rerank_cross",
+    "q_contamination_report",
+    "q_embedding_centroid",
+    "q_ctr_wilson",
+    "q_hapax_report",
+    "q_freq_spectrum",
+    "q_calibration_bins",
+    "q_kappa_agreement",
+    "q_dedup_prefix",
+    "q_dedup_incremental_minhash",
     # Round-2 standing rows — streaming/parity analogs (reference operators)
     "q_topic_discovery",
     "q_topic_filter",
@@ -74,7 +86,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_token_count",
     "q_lang_id",
     "q_quality_score",
-    "q_sample_mixture",
     "q_fingerprint",
     "q_tfidf",
     "q_repetition",
@@ -92,18 +103,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_multimodal_dedup",
     "q_multimodal_pair",
     "q_multimodal_decode",
-    # Round-2 misc relational
-    "q_fuzzy_join",
-    "q_variant",
-    "q_udaf_pandas",
-    "q_sql_api",
-    "q_collect_sorted",
-    # Round-2 rows-only ids (weaker check — lowest priority; q_multimodal_
-    # resize/features and q_agg_approx_quantile roll to round 7)
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
+    # Rolled to round 7 by the 10 new round-6 ids: the untouched-since-r2
+    # misc-relational oracle ids (q_fuzzy_join, q_variant, q_udaf_pandas,
+    # q_sql_api, q_collect_sorted, q_sample_mixture) and the round-2
+    # rows-only cohort (q_dedup_minhash, q_dedup_simhash, q_sim_ann_lsh,
+    # q_sim_ann_ivf, q_multimodal_resize/features, q_agg_approx_quantile —
+    # weaker rows-only evidence, lowest priority).
 )
 
 

@@ -78,6 +78,7 @@ FUZZED_QUERIES = (
     "q_behavior_entropy",
     "q_cohort_retention",
     "q_commit_offsets",
+    "q_ctr_wilson",
     "q_ewma",
     "q_filter_pushdown",
     "q_funnel",
@@ -233,10 +234,12 @@ documents_strategy = st.lists(
 # DuckDB oracle (enumerated from load_table calls; keep in sync).
 DOC_QUERIES = (
     "q_bm25",
+    "q_calibration_bins",
     "q_ccnet_bucket",
     "q_chunking",
     "q_collocations",
     "q_compaction_plan",
+    "q_contamination_report",
     "q_dataset_split",
     "q_dataset_split_grouped",
     "q_decontaminate",
@@ -246,6 +249,7 @@ DOC_QUERIES = (
     "q_dedup_keep_best",
     "q_dedup_ngram_jaccard",
     "q_dedup_paragraph",
+    "q_dedup_prefix",
     "q_domain_cap",
     "q_dsir_resample",
     "q_dsir_weights",
@@ -256,9 +260,12 @@ DOC_QUERIES = (
     "q_explode_tokens",
     "q_feature_hash",
     "q_fingerprint",
+    "q_freq_spectrum",
     "q_gopher_rules",
+    "q_hapax_report",
     "q_heavy_hitters_exact",
     "q_jaccard_ppjoin",
+    "q_kappa_agreement",
     "q_lang_id",
     "q_lm_bigram",
     "q_lm_score",
@@ -274,6 +281,7 @@ DOC_QUERIES = (
     "q_qlm",
     "q_quality_score",
     "q_repetition",
+    "q_rerank_cross",
     "q_rrf_fusion",
     "q_sample_mixture",
     "q_text_stats",
@@ -657,6 +665,7 @@ EMB_QUERIES = (
     "q_array_ops",
     "q_classifier_report",
     "q_dedup_embedding",
+    "q_embedding_centroid",
     "q_embedding_norm",
     "q_embedding_quant",
     "q_hard_negatives",
@@ -919,6 +928,7 @@ def test_plan_oracle_parity_on_adversarial_part(
 
 ROWS_ONLY_EVENTS = ("q_agg_approx", "q_hll_rollup", "q_theta_overlap")
 ROWS_ONLY_DOCS = (
+    "q_dedup_incremental_minhash",
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_decontaminate_fuzzy",

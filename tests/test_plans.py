@@ -385,7 +385,10 @@ SINGLE_PARTITION_BUDGET = {
     "q_bloom_prune": 1,  # final scalar count after the runtime filter
     "q_ccnet_bucket": 1,  # 1-row surprisal total folded onto buckets
     "q_compaction_plan": 1,  # window over the file MANIFEST (1 row/file)
+    "q_ctr_wilson": 1,  # rank over ≤16 arm rows (bounded by the modulus)
     "q_funnel": 3,  # three per-step scalar frontier counts
+    "q_kappa_agreement": 1,  # single summary-row aggregate
+    "q_rerank_cross": 1,  # rank over the ≤|top-k| retrieval shortlist
     "q_gap_fill": 1,  # min/max spine bounds (1 row)
     "q_heavy_hitters": 1,  # 1-row total for the support threshold
     "q_heavy_hitters_exact": 1,  # same total on the exact twin

@@ -11,9 +11,10 @@ from bifrost_spark import registry
 WINDOW = 50
 
 # Round-6 hard targets (VERDICT r5 "Next round" item 1): the six ids whose
-# standing driver rows date from round 1 and were never re-checked since.
-# The rest of the window is staleness rotation over the round-2 cohort plus
-# any round-6 additions (each NEW id must land in its own round's window).
+# standing driver rows date from round 1 and were never re-checked since,
+# PLUS every round-6 addition (a new id must land in its own round's window
+# so the driver-unchecked backlog never re-grows).  The rest of the window
+# is staleness rotation over the round-2 cohort.
 ROUND6_MUST_COVER = {
     "q_agg_approx",
     "q_string_agg",
@@ -21,6 +22,17 @@ ROUND6_MUST_COVER = {
     "q_regex_extract",
     "q_null_semantics",
     "q_min_max_by",
+    # round-6 additions (curation_ops.py + the incremental-minhash twin)
+    "q_rerank_cross",
+    "q_contamination_report",
+    "q_embedding_centroid",
+    "q_ctr_wilson",
+    "q_hapax_report",
+    "q_freq_spectrum",
+    "q_calibration_bins",
+    "q_kappa_agreement",
+    "q_dedup_prefix",
+    "q_dedup_incremental_minhash",
 }
 
 

@@ -79,6 +79,11 @@ SCAN_CEILINGS = {
     # is the batch spelling of its broadcast-anti stage):
     "q_gopher_rules": 1,  # pure expression gate, single documents scan
     "q_decontaminate": 3,  # bench grams + training grams + id-only join back
+    # Round-6 curation/eval family:
+    "q_rerank_cross": 3,  # one scan per retrieval leg + the shortlist join
+    "q_contamination_report": 3,  # bench grams + training grams + source join
+    "q_dedup_incremental_minhash": 0,  # one signature pass, checkpointed,
+    #   feeds both the probe and index sides
 }
 
 
@@ -132,8 +137,15 @@ FULL_SURFACE_SCANS = {
     "q_dedup_keep_best": 1,
     "q_dedup_minhash": 0,
     "q_dedup_ngram_jaccard": 0,
+    "q_calibration_bins": 1,
+    "q_ctr_wilson": 1,
+    "q_dedup_prefix": 1,
     "q_dedup_semantic": 1,
     "q_dedup_simhash": 0,
+    "q_embedding_centroid": 1,
+    "q_freq_spectrum": 1,
+    "q_hapax_report": 1,
+    "q_kappa_agreement": 1,
     "q_domain_cap": 1,
     "q_embedding_norm": 1,
     "q_embedding_quant": 1,

@@ -43,6 +43,29 @@ def test_minhash_recall_and_precision(spark, exact_jaccard):
     assert precision >= 0.8, f"minhash precision {precision:.2f} < 0.8"
 
 
+def test_incremental_minhash_recall_and_precision(spark, exact_jaccard):
+    """The asymmetric probe (new batch vs standing index) must find the
+    same CROSS-BATCH near-dup pairs the exact n-gram Jaccard baseline
+    does — the pair set restricted to (new, existing) pairs, i.e. exactly
+    one side with doc_id % 4 == 0.  Same bars as the symmetric sketch."""
+    truth = {
+        (a, b)
+        for a, b in exact_jaccard
+        if (a % 4 == 0) != (b % 4 == 0)
+    }
+    assert truth, "fixture has no cross-batch near-dup pairs — test is vacuous"
+    out = registry.queries()["q_dedup_incremental_minhash"](spark, SF_DIR)
+    # canonicalize to the exact baseline's (min, max) orientation
+    got = {
+        (min(r["doc_id"], r["dup_of"]), max(r["doc_id"], r["dup_of"]))
+        for r in out.collect()
+    }
+    recall = len(got & truth) / len(truth)
+    precision = len(got & truth) / max(len(got), 1)
+    assert recall >= 0.9, f"incremental minhash recall {recall:.2f} < 0.9"
+    assert precision >= 0.8, f"incremental minhash precision {precision:.2f} < 0.8"
+
+
 def test_simhash_recall(spark, exact_jaccard):
     got = _pairs(registry.queries()["q_dedup_simhash"](spark, SF_DIR))
     recall = len(got & exact_jaccard) / len(exact_jaccard)
