@@ -918,6 +918,79 @@ def test_plan_oracle_parity_on_adversarial_part(
 
 
 # ---------------------------------------------------------------------------
+# multimodal byte-stress: the payload path encodes documents.text's UTF-8
+# BYTES into real containers (PPM rasters padded to 3-byte pixels / full
+# rows, RIFF/PCM16 with 2-byte samples), so byte-level text shapes the word
+# pool never produces — multi-byte UTF-8 (2/3/4-byte code points), control
+# bytes incl. NUL, odd byte lengths straddling pixel/sample/row boundaries,
+# and single long payloads — are their real adversarial surface (VERDICT r5
+# item 6).  The five oracle-checked multimodal ids must stay PARITY-green
+# (octet_length vs python len(bytes) vs numpy frombuffer all agree), and
+# the rows-only kernels must run.
+# ---------------------------------------------------------------------------
+
+_BYTE_STRESS_ALPHABET = "a \x00\x01\x7fé中𐍈\n\t,"
+
+byte_stress_text = st.text(alphabet=_BYTE_STRESS_ALPHABET, min_size=0, max_size=64)
+
+multimodal_docs_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), byte_stress_text),
+        st.one_of(st.none(), st.sampled_from(("en", "de"))),
+        st.one_of(st.none(), st.sampled_from(("web", "wiki"))),
+    ),
+    min_size=0,
+    max_size=9,
+)
+
+MULTIMODAL_ORACLE_QUERIES = (
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_multimodal_dedup",
+    "q_multimodal_frames",
+    "q_multimodal_pair",
+)
+
+
+@pytest.mark.parametrize("name", MULTIMODAL_ORACLE_QUERIES)
+@settings(max_examples=4, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(docs=multimodal_docs_strategy)
+@example(docs=[("\x00", "en", "web")])  # a single NUL byte payload
+@example(docs=[("𐍈" * 17, "en", "web")])  # 68 bytes of 4-byte code points
+@example(docs=[("é", None, None), ("中中", "de", "wiki")])  # 2B/3B points,
+# byte lengths 2 and 6 — straddle the 3-byte-pixel boundary differently
+@example(docs=[("a" * 49, "en", "web")])  # one byte past a full 16-px row
+def test_multimodal_parity_on_byte_stress_documents(
+    spark, tmp_path_factory, name, docs
+):
+    tmpdir = _write_documents_dir(str(tmp_path_factory.mktemp("fzmm")), docs)
+    spark_df = registry.queries()[name](spark, tmpdir)
+    con = duckdb_connection(tmpdir)
+    try:
+        oracle_pdf = con.execute(registry.oracles()[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare(spark_df, oracle_pdf)
+    assert not problems, f"{name} diverged on {docs!r}: {problems}"
+
+
+@pytest.mark.parametrize(
+    "name", ("q_multimodal_resize", "q_multimodal_features", "q_multimodal_patches")
+)
+@settings(max_examples=3, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(docs=multimodal_docs_strategy)
+@example(docs=[("\x00", "en", "web")])
+@example(docs=[("𐍈" * 17, "en", "web")])
+def test_multimodal_kernels_run_on_byte_stress_documents(
+    spark, tmp_path_factory, name, docs
+):
+    tmpdir = _write_documents_dir(str(tmp_path_factory.mktemp("fzmk")), docs)
+    _smoke(spark, name, tmpdir)
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (no DuckDB oracle: sketches, randomized LSH, kernels).
 # The driver only ever runs them on the FIXTURE; here they must RUN and
 # keep a stable schema on the same adversarial corpora the oracle fuzz
