@@ -660,6 +660,274 @@ def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_embedding_outliers — farthest-from-centroid mining per class
+# ---------------------------------------------------------------------------
+
+_OUTLIER_TOPK = 5
+
+
+@query(
+    "q_embedding_outliers",
+    oracle=f"""
+        WITH flat AS (
+          SELECT label, vec_id, pos,
+                 CAST(embedding[pos + 1] AS DOUBLE) AS x
+          FROM embeddings, UNNEST(range(len(embedding))) AS t(pos)
+          WHERE label IS NOT NULL
+        ),
+        cent AS (
+          SELECT label, pos,
+                 round(CAST(SUM(CAST(x AS {_DEC_EMB})) AS DOUBLE)
+                       / COUNT(*), 9) AS c
+          FROM flat GROUP BY label, pos
+        ),
+        d2 AS (
+          SELECT f.label, f.vec_id,
+                 SUM(CAST(round((f.x - cent.c) * (f.x - cent.c), 12)
+                          AS DECIMAL(28,12))) AS dist2
+          FROM flat f
+          JOIN cent ON cent.label = f.label AND cent.pos = f.pos
+          GROUP BY f.label, f.vec_id
+        ),
+        ranked AS (
+          SELECT label, vec_id, dist2,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY label
+                        ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rnk
+          FROM d2
+        )
+        SELECT label, vec_id,
+               round(sqrt(CAST(dist2 AS DOUBLE)), 9) AS dist,
+               rnk
+        FROM ranked WHERE rnk <= {_OUTLIER_TOPK}
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outliers: the top-{k} vectors farthest (L2)
+    from their label's centroid — the standard mislabeled-example /
+    junk-embedding mining pass run after every labeling or embedding job
+    (the intuition behind confident-learning pruning: the examples most
+    distant from their class prototype are the ones to audit first).
+    Unlabeled vectors have no class prototype and are excluded.
+
+    Scale shape: the centroid table (|labels|·d rows — the bounded
+    aggregate proven by q_embedding_centroid) is collected ONCE and
+    folded back as per-label literal arrays (the q_dsir_weights
+    fold-back device, one parsed expression per label), so the distance
+    is a SCAN-LOCAL zip_with/fold — no join, no explode, nothing but
+    (label, vec_id, dist²) skinny rows ever shuffle, and the per-label
+    top-k window partitions by label.  Two corpus passes total
+    (centroid aggregate + scoring scan), both full-scan-speed.
+
+    Determinism: centroids are 9-dp-rounded (engine-identical per
+    q_embedding_centroid); each squared difference is rounded at 12 dp
+    and summed in DECIMAL (order-free), and the rank orders that EXACT
+    decimal (never its double image, whose rounding could merge distinct
+    decimals into ties) with vec_id as tie-break.  The centroid array
+    rides in zip_with ARGUMENT position, so the literal CASE is
+    evaluated once per row, not per element (the HOF-lambda recompute
+    pitfall)."""
+    from bifrost_spark.operators.vectors import lit_vector
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    )
+    dbl = e.select(
+        "label", "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent_rows = (
+        dbl.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast(_DEC_EMB)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("c")
+        )
+        .collect()
+    )
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "label int, vec_id bigint, dist double, rnk bigint"
+        )
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["c"]
+    case = None
+    for lbl in sorted(by_label):
+        posmap = by_label[lbl]
+        arr = lit_vector([posmap[p] for p in range(max(posmap) + 1)])
+        cond = F.col("label") == F.lit(lbl)
+        case = F.when(cond, arr) if case is None else case.when(cond, arr)
+    c_arr = case.otherwise(F.lit(None).cast("array<double>"))
+
+    dec0 = F.lit(0).cast("decimal(28,12)")
+    sq = F.zip_with(
+        F.col("emb"),
+        c_arr,
+        lambda a, b: F.round((a - b) * (a - b), 12).cast("decimal(28,12)"),
+    )
+    # the merge must re-cast: decimal + decimal widens to (29,12), which
+    # no longer matches the accumulator type and fails analysis
+    d2 = F.aggregate(
+        sq,
+        dec0,
+        lambda acc, v: (acc + F.coalesce(v, dec0)).cast("decimal(28,12)"),
+    )
+    scored = dbl.select("label", "vec_id", d2.alias("dist2"))
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        scored.select(
+            "label",
+            "vec_id",
+            "dist2",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _OUTLIER_TOPK)
+        .select(
+            "label",
+            "vec_id",
+            F.round(F.sqrt(F.col("dist2").cast("double")), 9).alias("dist"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ndcg_eval — retrieval-quality metric over the BM25 ranking
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+# graded relevance = query-term coverage (0..3); gain = 2^rel − 1 spelled as
+# a CASE (POWER returns double and float→int CASTs round differently across
+# engines — the floor()/cast pitfall)
+_GAIN_SQL = """
+    CASE (len(list_filter(COALESCE(ws, []), x -> x = 'vector')) > 0)::INT
+         + (len(list_filter(COALESCE(ws, []), x -> x = 'hash')) > 0)::INT
+         + (len(list_filter(COALESCE(ws, []), x -> x = 'scan')) > 0)::INT
+      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END
+"""
+
+
+@query(
+    "q_ndcg_eval",
+    oracle=f"""
+        WITH bm AS ({_BM25_SQL}),
+        rel AS (
+          SELECT doc_id, {_GAIN_SQL} AS gain
+          FROM (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS ws
+            FROM documents
+          )
+        ),
+        sys_addends AS (
+          SELECT round(CAST(r.gain AS DOUBLE) / log2(bm.rnk + 1), 12) AS a
+          FROM bm JOIN rel r USING (doc_id) WHERE bm.rnk <= {_NDCG_K}
+        ),
+        dcg AS (
+          SELECT COALESCE(SUM(CAST(a AS DECIMAL(28,12))),
+                          CAST(0 AS DECIMAL(28,12))) AS v
+          FROM sys_addends
+        ),
+        ideal AS (
+          SELECT gain,
+                 ROW_NUMBER() OVER (ORDER BY gain DESC, doc_id) AS pos
+          FROM rel
+        ),
+        ideal_addends AS (
+          SELECT round(CAST(gain AS DOUBLE) / log2(pos + 1), 12) AS a
+          FROM ideal WHERE pos <= {_NDCG_K}
+        ),
+        idcg AS (
+          SELECT COALESCE(SUM(CAST(a AS DECIMAL(28,12))),
+                          CAST(0 AS DECIMAL(28,12))) AS v
+          FROM ideal_addends
+        )
+        SELECT round(CAST(dcg.v AS DOUBLE), 9) AS dcg,
+               round(CAST(idcg.v AS DOUBLE), 9) AS idcg,
+               CASE WHEN idcg.v = 0 THEN NULL
+                    ELSE round(CAST(dcg.v AS DOUBLE) / CAST(idcg.v AS DOUBLE),
+                               9)
+               END AS ndcg
+        FROM dcg CROSS JOIN idcg
+    """,
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{k} of the BM25 ranking against a graded relevance judgment —
+    the retrieval-quality eval every search/RAG pipeline reports
+    (Järvelin & Kekäläinen 2002).  Relevance = query-term coverage (0–3,
+    a deterministic qrels stand-in; a human-judged qrels table drops into
+    the same join), gain = 2^rel − 1, positions discounted by log2(i+1),
+    normalized by the ideal ordering's DCG over the whole corpus.
+
+    Scale shape: the system side touches only the ≤top-{k} ranked docs
+    (broadcast join back for gains); the ideal side needs the corpus's
+    top-{k} gains, which runs as TakeOrderedAndProject (per-partition
+    heaps + driver merge, NEVER a global sort) before a {k}-row position
+    window.  Both reductions end in one-row aggregates — bounded by
+    construction.
+
+    Determinism: gains are exact integers via a CASE (POWER + int cast
+    rounds differently across engines); each log2-discounted addend is
+    rounded at 12 dp (above any libm ulp divergence) and summed in
+    DECIMAL (order-free); idcg = 0 (no relevant docs anywhere) makes
+    nDCG undefined → NULL on both engines."""
+    from bifrost_spark.queries.llm_text import q_bm25
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.coalesce(
+        F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != ""),
+        F.array().cast("array<string>"),
+    )
+    cov = (
+        (F.size(F.filter(ws, lambda x: x == F.lit("vector"))) > 0).cast("int")
+        + (F.size(F.filter(ws, lambda x: x == F.lit("hash"))) > 0).cast("int")
+        + (F.size(F.filter(ws, lambda x: x == F.lit("scan"))) > 0).cast("int")
+    )
+    gain = (
+        F.when(cov == 0, 0).when(cov == 1, 1).when(cov == 2, 3).otherwise(7)
+    )
+    rel = d.select("doc_id", gain.alias("gain"))
+
+    dec = "decimal(28,12)"
+    bm = q_bm25(spark, sf_dir).select("doc_id", "rnk").filter(
+        F.col("rnk") <= _NDCG_K
+    )
+    sys_addend = F.round(
+        F.col("gain").cast("double") / F.log2(F.col("rnk") + 1), 12
+    ).cast(dec)
+    dcg = (
+        rel.join(F.broadcast(bm), "doc_id")
+        .select(sys_addend.alias("a"))
+        .agg(F.coalesce(F.sum("a"), F.lit(0).cast(dec)).alias("v"))
+    )
+
+    ideal = rel.orderBy(F.desc("gain"), F.asc("doc_id")).limit(_NDCG_K)
+    wpos = Window.orderBy(F.desc("gain"), F.asc("doc_id"))
+    ideal_addend = F.round(
+        F.col("gain").cast("double") / F.log2(F.col("pos") + 1), 12
+    ).cast(dec)
+    idcg = (
+        ideal.select("gain", F.row_number().over(wpos).alias("pos"))
+        .select(ideal_addend.alias("a"))
+        .agg(F.coalesce(F.sum("a"), F.lit(0).cast(dec)).alias("v"))
+    )
+
+    return dcg.withColumnRenamed("v", "dv").crossJoin(
+        idcg.withColumnRenamed("v", "iv")
+    ).select(
+        F.round(F.col("dv").cast("double"), 9).alias("dcg"),
+        F.round(F.col("iv").cast("double"), 9).alias("idcg"),
+        F.when(F.col("iv") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("dv").cast("double") / F.col("iv").cast("double"), 9))
+        .alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_dedup_prefix — leading-token template detection
 # ---------------------------------------------------------------------------
 

@@ -65,6 +65,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_kappa_agreement",
     "q_dedup_prefix",
     "q_dedup_incremental_minhash",
+    "q_embedding_outliers",
+    "q_ndcg_eval",
     # Round-2 standing rows — streaming/parity analogs (reference operators)
     "q_topic_discovery",
     "q_topic_filter",
@@ -86,11 +88,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_token_count",
     "q_lang_id",
     "q_quality_score",
-    "q_fingerprint",
     "q_tfidf",
     "q_repetition",
     "q_chunking",
-    "q_pii_redact",
     "q_pack_sequences",
     "q_decontaminate",
     "q_entropy",
@@ -103,12 +103,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_multimodal_dedup",
     "q_multimodal_pair",
     "q_multimodal_decode",
-    # Rolled to round 7 by the 10 new round-6 ids: the untouched-since-r2
-    # misc-relational oracle ids (q_fuzzy_join, q_variant, q_udaf_pandas,
-    # q_sql_api, q_collect_sorted, q_sample_mixture) and the round-2
-    # rows-only cohort (q_dedup_minhash, q_dedup_simhash, q_sim_ann_lsh,
-    # q_sim_ann_ivf, q_multimodal_resize/features, q_agg_approx_quantile —
-    # weaker rows-only evidence, lowest priority).
+    # Rolled to round 7 by the 12 new round-6 ids: the untouched-since-r2
+    # misc-relational/regex oracle ids (q_fuzzy_join, q_variant,
+    # q_udaf_pandas, q_sql_api, q_collect_sorted, q_sample_mixture,
+    # q_fingerprint, q_pii_redact) and the round-2 rows-only cohort
+    # (q_dedup_minhash, q_dedup_simhash, q_sim_ann_lsh, q_sim_ann_ivf,
+    # q_multimodal_resize/features, q_agg_approx_quantile — weaker
+    # rows-only evidence, lowest priority).
 )
 
 

@@ -275,6 +275,7 @@ DOC_QUERIES = (
     "q_multimodal_frames",
     "q_multimodal_meta",
     "q_multimodal_pair",
+    "q_ndcg_eval",
     "q_pack_sequences",
     "q_pii_redact",
     "q_pipeline_e2e",
@@ -667,6 +668,7 @@ EMB_QUERIES = (
     "q_dedup_embedding",
     "q_embedding_centroid",
     "q_embedding_norm",
+    "q_embedding_outliers",
     "q_embedding_quant",
     "q_hard_negatives",
     "q_knn_eval",

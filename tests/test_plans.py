@@ -388,6 +388,7 @@ SINGLE_PARTITION_BUDGET = {
     "q_ctr_wilson": 1,  # rank over ≤16 arm rows (bounded by the modulus)
     "q_funnel": 3,  # three per-step scalar frontier counts
     "q_kappa_agreement": 1,  # single summary-row aggregate
+    "q_ndcg_eval": 1,  # position window + scalar DCG folds over ≤k rows
     "q_rerank_cross": 1,  # rank over the ≤|top-k| retrieval shortlist
     "q_gap_fill": 1,  # min/max spine bounds (1 row)
     "q_heavy_hitters": 1,  # 1-row total for the support threshold

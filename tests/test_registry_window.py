@@ -33,6 +33,8 @@ ROUND6_MUST_COVER = {
     "q_kappa_agreement",
     "q_dedup_prefix",
     "q_dedup_incremental_minhash",
+    "q_embedding_outliers",
+    "q_ndcg_eval",
 }
 
 
