@@ -24,7 +24,11 @@ top of the retrieval/dedup/cleaning stack already in the engine:
   between two labelers;
 * **template detection** (``q_dedup_prefix``) — documents sharing a
   leading token prefix (boilerplate/template families, the CCNet-style
-  head-dedup signal).
+  head-dedup signal);
+* **per-class embedding outliers** (``q_embedding_outliers``) — the
+  farthest-from-centroid audit shortlist (mislabeled-example mining);
+* **retrieval-quality eval** (``q_ndcg_eval``) — nDCG@10 of the BM25
+  ranking (Järvelin & Kekäläinen 2002).
 
 Determinism discipline (same as the rest of the engine): compared doubles
 are either single IEEE operations on exact integers (bit-stable across
