@@ -920,8 +920,11 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("a"), F.lit(0).cast(dec)).alias("v"))
     )
 
+    # both sides are ONE-ROW scalar aggregates; broadcasting the ideal side
+    # plans the documented scalar-join BNLJ shape instead of a
+    # CartesianProduct (banned plan-wide)
     return dcg.withColumnRenamed("v", "dv").crossJoin(
-        idcg.withColumnRenamed("v", "iv")
+        F.broadcast(idcg.withColumnRenamed("v", "iv"))
     ).select(
         F.round(F.col("dv").cast("double"), 9).alias("dcg"),
         F.round(F.col("iv").cast("double"), 9).alias("idcg"),

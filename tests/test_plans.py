@@ -153,6 +153,7 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_psi_drift",
         "q_benford",
         "q_heavy_hitters_exact",
+        "q_ndcg_eval",  # two ONE-ROW DCG/IDCG scalar aggregates joined
     }
     offenders = {}
     for name, plan in _all_plans(spark, sf_dir).items():
