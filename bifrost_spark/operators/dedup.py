@@ -147,6 +147,11 @@ def minhash_signatures(
     members hash 8-byte longs, not strings, and map-side combine means the
     shuffle carries num_hashes longs per doc regardless of doc size.
 
+    Content-free documents (NULL/empty/whitespace-only text) receive NO
+    signature row — they have no fuzzy identity, and the degenerate
+    constant gram they'd otherwise hash to would make all of them mutual
+    est_jaccard-1.0 "near-dups" (see the in-line comment below).
+
     ``winnow_mod`` keeps only shingles whose base hash ≡ 0 (mod m) — a
     deterministic 1/m min-wise sample of each shingle set.  Jaccard of the
     samples is an unbiased estimate of Jaccard of the full sets (the sample
@@ -162,7 +167,16 @@ def minhash_signatures(
     (string set-building, the priciest part of shingling) is pure waste
     here.  The winnow filter also runs array-side, before the explode.
     """
+    # Docs with NO content (NULL text, empty text, whitespace-only) have no
+    # fuzzy identity and are EXCLUDED from signatures entirely.  Without
+    # this, every such doc grams to the same degenerate shingle
+    # (substr('')='' / xxhash64(NULL,…) is a constant), all of them share
+    # one signature, and the LSH join flags content-free docs as mutual
+    # near-dups at est_jaccard = 1.0 — the round-5 "xxhash64(NULL) phantom
+    # pair" class, re-found by review in the incremental admission flows.
+    # Exact dedup upstream owns byte-identical empties.
     if shingle == "char":
+        df = df.filter(F.length(text_col) > 0)
         n = F.length(text_col)
         starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
         gram_hashes = F.transform(
@@ -173,7 +187,7 @@ def minhash_signatures(
         toks = F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != "")
         hashed = df.select(
             F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("_th")
-        )
+        ).filter(F.size("_th") > 0)
         n = F.size(F.col("_th"))
         starts = F.sequence(F.lit(1), F.greatest(n - (word_ngram - 1), F.lit(1)))
         # try_element_at: docs shorter than word_ngram still get one
@@ -201,6 +215,47 @@ def minhash_signatures(
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+# Canonical MinHash/LSH family parameters — the single source every batch
+# and streaming consumer imports, so batch/stream parity can't drift on a
+# one-sided retune (review finding).  64 hashes × (16 bands of 4 rows)
+# targets the Jaccard-0.5 S-curve knee.
+MINHASH_HASHES = 64
+LSH_BANDS = 16
+LSH_ROWS_PER_BAND = 4
+
+
+def est_jaccard_col(sig_a: str, sig_b: str, num_hashes: int) -> Column:
+    """MinHash Jaccard estimate: fraction of agreeing signature slots."""
+    matches = F.size(
+        F.filter(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return matches.cast("double") / F.lit(num_hashes)
+
+
+def explode_band_buckets(
+    signatures: DataFrame,
+    id_col: str,
+    out_id: str,
+    out_sig: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(out_id, out_sig, band, bucket) — one row per (doc, band)."""
+    return signatures.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(_band_bucket_array(bands, rows_per_band)).alias("bb"),
+    ).select(
+        F.col(id_col).alias(out_id),
+        F.col("signature").alias(out_sig),
+        "bb.band",
+        "bb.bucket",
     )
 
 
@@ -253,16 +308,10 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
     return pairs.select(
         "id_a",
         "id_b",
-        (matches.cast("double") / F.lit(n)).alias("est_jaccard"),
+        est_jaccard_col("sig_a", "sig_b", n).alias("est_jaccard"),
     )
 
 
@@ -289,38 +338,17 @@ def lsh_probe_pairs(
     Jaccard; the caller thresholds.
     """
     n = bands * rows_per_band
-    band_cols = _band_bucket_array(bands, rows_per_band)
-    p = probe_sig.select(
-        F.col(id_col), F.col("signature"), F.explode(band_cols).alias("bb")
-    ).select(
-        F.col(id_col).alias("probe_id"),
-        F.col("signature").alias("sig_p"),
-        "bb.band",
-        "bb.bucket",
-    )
-    ix = index_sig.select(
-        F.col(id_col), F.col("signature"), F.explode(band_cols).alias("bb")
-    ).select(
-        F.col(id_col).alias("index_id"),
-        F.col("signature").alias("sig_i"),
-        "bb.band",
-        "bb.bucket",
-    )
+    p = explode_band_buckets(probe_sig, id_col, "probe_id", "sig_p", bands, rows_per_band)
+    ix = explode_band_buckets(index_sig, id_col, "index_id", "sig_i", bands, rows_per_band)
     pairs = (
         p.join(ix, ["band", "bucket"])
         .select("probe_id", "index_id", "sig_p", "sig_i")
         .dropDuplicates(["probe_id", "index_id"])
     )
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_p", "sig_i", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
     return pairs.select(
         "probe_id",
         "index_id",
-        (matches.cast("double") / F.lit(n)).alias("est_jaccard"),
+        est_jaccard_col("sig_p", "sig_i", n).alias("est_jaccard"),
     )
 
 

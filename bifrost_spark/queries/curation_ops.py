@@ -732,8 +732,12 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pitfall)."""
     from bifrost_spark.operators.vectors import lit_vector
 
+    # size > 0 also drops NULL (size(NULL) is NULL) AND zero-length
+    # vectors: the oracle's UNNEST(range(0)) emits no rows for an empty
+    # array, so keeping it here would pad zip_with against the centroid
+    # into a phantom dist=0 outlier row (review finding)
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+        F.col("label").isNotNull() & (F.size("embedding") > 0)
     )
     dbl = e.select(
         "label", "vec_id", F.col("embedding").cast("array<double>").alias("emb")

@@ -812,7 +812,7 @@ def _ivfpq_core(
 _PCA_K = 8
 
 
-def pca_moment_totals(dbl: DataFrame, d: int) -> DataFrame:
+def pca_moment_totals(dbl: DataFrame) -> DataFrame:
     """One-pass corpus moments for PCA, reduced to a BOUNDED frame.
 
     Each Arrow batch emits one flat (1+d+d²)-slot partial [n, Σx, Σxxᵀ]
@@ -915,7 +915,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_id long, component bigint, loading double"
         )
 
-    moment_rows = pca_moment_totals(dbl, d).collect()
+    moment_rows = pca_moment_totals(dbl).collect()
     tot = np.zeros(1 + d + d * d)
     for r in moment_rows:
         tot[r["pos"]] = r["s"]

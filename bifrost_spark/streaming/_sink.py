@@ -1,0 +1,47 @@
+"""Shared replay-idempotent micro-batch sink (drift monitor, fuzzy dedup).
+
+Output is PARTITIONED by batch_id and each emit dynamically overwrites
+ONLY its own partition, so a crash between sink write and checkpoint
+commit re-runs the batch into the same batch_id=N directory instead of
+appending a duplicate (exactly-once at the sink, no reader-side dedup).
+
+Idempotence depends on DYNAMIC partition overwrite.  The per-write
+``partitionOverwriteMode`` option is authoritative on Spark ≥ 2.4's v1
+file source, but some builds/confs resolve only the SESSION conf — so the
+session conf is set to dynamic for the duration of the write and RESTORED
+afterwards (a leaked dynamic default would silently change unrelated
+static-overwrite writes elsewhere in the session — review finding; the
+previous set-then-read "assert" could never fire because it read back the
+value it had just set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+
+
+def write_batch_partition(df: DataFrame, batch_id: int, output_path: str) -> None:
+    """Emit one micro-batch result into ``output_path/batch_id=N`` with
+    dynamic-partition overwrite, leaving the session conf as it was."""
+    spark = df.sparkSession
+    try:
+        prev = spark.conf.get(_MODE_KEY)
+    except Exception:
+        prev = None
+    spark.conf.set(_MODE_KEY, "dynamic")
+    try:
+        (
+            df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(_MODE_KEY)
+        else:
+            spark.conf.set(_MODE_KEY, prev)

@@ -150,34 +150,13 @@ def monitor_stream(
     def _emit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        # Replay-idempotent: the output is PARTITIONED by batch_id and each
-        # emit dynamically overwrites ONLY its own partition, so a crash
-        # between sink write and checkpoint commit re-runs the batch into
-        # the same batch_id=N directory instead of appending a duplicate
-        # row (exactly-once at the sink, not reader-side dedup).
-        #
-        # Idempotence DEPENDS on dynamic partition overwrite: if the mode
-        # silently resolved to static (a Spark build/conf that ignores the
-        # per-write option), every emit would wipe all prior batches.  Set
-        # the session conf too (the per-write option takes precedence where
-        # honored) and refuse to write if the resolved value is not dynamic
-        # — a loud failure beats silent history loss (ADVICE r5).
-        spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        resolved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        if resolved.lower() != "dynamic":
-            raise RuntimeError(
-                "drift monitor requires dynamic partition overwrite for "
-                f"replay idempotence; resolved mode is {resolved!r}"
-            )
-        (
-            batch_psi(batch, col, ref)
-            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(output_path)
-        )
+        # Replay-idempotent batch_id-partitioned dynamic overwrite — the
+        # shared sink helper also sets (and restores) the session-level
+        # overwrite mode so builds that resolve only the session conf
+        # still overwrite dynamically (ADVICE r5).
+        from bifrost_spark.streaming._sink import write_batch_partition
+
+        write_batch_partition(batch_psi(batch, col, ref), batch_id, output_path)
 
     return (
         stream.writeStream.foreachBatch(_emit)

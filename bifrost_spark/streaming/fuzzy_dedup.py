@@ -40,15 +40,17 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
 from bifrost_spark.operators.dedup import (
-    _band_bucket_array,
+    LSH_BANDS,
+    LSH_ROWS_PER_BAND,
+    MINHASH_HASHES,
+    est_jaccard_col,
+    explode_band_buckets,
     minhash_signatures,
 )
 
-#: Same family parameters as the batch twin (llm_dedup.py).
-NUM_HASHES = 64
-BANDS = 16
-ROWS_PER_BAND = 4
-DUP_THRESHOLD = 0.5
+#: Shared with the batch twin via the canonical family constants
+#: (operators/dedup.py) and llm_dedup's threshold — one retune point.
+from bifrost_spark.queries.llm_dedup import JACCARD_THRESHOLD as DUP_THRESHOLD
 
 
 def build_signature_index(
@@ -56,19 +58,17 @@ def build_signature_index(
 ) -> DataFrame:
     """Standing-corpus band-bucket index: (band, bucket, doc_id, signature).
 
-    One corpus pass; |docs|·BANDS rows of 16-byte keys + 64-long
+    One corpus pass; |docs|·LSH_BANDS rows of 16-byte keys + 64-long
     signatures.  Persist with ``df.write.bucketBy(n, "band", "bucket")``
     (io.py::write_bucketed_table) so every probe join is shuffle-free on
     the index side."""
     sig = minhash_signatures(
-        docs, text_col, id_col, num_hashes=NUM_HASHES, winnow_mod=2,
+        docs, text_col, id_col, num_hashes=MINHASH_HASHES, winnow_mod=2,
         shingle="word",
     )
-    return sig.select(
-        F.col(id_col).alias("index_id"),
-        F.col("signature").alias("sig_i"),
-        F.explode(_band_bucket_array(BANDS, ROWS_PER_BAND)).alias("bb"),
-    ).select("index_id", "sig_i", "bb.band", "bb.bucket")
+    return explode_band_buckets(
+        sig, id_col, "index_id", "sig_i", LSH_BANDS, LSH_ROWS_PER_BAND
+    )
 
 
 def probe_batch(
@@ -87,20 +87,11 @@ def probe_batch(
     no fuzzy identity to collide on, and exact dedup upstream already
     handles byte-identical copies."""
     sig = minhash_signatures(
-        batch, text_col, id_col, num_hashes=NUM_HASHES, winnow_mod=2,
+        batch, text_col, id_col, num_hashes=MINHASH_HASHES, winnow_mod=2,
         shingle="word",
     ).localCheckpoint(eager=True)  # feeds the probe join once per batch
-    probes = sig.select(
-        F.col(id_col),
-        F.col("signature").alias("sig_p"),
-        F.explode(_band_bucket_array(BANDS, ROWS_PER_BAND)).alias("bb"),
-    ).select(id_col, "sig_p", "bb.band", "bb.bucket")
-    n = NUM_HASHES
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_p", "sig_i", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
+    probes = explode_band_buckets(
+        sig, id_col, id_col, "sig_p", LSH_BANDS, LSH_ROWS_PER_BAND
     )
     cand = (
         probes.join(index, ["band", "bucket"])
@@ -108,7 +99,9 @@ def probe_batch(
         .select(
             id_col,
             "index_id",
-            (matches.cast("double") / F.lit(n)).alias("est_jaccard"),
+            est_jaccard_col("sig_p", "sig_i", MINHASH_HASHES).alias(
+                "est_jaccard"
+            ),
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
@@ -141,21 +134,10 @@ def start_fuzzy_dedup(
     def _emit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        resolved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        if resolved.lower() != "dynamic":
-            raise RuntimeError(
-                "fuzzy dedup sink requires dynamic partition overwrite for "
-                f"replay idempotence; resolved mode is {resolved!r}"
-            )
-        (
-            probe_batch(batch, index, threshold=threshold)
-            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(output_path)
+        from bifrost_spark.streaming._sink import write_batch_partition
+
+        write_batch_partition(
+            probe_batch(batch, index, threshold=threshold), batch_id, output_path
         )
 
     return (

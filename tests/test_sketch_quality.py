@@ -66,6 +66,42 @@ def test_incremental_minhash_recall_and_precision(spark, exact_jaccard):
     assert precision >= 0.8, f"incremental minhash precision {precision:.2f} < 0.8"
 
 
+def test_content_free_docs_get_no_signature_and_no_pairs(spark):
+    """NULL-, empty-, and whitespace-only-text docs must not receive a
+    MinHash signature: before the fix they all hashed the same degenerate
+    constant gram, shared one signature, and the LSH join flagged every
+    pair of them as est_jaccard = 1.0 near-dups (review finding — the
+    round-5 xxhash64(NULL) phantom-pair class re-surfacing in the
+    incremental admission flows)."""
+    import pandas as pd
+
+    from bifrost_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_probe_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [None, "", "   ", "real content words here", None],
+            }
+        )
+    )
+    # word mode: whitespace-only has zero tokens → excluded; char mode:
+    # spaces ARE characters, so "   " keeps a (legitimate) char identity —
+    # only NULL and the empty string are content-free there
+    expected = {"word": {3}, "char": {2, 3}}
+    for mode in ("word", "char"):
+        sig = minhash_signatures(df, "text", "doc_id", shingle=mode)
+        ids = {r["doc_id"] for r in sig.collect()}
+        assert ids == expected[mode], (mode, ids)
+        assert lsh_candidate_pairs(sig, "doc_id").count() == 0
+        # probing a corpus against itself: only true self-matches remain
+        assert lsh_probe_pairs(sig, sig, "doc_id").count() == len(ids)
+
+
 def test_simhash_recall(spark, exact_jaccard):
     got = _pairs(registry.queries()["q_dedup_simhash"](spark, SF_DIR))
     recall = len(got & exact_jaccard) / len(exact_jaccard)
@@ -547,7 +583,7 @@ def test_pca_moment_totals_bounded_regardless_of_batch_count(spark):
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         ).filter(F.col("emb").isNotNull())
         d = len(dbl.select("emb").first()["emb"])
-        rows = pca_moment_totals(dbl, d).collect()
+        rows = pca_moment_totals(dbl).collect()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
