@@ -225,6 +225,91 @@ def test_stream_batch_curation_equivalence_across_batches(
 
 
 # ---------------------------------------------------------------------------
+# Streaming fuzzy-dedup (MinHash admission) vs its own batch probe: the
+# per-doc verdict depends only on (doc, static index), so the union of
+# per-micro-batch probes must equal one batch probe of the whole ingest —
+# regardless of file/batch boundaries, NULL/empty text (no fuzzy
+# identity → admitted), exact dups of index docs (est = 1.0), and
+# near-dup edits.  This differentials the STREAMING mechanics
+# (foreachBatch, per-batch signature build, batch_id-partitioned sink),
+# not a re-spelled estimator.
+# ---------------------------------------------------------------------------
+
+NEAR_GOOD = GOOD.replace("quick brown", "slow red").replace("lazy", "sleepy")
+
+INGEST_POOL = (GOOD, NEAR_GOOD, GOOD2, SHORT, "", None)
+
+ingest_strategy = st.lists(
+    st.sampled_from(INGEST_POOL), min_size=0, max_size=10
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,  # stable example set; drop to re-hunt
+    suppress_health_check=list(HealthCheck),
+)
+@given(texts=ingest_strategy, n_files=st.integers(1, 3))
+@example(texts=[], n_files=1)  # empty ingest
+@example(texts=[None, "", None], n_files=1)  # content-free only: all admitted
+@example(  # exact dup, near-dup edit, clean doc, junk — across 2 batches
+    texts=[GOOD, NEAR_GOOD, GOOD2, SHORT, None, GOOD], n_files=2
+)
+def test_stream_fuzzy_dedup_matches_batch_probe(
+    spark, tmp_path_factory, texts, n_files
+):
+    from bifrost_spark.streaming.fuzzy_dedup import (
+        build_signature_index,
+        probe_batch,
+        start_fuzzy_dedup,
+    )
+
+    tmp = str(tmp_path_factory.mktemp("fuzzfd"))
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    rows = [(t, 0) for t in texts]
+    _write_corpus(spark, src, rows, n_files=n_files)
+
+    # standing index: the two clean docs + a decoy
+    index_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1000, 1001, 1002],
+                      "text": [GOOD, GOOD2, NO_STOPWORDS]})
+    )
+    index = build_signature_index(index_docs).localCheckpoint(eager=True)
+
+    schema = "doc_id long, text string, ts timestamp"
+    q = start_fuzzy_dedup(
+        spark.readStream.schema(schema).parquet(src), index, out, ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        got = {
+            (r["doc_id"], r["dup_of"], r["est_jaccard"])
+            for r in spark.read.parquet(out)
+            .select("doc_id", "dup_of", "est_jaccard")
+            .collect()
+        }
+    except Exception:  # zero-batch run: sink dir never created
+        got = set()
+
+    batch = probe_batch(
+        spark.read.schema(schema).parquet(src), index
+    )
+    want = {
+        (r["doc_id"], r["dup_of"], r["est_jaccard"])
+        for r in batch.select("doc_id", "dup_of", "est_jaccard").collect()
+    }
+    assert got == want, (texts, n_files, got ^ want)
+    # content-free docs must be ADMITTED (NULL verdict), never flagged
+    for doc_id, dup_of, _ in got:
+        if texts[doc_id] in ("", None):
+            assert dup_of is None, (doc_id, texts[doc_id])
+
+
+# ---------------------------------------------------------------------------
 # Keyed-upsert sink vs the last-per-key model: a generated CDC update
 # sequence, cut into arbitrary micro-batches, must leave the state view
 # equal to argmax per key by (version, tiebreak) — regardless of where
