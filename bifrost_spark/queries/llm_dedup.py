@@ -584,6 +584,113 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Directed containment parameters: word-3-gram shingle sets, containment
+# ≥ CONT_T_NUM/CONT_T_DEN, minimum shingles for the inner side, hub cap.
+CONT_T_NUM, CONT_T_DEN = 4, 5
+CONT_MIN_SH = 5
+CONT_MAX_DF = 50
+
+
+@query(
+    "q_containment",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+          FROM documents
+        ),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i + 2], ' ') AS s
+          FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3
+        ),
+        sh AS (
+          SELECT * FROM sh0 WHERE s IN (
+            SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {CONT_MAX_DF})
+        ),
+        cnt AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+        ),
+        common AS (
+          SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT inner_id, outer_id, n_common,
+               CAST(n_common AS DOUBLE) / ca.n AS containment
+        FROM common JOIN cnt ca ON ca.doc_id = inner_id
+        WHERE ca.n >= {CONT_MIN_SH}
+          AND n_common * {CONT_T_DEN} >= ca.n * {CONT_T_NUM}
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed shingle containment (Broder 1997's asymmetric twin
+    of resemblance): flag (inner, outer) pairs where ≥{t} of the inner
+    doc's word-3-gram set appears in the outer doc — excerpt / quotation /
+    clone detection, which symmetric Jaccard MISSES whenever a short doc
+    is wholly contained in a much longer one (their union dilutes the
+    overlap below any Jaccard threshold).  The post-dedup pass crawl
+    cleaners run to catch quote farms and wrapper pages.
+
+    Scale shape: shingles collapse to 8-byte xxhash64 keys built from
+    token hashes (no gram string is ever materialized or shuffled — the
+    PPJoin device, with its documented ~1e-12 collision bound vs the
+    string-comparing oracle); the hub cap (df ≤ {cap}, derived via
+    count-over-window — one shuffle, no join-back) bounds the self-join's
+    candidate volume at df²·|shingles| instead of |docs|²; the inner-side
+    threshold is INTEGER arithmetic ({num}·n_common ≥ {den}·n), so no
+    float threshold ever compares.  containment itself is one int/int
+    IEEE division — engine-bit-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    hashed = d.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    ).filter(F.size("th") >= 3)
+    keys = F.transform(
+        F.sequence(F.lit(1), F.size("th") - 2),
+        lambda i: F.xxhash64(
+            F.try_element_at("th", i),
+            F.try_element_at("th", i + 1),
+            F.try_element_at("th", i + 2),
+        ),
+    )
+    sh = (
+        hashed.select("doc_id", F.explode(keys).alias("s"))
+        .distinct()
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+        .filter(F.col("df") <= CONT_MAX_DF)
+        .drop("df")
+        # feeds the per-doc count AND both self-join sides — Catalyst
+        # does not dedup the subtree (3 corpus scans without this)
+        .localCheckpoint(eager=True)
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sh.select(F.col("doc_id").alias("inner_id"), "s")
+    b = sh.select(F.col("doc_id").alias("outer_id"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        common.join(cnt.withColumnRenamed("doc_id", "inner_id"), "inner_id")
+        .filter(
+            (F.col("n") >= CONT_MIN_SH)
+            & (F.col("n_common") * CONT_T_DEN >= F.col("n") * CONT_T_NUM)
+        )
+        .select(
+            "inner_id",
+            "outer_id",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n")).alias("containment"),
+        )
+    )
+
+
 @query("q_dedup_incremental_minhash", oracle=None)  # hash family → rows-only
 def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-incremental NEAR-dup admission — the MinHash twin of

@@ -239,6 +239,7 @@ DOC_QUERIES = (
     "q_chunking",
     "q_collocations",
     "q_compaction_plan",
+    "q_containment",
     "q_contamination_report",
     "q_dataset_split",
     "q_dataset_split_grouped",

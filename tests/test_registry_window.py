@@ -35,6 +35,7 @@ ROUND6_MUST_COVER = {
     "q_dedup_incremental_minhash",
     "q_embedding_outliers",
     "q_ndcg_eval",
+    "q_containment",
 }
 
 

@@ -84,6 +84,8 @@ SCAN_CEILINGS = {
     "q_contamination_report": 3,  # bench grams + training grams + source join
     "q_dedup_incremental_minhash": 0,  # one signature pass, checkpointed,
     #   feeds both the probe and index sides
+    "q_containment": 0,  # capped shingle frame checkpointed; count + both
+    #   self-join sides reuse it
     "q_embedding_outliers": 1,  # centroid table collected + literal
     #   fold-back; one scan-local scoring pass remains
     "q_ndcg_eval": 3,  # BM25 leg (build-time literals) + system-side gain
