@@ -939,6 +939,186 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_bootstrap_ci — deterministic Poisson-bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+_BOOT_REPS = 32
+# Cumulative Poisson(1) thresholds (exact double literals, identical in
+# both spellings): u < cdf_k → weight k, tail truncated at 6 (mass beyond
+# ~6e-4, and the truncation is IDENTICAL on both engines so parity holds).
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _sql_u(expr: str) -> str:
+    """DuckDB: uniform in [0,1) from the first 8 md5 hex digits of expr
+    (decoded 0-15 — the raw-ascii idiom collapses mod small powers; see
+    _util.hash_bucket), as value/16^8.  BIGINT accumulator: 16^8 = 2^32
+    overflows INT32."""
+    val = "CAST(0 AS BIGINT)"
+    for i in range(1, 9):
+        digit = (
+            f"(CASE WHEN ascii(substr(md5({expr}), {i}, 1)) >= 97 "
+            f"THEN ascii(substr(md5({expr}), {i}, 1)) - 87 "
+            f"ELSE ascii(substr(md5({expr}), {i}, 1)) - 48 END)"
+        )
+        val = f"(({val}) * 16 + {digit})"
+    return f"(CAST({val} AS DOUBLE) / 4294967296.0)"
+
+
+def _u_col(expr):
+    """Spark mirror of :func:`_sql_u` — same digits, same math."""
+    h = F.md5(expr)
+    val = F.lit(0).cast("bigint")
+    for i in range(1, 9):
+        a = F.ascii(F.substring(h, i, 1))
+        digit = F.when(a >= 97, a - 87).otherwise(a - 48)
+        val = val * 16 + digit
+    return val.cast("double") / F.lit(4294967296.0)
+
+
+def _sql_pois(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+def _pois_col(u):
+    w = F.lit(6)
+    for k, c in reversed(list(enumerate(_POIS_CDF))):
+        w = F.when(u < float(c), F.lit(k)).otherwise(w)
+    return w
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+        WITH base AS (
+          SELECT event_type, event_id, value
+          FROM events WHERE value IS NOT NULL
+        ),
+        rep AS (
+          SELECT event_type, event_id, value, r
+          FROM base, UNNEST(range({_BOOT_REPS})) AS t(r)
+        ),
+        wtd AS (
+          SELECT event_type, r, value,
+                 {_sql_pois(_sql_u("CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)"))} AS w
+          FROM rep
+        ),
+        m AS (
+          SELECT event_type, r,
+                 CAST(SUM(CAST(w * value AS DECIMAL(28,6))) AS DOUBLE)
+                   / SUM(w) AS mean_r
+          FROM wtd GROUP BY event_type, r HAVING SUM(w) > 0
+        ),
+        ci AS (
+          SELECT event_type, list_sort(list(mean_r)) AS arr,
+                 CAST(COUNT(*) AS BIGINT) AS n_replicates
+          FROM m GROUP BY event_type
+        ),
+        stats AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS mean
+          FROM base GROUP BY event_type
+        )
+        SELECT s.event_type, s.n_rows, round(s.mean, 9) AS mean,
+               ci.n_replicates,
+               round(arr[CAST(LEAST(2, ci.n_replicates) AS INT)], 9) AS ci_lo,
+               round(arr[CAST(GREATEST(ci.n_replicates - 1, 1) AS INT)], 9)
+                 AS ci_hi
+        FROM stats s JOIN ci USING (event_type)
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for a grouped
+    mean (Chamandy et al. 2012, the Google massive-streams estimator):
+    every row gets a per-replicate Poisson(1) resampling weight derived
+    from md5(event_id, replicate) — no RNG, no data movement, identical
+    on every engine and under task retry — and the CI is read off the sorted
+    replicate means (2nd-smallest / 2nd-largest of {R} ≈ a 94% interval).
+
+    This is THE way to put uncertainty on a metric at 100 TB: resampling
+    by weight (not by copying rows) keeps the whole bootstrap scan-local
+    — the replicate explosion feeds a map-side-combined hash aggregate,
+    so each task ships at most |groups|·{R} partial rows no matter how
+    much data it read, and nothing is ever collected but |groups|·{R}
+    means.
+
+    Determinism: weights are exact integers from engine-portable md5
+    digits compared against exact double literals of the Poisson(1) CDF;
+    replicate means divide an exact decimal sum (value is 2-dp money —
+    inside the dsum contract) by an integer weight sum; replicates whose
+    weights all drew 0 have no mean and are excluded identically (HAVING
+    SUM(w) > 0 — reachable for singleton groups, where ~37% of
+    replicates zero out).  The sorted-means percentile picks by INTEGER
+    index, so no float threshold compares."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select("event_type", "event_id", "value")
+    rep = base.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("r"),
+    )
+    u = _u_col(
+        F.concat(
+            F.col("event_id").cast("string"), F.lit(":"), F.col("r").cast("string")
+        )
+    )
+    wtd = rep.select(
+        "event_type", "r", "value", _pois_col(u).alias("w")
+    )
+    m = (
+        wtd.groupBy("event_type", "r")
+        .agg(
+            (
+                F.sum((F.col("w") * F.col("value")).cast("decimal(28,6)"))
+                .cast("double")
+                / F.sum("w")
+            ).alias("mean_r"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    ci = m.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("mean_r")).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    return stats.join(ci, "event_type").select(
+        "event_type",
+        "n_rows",
+        F.round("mean", 9).alias("mean"),
+        "n_replicates",
+        F.round(
+            F.element_at("arr", F.least(F.lit(2), F.col("n_replicates")).cast("int")),
+            9,
+        ).alias("ci_lo"),
+        F.round(
+            F.element_at(
+                "arr", F.greatest(F.col("n_replicates") - 1, F.lit(1)).cast("int")
+            ),
+            9,
+        ).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_dedup_prefix — leading-token template detection
 # ---------------------------------------------------------------------------
 

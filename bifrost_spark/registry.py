@@ -68,6 +68,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_embedding_outliers",
     "q_ndcg_eval",
     "q_containment",
+    "q_bootstrap_ci",
     # Round-2 standing rows — streaming/parity analogs (reference operators)
     "q_topic_discovery",
     "q_topic_filter",
@@ -86,7 +87,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_knn_eval",
     "q_dup_spans",
     # Round-2 text/cleaning cohort
-    "q_token_count",
     "q_lang_id",
     "q_quality_score",
     "q_tfidf",
@@ -103,10 +103,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_multimodal_dedup",
     "q_multimodal_pair",
     "q_multimodal_decode",
-    # Rolled to round 7 by the 13 new round-6 ids: the untouched-since-r2
+    # Rolled to round 7 by the 14 new round-6 ids: the untouched-since-r2
     # misc-relational/regex/expression oracle ids (q_fuzzy_join, q_variant,
     # q_udaf_pandas, q_sql_api, q_collect_sorted, q_sample_mixture,
-    # q_fingerprint, q_pii_redact, q_repetition) and the round-2 rows-only cohort
+    # q_fingerprint, q_pii_redact, q_repetition, q_token_count) and the
+    # round-2 rows-only cohort
     # (q_dedup_minhash, q_dedup_simhash, q_sim_ann_lsh, q_sim_ann_ivf,
     # q_multimodal_resize/features, q_agg_approx_quantile — weaker
     # rows-only evidence, lowest priority).

@@ -76,6 +76,7 @@ FUZZED_QUERIES = (
     "q_attribution",
     "q_autocorr",
     "q_behavior_entropy",
+    "q_bootstrap_ci",
     "q_cohort_retention",
     "q_commit_offsets",
     "q_ctr_wilson",

@@ -36,6 +36,7 @@ ROUND6_MUST_COVER = {
     "q_embedding_outliers",
     "q_ndcg_eval",
     "q_containment",
+    "q_bootstrap_ci",
 }
 
 

@@ -123,6 +123,7 @@ FULL_SURFACE_SCANS = {
     "q_agg_stats": 1,
     "q_array_ops": 1,
     "q_bitwise_agg": 1,
+    "q_bootstrap_ci": 2,  # replicate-weight pass + the exact-mean pass
     "q_bloom_prune": 3,
     "q_chunking": 1,
     "q_cohort_retention": 2,
