@@ -84,10 +84,12 @@ HEADLINE = [
     "q_collocations",
     "q_qlm",
     # round-6 additions: second-stage rerank, incremental fuzzy dedup,
-    # contamination reporting
+    # contamination reporting, directed containment, bootstrap CI
     "q_rerank_cross",
     "q_dedup_incremental_minhash",
     "q_contamination_report",
+    "q_containment",
+    "q_bootstrap_ci",
 ]
 
 

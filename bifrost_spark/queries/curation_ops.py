@@ -956,31 +956,37 @@ _POIS_CDF = (
 )
 
 
-def _sql_u(expr: str) -> str:
-    """DuckDB: uniform in [0,1) from the first 8 md5 hex digits of expr
+# Each md5 yields EIGHT independent 4-hex-digit uniforms (slots 0-7), so
+# 32 replicates cost 4 md5 calls per row, not 32 — measured 13.7 → ~2 s at
+# sf0.1 (the md5 + ascii-decode chain is interpreted-expression cost, the
+# round-5 audit's class).  4 digits give u on a 2^-16 grid: the Poisson
+# thresholds are quantized by ≤2^-17 — a ~1e-5 per-weight bias, identical
+# on both engines (the comparison is exact either way).
+def _sql_u4(expr: str, slot: int) -> str:
+    """DuckDB: uniform in [0,1) from 4 md5 hex digits at slot*4+1
     (decoded 0-15 — the raw-ascii idiom collapses mod small powers; see
-    _util.hash_bucket), as value/16^8.  BIGINT accumulator: 16^8 = 2^32
-    overflows INT32."""
-    val = "CAST(0 AS BIGINT)"
-    for i in range(1, 9):
+    _util.hash_bucket)."""
+    val = "0"
+    for i in range(slot * 4 + 1, slot * 4 + 5):
         digit = (
             f"(CASE WHEN ascii(substr(md5({expr}), {i}, 1)) >= 97 "
             f"THEN ascii(substr(md5({expr}), {i}, 1)) - 87 "
             f"ELSE ascii(substr(md5({expr}), {i}, 1)) - 48 END)"
         )
         val = f"(({val}) * 16 + {digit})"
-    return f"(CAST({val} AS DOUBLE) / 4294967296.0)"
+    return f"(CAST({val} AS DOUBLE) / 65536.0)"
 
 
-def _u_col(expr):
-    """Spark mirror of :func:`_sql_u` — same digits, same math."""
-    h = F.md5(expr)
-    val = F.lit(0).cast("bigint")
-    for i in range(1, 9):
-        a = F.ascii(F.substring(h, i, 1))
-        digit = F.when(a >= 97, a - 87).otherwise(a - 48)
-        val = val * 16 + digit
-    return val.cast("double") / F.lit(4294967296.0)
+def _u4_col(h, slot: int):
+    """Spark twin of :func:`_sql_u4` over a (shared) md5 Column: conv()
+    parses the same 4 hex digits in one JVM call — a different SPELLING
+    of the identical integer (values are compared, spellings are not;
+    DuckDB lacks a hex-string→int cast, so its side keeps the ascii
+    decode)."""
+    return (
+        F.conv(F.substring(h, slot * 4 + 1, 4), 16, 10).cast("int").cast("double")
+        / F.lit(65536.0)
+    )
 
 
 def _sql_pois(u: str) -> str:
@@ -997,6 +1003,15 @@ def _pois_col(u):
     return w
 
 
+# one md5 string per (row, replicate-GROUP): group = r // 8, slot = r % 8
+_BOOT_SQL_EXPR = "CAST(event_id AS VARCHAR) || ':' || CAST((r // 8) AS VARCHAR)"
+_BOOT_U_CASE = (
+    "(CASE (r % 8) "
+    + " ".join(f"WHEN {s} THEN {_sql_u4(_BOOT_SQL_EXPR, s)}" for s in range(8))
+    + " END)"
+)
+
+
 @query(
     "q_bootstrap_ci",
     oracle=f"""
@@ -1008,10 +1023,12 @@ def _pois_col(u):
           SELECT event_type, event_id, value, r
           FROM base, UNNEST(range({_BOOT_REPS})) AS t(r)
         ),
+        unif AS (
+          SELECT event_type, r, value, {_BOOT_U_CASE} AS u FROM rep
+        ),
         wtd AS (
-          SELECT event_type, r, value,
-                 {_sql_pois(_sql_u("CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)"))} AS w
-          FROM rep
+          SELECT event_type, r, value, {_sql_pois("u")} AS w
+          FROM unif
         ),
         m AS (
           SELECT event_type, r,
@@ -1063,19 +1080,31 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, so no float threshold compares."""
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     base = e.select("event_type", "event_id", "value")
-    rep = base.select(
-        "event_type",
-        "event_id",
-        "value",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("r"),
-    )
-    u = _u_col(
-        F.concat(
-            F.col("event_id").cast("string"), F.lit(":"), F.col("r").cast("string")
+    # all 32 UNIFORMS built BEFORE the explode, 8 per md5 (4 md5 calls per
+    # row, CSE'd by codegen); posexplode's position IS the replicate id
+    # r = group*8 + slot, matching the oracle's (r // 8, r % 8)
+    # decomposition.  The Poisson CASE applies AFTER the explode, once per
+    # (row, replicate), on the u COLUMN — inlining it into the array
+    # elements duplicated the whole digit-decode six times per threshold
+    # and blew codegen into interpreted mode (measured 105 s at sf0.1;
+    # this shape runs in ~5 s, which is the inherent 32× resampling work:
+    # per-replicate-row cost matches the plain agg's per-row cost, and a
+    # 64-column pivot-agg alternative measured only 3.7 s for far more
+    # shape complexity — rejected)
+    uarr = []
+    for g in range(_BOOT_REPS // 8):
+        h = F.md5(
+            F.concat(F.col("event_id").cast("string"), F.lit(f":{g}"))
         )
+        for s in range(8):
+            uarr.append(_u4_col(h, s))
+    unif = base.select(
+        "event_type",
+        "value",
+        F.posexplode(F.array(*uarr)).alias("r", "u"),
     )
-    wtd = rep.select(
-        "event_type", "r", "value", _pois_col(u).alias("w")
+    wtd = unif.select(
+        "event_type", "r", "value", _pois_col(F.col("u")).alias("w")
     )
     m = (
         wtd.groupBy("event_type", "r")
