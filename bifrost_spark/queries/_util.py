@@ -105,15 +105,23 @@ def hash_bucket(col: Column | str, n_buckets: int) -> Column:
     return (val % n_buckets).cast("int")
 
 
+def sql_md5_digit(expr: str, i: int) -> str:
+    """DuckDB: the i-th md5 hex digit of expr DECODED to 0-15 (the
+    raw-ascii spelling collapses mod small powers — the round-3 mod-64
+    fix).  The single shared decode idiom: every md5-digit consumer
+    (bucketing here, the bootstrap uniforms in curation_ops) must build
+    on this so a decode fix can never miss a copy."""
+    return (
+        f"(CASE WHEN ascii(substr(md5({expr}), {i}, 1)) >= 97 "
+        f"THEN ascii(substr(md5({expr}), {i}, 1)) - 87 "
+        f"ELSE ascii(substr(md5({expr}), {i}, 1)) - 48 END)"
+    )
+
+
 def sql_hash_bucket(expr: str, n_buckets: int) -> str:
     """DuckDB SQL mirror of :func:`hash_bucket` (same digits, same math)."""
     digits = _hash_digits(n_buckets)
     val = "0"
     for i in range(1, digits + 1):
-        digit = (
-            f"(CASE WHEN ascii(substr(md5({expr}), {i}, 1)) >= 97 "
-            f"THEN ascii(substr(md5({expr}), {i}, 1)) - 87 "
-            f"ELSE ascii(substr(md5({expr}), {i}, 1)) - 48 END)"
-        )
-        val = f"(({val}) * 16 + {digit})"
+        val = f"(({val}) * 16 + {sql_md5_digit(expr, i)})"
     return f"CAST(({val}) % {n_buckets} AS INT)"

@@ -963,17 +963,13 @@ _POIS_CDF = (
 # thresholds are quantized by ≤2^-17 — a ~1e-5 per-weight bias, identical
 # on both engines (the comparison is exact either way).
 def _sql_u4(expr: str, slot: int) -> str:
-    """DuckDB: uniform in [0,1) from 4 md5 hex digits at slot*4+1
-    (decoded 0-15 — the raw-ascii idiom collapses mod small powers; see
-    _util.hash_bucket)."""
+    """DuckDB: uniform in [0,1) from the 4 md5 hex digits at slot*4+1,
+    built on the one shared decode idiom (_util.sql_md5_digit)."""
+    from bifrost_spark.queries._util import sql_md5_digit
+
     val = "0"
     for i in range(slot * 4 + 1, slot * 4 + 5):
-        digit = (
-            f"(CASE WHEN ascii(substr(md5({expr}), {i}, 1)) >= 97 "
-            f"THEN ascii(substr(md5({expr}), {i}, 1)) - 87 "
-            f"ELSE ascii(substr(md5({expr}), {i}, 1)) - 48 END)"
-        )
-        val = f"(({val}) * 16 + {digit})"
+        val = f"(({val}) * 16 + {sql_md5_digit(expr, i)})"
     return f"(CAST({val} AS DOUBLE) / 65536.0)"
 
 
@@ -1049,8 +1045,14 @@ _BOOT_U_CASE = (
         )
         SELECT s.event_type, s.n_rows, round(s.mean, 9) AS mean,
                ci.n_replicates,
-               round(arr[CAST(LEAST(2, ci.n_replicates) AS INT)], 9) AS ci_lo,
-               round(arr[CAST(GREATEST(ci.n_replicates - 1, 1) AS INT)], 9)
+               -- trim one extreme per side only when ≥4 replicates
+               -- survive: LEAST(2, n)/GREATEST(n-1, 1) alone INVERTS the
+               -- interval at n = 2 (lo = arr[2] = max, hi = arr[1] = min)
+               round(arr[CAST(CASE WHEN ci.n_replicates >= 4 THEN 2
+                                   ELSE 1 END AS INT)], 9) AS ci_lo,
+               round(arr[CAST(CASE WHEN ci.n_replicates >= 4
+                                   THEN ci.n_replicates - 1
+                                   ELSE ci.n_replicates END AS INT)], 9)
                  AS ci_hi
         FROM stats s JOIN ci USING (event_type)
     """,
@@ -1129,21 +1131,21 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean"),
     )
+    # trim one extreme per side only with ≥4 surviving replicates — the
+    # least/greatest clamps alone invert the interval at n = 2 (review
+    # finding; reachable only when 30 of 32 deterministic weights zero
+    # out, i.e. near-singleton groups at extreme scale)
+    lo_idx = F.when(F.col("n_replicates") >= 4, F.lit(2)).otherwise(F.lit(1))
+    hi_idx = F.when(
+        F.col("n_replicates") >= 4, F.col("n_replicates") - 1
+    ).otherwise(F.col("n_replicates"))
     return stats.join(ci, "event_type").select(
         "event_type",
         "n_rows",
         F.round("mean", 9).alias("mean"),
         "n_replicates",
-        F.round(
-            F.element_at("arr", F.least(F.lit(2), F.col("n_replicates")).cast("int")),
-            9,
-        ).alias("ci_lo"),
-        F.round(
-            F.element_at(
-                "arr", F.greatest(F.col("n_replicates") - 1, F.lit(1)).cast("int")
-            ),
-            9,
-        ).alias("ci_hi"),
+        F.round(F.element_at("arr", lo_idx.cast("int")), 9).alias("ci_lo"),
+        F.round(F.element_at("arr", hi_idx.cast("int")), 9).alias("ci_hi"),
     )
 
 

@@ -626,7 +626,7 @@ CONT_MAX_DF = 50
 )
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT directed shingle containment (Broder 1997's asymmetric twin
-    of resemblance): flag (inner, outer) pairs where ≥{t} of the inner
+    of resemblance): flag (inner, outer) pairs where ≥4/5 of the inner
     doc's word-3-gram set appears in the outer doc — excerpt / quotation /
     clone detection, which symmetric Jaccard MISSES whenever a short doc
     is wholly contained in a much longer one (their union dilutes the
@@ -636,12 +636,12 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: shingles collapse to 8-byte xxhash64 keys built from
     token hashes (no gram string is ever materialized or shuffled — the
     PPJoin device, with its documented ~1e-12 collision bound vs the
-    string-comparing oracle); the hub cap (df ≤ {cap}, derived via
+    string-comparing oracle); the hub cap (df ≤ 50, derived via
     count-over-window — one shuffle, no join-back) bounds the self-join's
     candidate volume at df²·|shingles| instead of |docs|²; the inner-side
-    threshold is INTEGER arithmetic ({num}·n_common ≥ {den}·n), so no
-    float threshold ever compares.  containment itself is one int/int
-    IEEE division — engine-bit-stable."""
+    threshold is INTEGER arithmetic (5·n_common ≥ 4·n ⟺ containment
+    ≥ 4/5), so no float threshold ever compares.  containment itself is
+    one int/int IEEE division — engine-bit-stable."""
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window as W
 
