@@ -921,6 +921,24 @@ def test_plan_oracle_parity_on_adversarial_part(
     assert not problems, f"{name} diverged on {parts!r}: {problems}"
 
 
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(events=events_strategy)
+@example(events=[(0, "view", 0, 100)])  # singleton group: ~37% of
+# replicates draw weight 0 — the small-n_replicates regime
+@example(events=[(0, "view", 0, 100), (1, "view", 0, None)])
+def test_bootstrap_interval_is_ordered(spark, tmp_path_factory, events):
+    """Semantic invariant no oracle can check (both engines would agree
+    on an inverted interval): ci_lo ≤ ci_hi on every group — the
+    review-found inversion class (trimming indexes crossing at tiny
+    surviving-replicate counts).  Deliberately NOT asserted: that the
+    sample mean lies inside the interval — percentile-bootstrap theory
+    does not guarantee it for skewed groups."""
+    tmpdir = _write_fixture_dir(str(tmp_path_factory.mktemp("fzbs")), events)
+    for r in registry.queries()["q_bootstrap_ci"](spark, tmpdir).collect():
+        assert r["ci_lo"] <= r["ci_hi"], r
+
+
 # ---------------------------------------------------------------------------
 # multimodal byte-stress: the payload path encodes documents.text's UTF-8
 # BYTES into real containers (PPM rasters padded to 3-byte pixels / full
