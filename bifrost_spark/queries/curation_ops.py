@@ -668,6 +668,9 @@ def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _OUTLIER_TOPK = 5
+# Literal fold-back gate in COLLECTED ROWS (|labels|·d): ≈10³ labels at
+# d=64.  Above it the centroid table never leaves the engine (VERDICT r6).
+_OUTLIER_FOLDBACK_GATE_ROWS = 65536
 
 
 @query(
@@ -729,7 +732,19 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals into ties) with vec_id as tie-break.  The centroid array
     rides in zip_with ARGUMENT position, so the literal CASE is
     evaluated once per row, not per element (the HOF-lambda recompute
-    pitfall)."""
+    pitfall).
+
+    Cardinality gate (VERDICT r6): the literal CASE embeds one array
+    per label in the PLAN, which blows up plan size/compile time when
+    labels are high-cardinality (user-ids, domains) rather than
+    model-class-sized.  The collect is therefore LIMIT-bounded at
+    {gate} rows (= |labels|·d; ≈10³ labels at d=64): within the gate,
+    the collected rows feed the literal path unchanged (same single
+    scoring scan); above it nothing more is collected and the centroid
+    table stays engine-side, assembled into per-label arrays and
+    equi-joined back on label (Catalyst broadcasts it while it fits,
+    shuffle-joins beyond that).  Same rounded values either way, so the
+    output is identical — pinned by the gate test."""
     from bifrost_spark.operators.vectors import lit_vector
 
     # size > 0 also drops NULL (size(NULL) is NULL) AND zero-length
@@ -742,7 +757,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = e.select(
         "label", "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cent_rows = (
+    cent_agg = (
         dbl.select("label", F.posexplode("emb").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(
@@ -752,22 +767,38 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("c")
         )
-        .collect()
     )
+    # bounded probe-and-collect: never pulls more than gate+1 skinny rows,
+    # and within the gate the SAME result builds the literals (no re-scan)
+    cent_rows = cent_agg.limit(_OUTLIER_FOLDBACK_GATE_ROWS + 1).collect()
     if not cent_rows:
         return spark.createDataFrame(
             [], "label int, vec_id bigint, dist double, rnk bigint"
         )
-    by_label: dict = {}
-    for r in cent_rows:
-        by_label.setdefault(r["label"], {})[r["pos"]] = r["c"]
-    case = None
-    for lbl in sorted(by_label):
-        posmap = by_label[lbl]
-        arr = lit_vector([posmap[p] for p in range(max(posmap) + 1)])
-        cond = F.col("label") == F.lit(lbl)
-        case = F.when(cond, arr) if case is None else case.when(cond, arr)
-    c_arr = case.otherwise(F.lit(None).cast("array<double>"))
+    if len(cent_rows) > _OUTLIER_FOLDBACK_GATE_ROWS:
+        # high-cardinality labels: engine-side fold-back.  array_sort on
+        # struct(pos, c) orders by pos (struct comparison is field-order),
+        # so the assembled array is positional.
+        carr = cent_agg.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("_cent")
+        )
+        base = dbl.join(carr, "label")
+        c_arr = F.col("_cent")
+    else:
+        base = dbl
+        by_label: dict = {}
+        for r in cent_rows:
+            by_label.setdefault(r["label"], {})[r["pos"]] = r["c"]
+        case = None
+        for lbl in sorted(by_label):
+            posmap = by_label[lbl]
+            arr = lit_vector([posmap[p] for p in range(max(posmap) + 1)])
+            cond = F.col("label") == F.lit(lbl)
+            case = F.when(cond, arr) if case is None else case.when(cond, arr)
+        c_arr = case.otherwise(F.lit(None).cast("array<double>"))
 
     dec0 = F.lit(0).cast("decimal(28,12)")
     sq = F.zip_with(
@@ -782,7 +813,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec0,
         lambda acc, v: (acc + F.coalesce(v, dec0)).cast("decimal(28,12)"),
     )
-    scored = dbl.select("label", "vec_id", d2.alias("dist2"))
+    scored = base.select("label", "vec_id", d2.alias("dist2"))
     w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
     return (
         scored.select(

@@ -516,3 +516,23 @@ def test_ewma_scan_carry_across_arrow_batches(spark):
         .collect()
     }
     assert scan == ref
+
+
+def test_embedding_outliers_join_gate_identical(spark, monkeypatch):
+    """VERDICT r6: above the fold-back gate q_embedding_outliers must stop
+    embedding one literal centroid array per label in the plan and instead
+    equi-join the engine-side centroid table — with IDENTICAL output.
+    Forced here by shrinking the gate to 1 collected row."""
+    from bifrost_spark import registry
+    from bifrost_spark.queries import curation_ops
+
+    sf_dir = "/root/testdata/sf0.001"
+    lit_path = registry.queries()["q_embedding_outliers"](spark, sf_dir)
+    assert "_cent" not in lit_path.columns  # literal path: no join column
+    lit_rows = {tuple(r) for r in lit_path.collect()}
+
+    monkeypatch.setattr(curation_ops, "_OUTLIER_FOLDBACK_GATE_ROWS", 1)
+    join_path = registry.queries()["q_embedding_outliers"](spark, sf_dir)
+    plan = join_path._jdf.queryExecution().executedPlan().toString()
+    assert "_cent" in plan, "gated path must fold back via the centroid join"
+    assert {tuple(r) for r in join_path.collect()} == lit_rows
