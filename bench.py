@@ -90,6 +90,11 @@ HEADLINE = [
     "q_contamination_report",
     "q_containment",
     "q_bootstrap_ci",
+    # round-7 additions: the two sweep heavies the r6 verdict promoted so
+    # the driver bench tracks them round-over-round (q_fuzzy_join also
+    # carries this round's composite-blocking rewrite)
+    "q_fuzzy_join",
+    "q_knn_eval",
 ]
 
 

@@ -36,81 +36,75 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The external correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order, so ordering is part of the driver contract.  Queries
 # named here are yielded first (in this order); everything else follows in
-# registration order.  Round 6 window (VERDICT r5 item 1): after round 5
-# the driver-unchecked backlog is zero, so this window is pure staleness
-# rotation plus any round-6 additions.  Contents: the six ids standing on
-# round-1 rows never re-checked since round 1 (q_agg_approx is rows-only by
-# policy; the other five are oracle-checked scalar-function ids), any NEW
-# round-6 operators (each new id must land in its own round's window so the
-# unchecked backlog never re-grows), then the stalest round-2 standing rows
-# (oracle-checked ids first — rows-only re-verification is weaker evidence).
-# Deferred to round 7: the remaining round-2 cohort, then round 3.
+# registration order.  Round 7 window (VERDICT r6 item 1): the 17 round-2
+# leftovers rolled from round 6 (oracle-checked ids first — q_fuzzy_join
+# leads because its blocking key was rewritten this round; the rows-only
+# dedup/sketch ids ALSO carry round-6 semantic changes to
+# minhash_signatures' content-free filter, ADVICE r6 item 4), then any NEW
+# round-7 operators (each new id lands in its own round's window), then the
+# round-3 cohort, oracle ids first.  Rolled to round 8: the round-3
+# TPC-H tail (q_tpch12–q_tpch21, displaced one-for-one as new round-7 ids
+# are inserted above them) and the round-3 rows-only sketch ids
+# (q_hll_rollup, q_decontaminate_fuzzy, q_theta_overlap, q_heavy_hitters,
+# q_dedup_semantic, q_sim_ann_ivfpq).
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Round-1 rows, never re-checked since round 1
-    "q_agg_approx",
-    "q_string_agg",
-    "q_date_arith",
-    "q_regex_extract",
-    "q_null_semantics",
-    "q_min_max_by",
-    # NEW round-6 operators (curation_ops.py + the incremental-minhash
-    # twin) — every new id lands in its own round's window
-    "q_rerank_cross",
-    "q_contamination_report",
-    "q_embedding_centroid",
-    "q_ctr_wilson",
-    "q_hapax_report",
-    "q_freq_spectrum",
-    "q_calibration_bins",
-    "q_kappa_agreement",
-    "q_dedup_prefix",
-    "q_dedup_incremental_minhash",
-    "q_embedding_outliers",
-    "q_ndcg_eval",
-    "q_containment",
-    "q_bootstrap_ci",
-    # Round-2 standing rows — streaming/parity analogs (reference operators)
-    "q_topic_discovery",
-    "q_topic_filter",
-    "q_partition_demux",
-    "q_offset_bounds",
-    "q_tumbling_window",
-    "q_session_window",
-    "q_object_keys",
-    "q_commit_offsets",
-    # Round-2 dedup/similarity cohort (heavily rewritten by round-5 perf work)
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_dedup_cluster",
-    "q_embedding_norm",
-    "q_embedding_quant",
-    "q_knn_eval",
-    "q_dup_spans",
-    # Round-2 text/cleaning cohort
-    "q_lang_id",
-    "q_quality_score",
-    "q_tfidf",
-    "q_chunking",
-    "q_pack_sequences",
-    "q_decontaminate",
-    "q_entropy",
-    "q_domain_cap",
-    "q_ccnet_bucket",
-    "q_mixture_weights",
-    # Round-2 multimodal cohort (decode kernels touched by round-5 hardening)
-    "q_multimodal_meta",
-    "q_multimodal_frames",
-    "q_multimodal_dedup",
-    "q_multimodal_pair",
-    "q_multimodal_decode",
-    # Rolled to round 7 by the 14 new round-6 ids: the untouched-since-r2
-    # misc-relational/regex/expression oracle ids (q_fuzzy_join, q_variant,
-    # q_udaf_pandas, q_sql_api, q_collect_sorted, q_sample_mixture,
-    # q_fingerprint, q_pii_redact, q_repetition, q_token_count) and the
-    # round-2 rows-only cohort
-    # (q_dedup_minhash, q_dedup_simhash, q_sim_ann_lsh, q_sim_ann_ivf,
-    # q_multimodal_resize/features, q_agg_approx_quantile — weaker
-    # rows-only evidence, lowest priority).
+    # Round-2 leftovers: oracle-checked misc-relational/expression ids
+    "q_fuzzy_join",
+    "q_sql_api",
+    "q_variant",
+    "q_udaf_pandas",
+    "q_collect_sorted",
+    "q_token_count",
+    "q_fingerprint",
+    "q_pii_redact",
+    "q_repetition",
+    "q_sample_mixture",
+    # Round-2 leftovers: rows-only sketch/media ids (q_dedup_minhash /
+    # q_dedup_simhash re-prove the round-6 content-free signature filter)
+    "q_agg_approx_quantile",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_sim_ann_ivf",
+    "q_sim_ann_lsh",
+    # NEW round-7 operators — every new id lands in its own round's window
+    # (inserted here as they are registered)
+    # Round-3 cohort: analytics/pipeline oracle ids (most behavior-coupled
+    # to ongoing work first), then TPC-H in query order
+    "q_pipeline_e2e",
+    "q_stratified_sample",
+    "q_dataset_split",
+    "q_dataset_split_grouped",
+    "q_gopher_rules",
+    "q_ewma",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_scd2",
+    "q_merge_upsert",
+    "q_running_distinct",
+    "q_interval_merge",
+    "q_seq_pattern",
+    "q_pagerank",
+    "q_outlier_iqr",
+    "q_ab_test",
+    "q_bloom_prune",
+    "q_recursive_cte",
+    "q_join_skew_salted",
+    "q_triangle_count",
+    "q_lm_score",
+    "q_gap_fill",
+    "q_percentile_cont",
+    "q_tpch02",
+    "q_tpch03",
+    "q_tpch04",
+    "q_tpch05",
+    "q_tpch06",
+    "q_tpch07",
+    "q_tpch08",
+    "q_tpch09",
+    "q_tpch10",
+    "q_tpch11",
 )
 
 

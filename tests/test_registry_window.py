@@ -10,33 +10,31 @@ from bifrost_spark import registry
 
 WINDOW = 50
 
-# Round-6 hard targets (VERDICT r5 "Next round" item 1): the six ids whose
-# standing driver rows date from round 1 and were never re-checked since,
-# PLUS every round-6 addition (a new id must land in its own round's window
-# so the driver-unchecked backlog never re-grows).  The rest of the window
-# is staleness rotation over the round-2 cohort.
-ROUND6_MUST_COVER = {
-    "q_agg_approx",
-    "q_string_agg",
-    "q_date_arith",
-    "q_regex_extract",
-    "q_null_semantics",
-    "q_min_max_by",
-    # round-6 additions (curation_ops.py + the incremental-minhash twin)
-    "q_rerank_cross",
-    "q_contamination_report",
-    "q_embedding_centroid",
-    "q_ctr_wilson",
-    "q_hapax_report",
-    "q_freq_spectrum",
-    "q_calibration_bins",
-    "q_kappa_agreement",
-    "q_dedup_prefix",
-    "q_dedup_incremental_minhash",
-    "q_embedding_outliers",
-    "q_ndcg_eval",
-    "q_containment",
-    "q_bootstrap_ci",
+# Round-7 hard targets (VERDICT r6 "Next round" item 1): the 17 ids whose
+# standing driver rows date from round 2 (q_fuzzy_join additionally carries
+# this round's blocking-key rewrite; q_dedup_minhash / q_dedup_simhash carry
+# round 6's content-free signature-filter change, ADVICE r6 item 4), PLUS
+# every round-7 addition (a new id must land in its own round's window so
+# the driver-unchecked backlog never re-grows).  The rest of the window is
+# staleness rotation over the round-3 cohort.
+ROUND7_MUST_COVER = {
+    "q_fuzzy_join",
+    "q_sql_api",
+    "q_variant",
+    "q_udaf_pandas",
+    "q_collect_sorted",
+    "q_token_count",
+    "q_fingerprint",
+    "q_pii_redact",
+    "q_repetition",
+    "q_sample_mixture",
+    "q_agg_approx_quantile",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_sim_ann_ivf",
+    "q_sim_ann_lsh",
 }
 
 
@@ -56,9 +54,9 @@ def test_window_is_check_priority_in_order():
     assert first == list(registry.CHECK_PRIORITY)
 
 
-def test_round6_targets_inside_window():
+def test_round7_targets_inside_window():
     window = set(list(registry.queries())[:WINDOW])
-    assert ROUND6_MUST_COVER <= window
+    assert ROUND7_MUST_COVER <= window
 
 
 def test_registered_outputs_are_scalar_only(spark, sf_dir):
