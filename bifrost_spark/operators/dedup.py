@@ -176,7 +176,11 @@ def minhash_signatures(
     # pair" class, re-found by review in the incremental admission flows.
     # Exact dedup upstream owns byte-identical empties.
     if shingle == "char":
-        df = df.filter(F.length(text_col) > 0)
+        # trimmed length: an ALL-SPACE doc of length >= k would otherwise
+        # collapse to one constant k-space gram and phantom-pair with every
+        # other all-space doc (ADVICE r6) — the same exclusion word mode
+        # gets from its empty-token filter
+        df = df.filter(F.length(F.trim(F.col(text_col))) > 0)
         n = F.length(text_col)
         starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
         gram_hashes = F.transform(
@@ -227,15 +231,22 @@ LSH_BANDS = 16
 LSH_ROWS_PER_BAND = 4
 
 
-def est_jaccard_col(sig_a: str, sig_b: str, num_hashes: int) -> Column:
-    """MinHash Jaccard estimate: fraction of agreeing signature slots."""
+def est_jaccard_col(sig_a: str, sig_b: str) -> Column:
+    """MinHash Jaccard estimate: fraction of agreeing signature slots.
+
+    The denominator is ``size(sig_a)`` — derived from the signature array
+    itself rather than passed as ``bands * rows_per_band``, so a caller
+    whose banding parameters don't multiply out to the signature length
+    cannot silently skew the estimate (ADVICE r6): zip_with spans the full
+    signature either way, and the match fraction over ALL slots is the
+    estimator regardless of how many slots the banding consumed."""
     matches = F.size(
         F.filter(
             F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
-    return matches.cast("double") / F.lit(num_hashes)
+    return matches.cast("double") / F.size(sig_a)
 
 
 def explode_band_buckets(
@@ -284,7 +295,6 @@ def lsh_candidate_pairs(
     (band, bucket).  At scale the join is on bucket ids (16 bytes), and
     candidate volume tracks true near-dup volume, not |docs|².
     """
-    n = bands * rows_per_band
     band_cols = _band_bucket_array(bands, rows_per_band)
     # The signature frame feeds BOTH self-join sides, and Catalyst neither
     # dedups the subtrees nor reuses the exchange (differing output aliases
@@ -311,7 +321,7 @@ def lsh_candidate_pairs(
     return pairs.select(
         "id_a",
         "id_b",
-        est_jaccard_col("sig_a", "sig_b", n).alias("est_jaccard"),
+        est_jaccard_col("sig_a", "sig_b").alias("est_jaccard"),
     )
 
 
@@ -337,7 +347,6 @@ def lsh_probe_pairs(
     one row per (probe_id, index_id) candidate pair with the estimated
     Jaccard; the caller thresholds.
     """
-    n = bands * rows_per_band
     p = explode_band_buckets(probe_sig, id_col, "probe_id", "sig_p", bands, rows_per_band)
     ix = explode_band_buckets(index_sig, id_col, "index_id", "sig_i", bands, rows_per_band)
     pairs = (
@@ -348,7 +357,7 @@ def lsh_probe_pairs(
     return pairs.select(
         "probe_id",
         "index_id",
-        est_jaccard_col("sig_p", "sig_i", n).alias("est_jaccard"),
+        est_jaccard_col("sig_p", "sig_i").alias("est_jaccard"),
     )
 
 

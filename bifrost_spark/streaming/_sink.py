@@ -17,31 +17,42 @@ value it had just set).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+
+# Two concurrent streaming queries sharing one SparkSession (e.g. drift
+# monitor + fuzzy dedup) run their foreachBatch emits on different threads;
+# unguarded set-then-restore could restore each other's value or leak
+# 'dynamic' into an unrelated static overwrite mid-write (ADVICE r6).  The
+# per-write option stays authoritative on the v1 file source — the session
+# conf is only the fallback — but the fallback must not race either.
+_MODE_LOCK = threading.Lock()
 
 
 def write_batch_partition(df: DataFrame, batch_id: int, output_path: str) -> None:
     """Emit one micro-batch result into ``output_path/batch_id=N`` with
     dynamic-partition overwrite, leaving the session conf as it was."""
     spark = df.sparkSession
-    try:
-        prev = spark.conf.get(_MODE_KEY)
-    except Exception:
-        prev = None
-    spark.conf.set(_MODE_KEY, "dynamic")
-    try:
-        (
-            df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(output_path)
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset(_MODE_KEY)
-        else:
-            spark.conf.set(_MODE_KEY, prev)
+    with _MODE_LOCK:
+        try:
+            prev = spark.conf.get(_MODE_KEY)
+        except Exception:
+            prev = None
+        spark.conf.set(_MODE_KEY, "dynamic")
+        try:
+            (
+                df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(output_path)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(_MODE_KEY)
+            else:
+                spark.conf.set(_MODE_KEY, prev)

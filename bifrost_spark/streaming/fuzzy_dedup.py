@@ -99,7 +99,7 @@ def probe_batch(
         .select(
             id_col,
             "index_id",
-            est_jaccard_col("sig_p", "sig_i", MINHASH_HASHES).alias(
+            est_jaccard_col("sig_p", "sig_i").alias(
                 "est_jaccard"
             ),
         )

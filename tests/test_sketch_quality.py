@@ -89,10 +89,11 @@ def test_content_free_docs_get_no_signature_and_no_pairs(spark):
             }
         )
     )
-    # word mode: whitespace-only has zero tokens → excluded; char mode:
-    # spaces ARE characters, so "   " keeps a (legitimate) char identity —
-    # only NULL and the empty string are content-free there
-    expected = {"word": {3}, "char": {2, 3}}
+    # both modes: whitespace-only is content-free (word mode via the
+    # empty-token filter, char mode via the trimmed-length filter — an
+    # all-space doc of length >= k would collapse to one constant k-space
+    # gram and phantom-pair with every other all-space doc, ADVICE r6)
+    expected = {"word": {3}, "char": {3}}
     for mode in ("word", "char"):
         sig = minhash_signatures(df, "text", "doc_id", shingle=mode)
         ids = {r["doc_id"] for r in sig.collect()}
