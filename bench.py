@@ -92,9 +92,14 @@ HEADLINE = [
     "q_bootstrap_ci",
     # round-7 additions: the two sweep heavies the r6 verdict promoted so
     # the driver bench tracks them round-over-round (q_fuzzy_join also
-    # carries this round's composite-blocking rewrite)
+    # carries this round's composite-blocking rewrite), plus the round-7
+    # operator family
     "q_fuzzy_join",
     "q_knn_eval",
+    "q_dup_flow_matrix",
+    "q_rerank_mmr",
+    "q_centroid_drift",
+    "q_quantile_sketch_rollup",
 ]
 
 

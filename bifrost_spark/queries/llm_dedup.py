@@ -642,6 +642,13 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is INTEGER arithmetic (5·n_common ≥ 4·n ⟺ containment
     ≥ 4/5), so no float threshold ever compares.  containment itself is
     one int/int IEEE division — engine-bit-stable."""
+    return _containment_pairs(spark, sf_dir)
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared directed-containment pair engine for q_containment and its
+    source-rollup twin q_dup_flow_matrix: (inner_id, outer_id, n_common,
+    containment) under the CONT_* parameters."""
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window as W
 
@@ -687,6 +694,88 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outer_id",
             "n_common",
             (F.col("n_common").cast("double") / F.col("n")).alias("containment"),
+        )
+    )
+
+
+@query(
+    "q_dup_flow_matrix",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+          FROM documents
+        ),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i + 2], ' ') AS s
+          FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3
+        ),
+        sh AS (
+          SELECT * FROM sh0 WHERE s IN (
+            SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {CONT_MAX_DF})
+        ),
+        cnt AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+        ),
+        common AS (
+          SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT inner_id, outer_id
+          FROM common JOIN cnt ca ON ca.doc_id = inner_id
+          WHERE ca.n >= {CONT_MIN_SH}
+            AND n_common * {CONT_T_DEN} >= ca.n * {CONT_T_NUM}
+        )
+        SELECT di.source AS source_inner, do_.source AS source_outer,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT inner_id) AS BIGINT) AS n_inner_docs
+        FROM pairs
+        JOIN documents di ON di.doc_id = inner_id
+        JOIN documents do_ ON do_.doc_id = outer_id
+        GROUP BY 1, 2
+    """,
+)
+def q_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source duplicate-flow matrix: which sources' documents
+    are contained in which other sources' documents — q_containment's
+    rollup twin (VERDICT r6 item 5b).  A crawl-curation team reads this
+    matrix to find mirror sites, scraper farms, and wrapper domains:
+    a row (A, B, many) means source A's content keeps showing up inside
+    source B's pages, so B is a copier (or aggregator) of A.
+
+    Scale shape: all the quadratic-bounded work is the shared
+    _containment_pairs engine (hub-capped shingle self-join, checkpointed
+    shingle frame, integer thresholds — see q_containment); this rollup
+    then joins the surviving PAIRS (already ≪ |docs|²) to the skinny
+    (doc_id, source) projection twice and map-side-combines one count per
+    source pair — |sources|² output rows, nothing heavier than the pair
+    set ever shuffles.  n_inner_docs dedups inner docs so one heavily
+    templated page can't dominate the flow reading."""
+    pairs = _containment_pairs(spark, sf_dir).select("inner_id", "outer_id")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("inner_id"),
+                F.col("source").alias("source_inner"),
+            ),
+            "inner_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("outer_id"),
+                F.col("source").alias("source_outer"),
+            ),
+            "outer_id",
+        )
+        .groupBy("source_inner", "source_outer")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("inner_id").cast("bigint").alias("n_inner_docs"),
         )
     )
 

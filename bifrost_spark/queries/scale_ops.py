@@ -900,3 +900,121 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+# Mergeable equi-depth quantile sketch: K summary points per day; the
+# weekly rollup merges daily sketches by weighted rank, never re-scanning
+# raw events.  Rank-error bound: each daily point's true rank is known
+# within its bucket width n_day/K, so any merged-quantile estimate sits
+# within 1/K relative rank per contributing day (gated in
+# tests/test_sketch_quality.py against exact quantiles).
+_QSK_K = 64
+_QSK_PCTS = (50, 90, 99)
+
+
+@query(
+    "q_quantile_sketch_rollup",
+    oracle=f"""
+        WITH base AS (
+          SELECT date_trunc('day', ts) AS day,
+                 CAST(date_trunc('week', ts) AS DATE) AS week,
+                 value,
+                 ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
+                                    ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY date_trunc('day', ts)) AS n
+          FROM events WHERE value IS NOT NULL
+        ),
+        sk AS (
+          SELECT day, MIN(week) AS week,
+                 ((rn - 1) * {_QSK_K}) // n AS bucket,
+                 arg_max(value, rn) AS pv,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM base GROUP BY day, ((rn - 1) * {_QSK_K}) // n
+        ),
+        merged AS (
+          SELECT week, pv,
+                 SUM(w) OVER (PARTITION BY week
+                              ORDER BY pv, day, bucket) AS cum,
+                 SUM(w) OVER (PARTITION BY week) AS total
+          FROM sk
+        ),
+        q AS (SELECT CAST(unnest([{", ".join(str(p) for p in _QSK_PCTS)}])
+                          AS BIGINT) AS q_pct)
+        SELECT week, q_pct,
+               MIN(CASE WHEN 100 * cum >= q_pct * total THEN pv END)
+                 AS est_value
+        FROM merged, q
+        GROUP BY week, q_pct
+    """,
+)
+def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sketch rollup — the q_hll_rollup twin for
+    percentiles (VERDICT r6 item 5c): per-day equi-depth sketches
+    ({_QSK_K} weighted summary points: each bucket's right-edge value
+    carrying the bucket's row count) merged to per-week p50/p90/p99 by
+    weighted rank, WITHOUT rescanning raw events.  This is the pattern
+    that makes 100 TB latency/size dashboards incremental: store the K
+    points per (day, metric), answer any period's percentiles from
+    days·K points — and unlike hll_sketch_agg's opaque bytes, the
+    summary is plain (value, weight) rows, so the merge is ordinary SQL
+    and the driver can hash-check it exactly.
+
+    Scale shape: the daily sketch is one window pass partitioned by day
+    (rank + count; the shuffle carries (day,value) pairs once) followed
+    by a groupBy to day·{_QSK_K} rows; the weekly merge then works on
+    days·{_QSK_K} rows only.  At 100 TB the window stage is the scan-
+    bound step, and day-partitioned parquet makes it partition-local.
+
+    Determinism: bucket assignment is pure integer arithmetic
+    (((rn−1)·K) div n), the point value is max_by over the unique
+    in-day rank, the merge orders by (value, day, bucket) — a total
+    order, values being raw parquet doubles compared bit-identically —
+    and quantile selection is the integer threshold 100·cum ≥ pct·total.
+    No float is ever computed, only routed."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "value",
+        "event_id",
+    )
+    wday = Window.partitionBy("day")
+    base = base.select(
+        "day",
+        "week",
+        "value",
+        F.row_number().over(wday.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wday).alias("n"),
+    )
+    sk = (
+        base.withColumn("bucket", F.expr(f"((rn - 1) * {_QSK_K}) DIV n"))
+        .groupBy("day", "bucket")
+        .agg(
+            F.min("week").alias("week"),
+            F.max_by("value", "rn").alias("pv"),
+            F.count(F.lit(1)).cast("bigint").alias("w"),
+        )
+    )
+    wweek = Window.partitionBy("week")
+    merged = sk.select(
+        "week",
+        "pv",
+        F.sum("w").over(wweek.orderBy("pv", "day", "bucket")).alias("cum"),
+        F.sum("w").over(wweek).alias("total"),
+    )
+    qd = merged.select(
+        "week",
+        "pv",
+        "cum",
+        "total",
+        F.explode(
+            F.array(*[F.lit(p).cast("bigint") for p in _QSK_PCTS])
+        ).alias("q_pct"),
+    )
+    return qd.groupBy("week", "q_pct").agg(
+        F.min(
+            F.when(F.lit(100) * F.col("cum") >= F.col("q_pct") * F.col("total"), F.col("pv"))
+        ).alias("est_value")
+    )

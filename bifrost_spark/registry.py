@@ -69,7 +69,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_sim_ann_ivf",
     "q_sim_ann_lsh",
     # NEW round-7 operators — every new id lands in its own round's window
-    # (inserted here as they are registered)
+    "q_dup_flow_matrix",
+    "q_rerank_mmr",
+    "q_centroid_drift",
+    "q_quantile_sketch_rollup",
     # Round-3 cohort: analytics/pipeline oracle ids (most behavior-coupled
     # to ongoing work first), then TPC-H in query order
     "q_pipeline_e2e",
@@ -101,10 +104,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_tpch05",
     "q_tpch06",
     "q_tpch07",
-    "q_tpch08",
-    "q_tpch09",
-    "q_tpch10",
-    "q_tpch11",
 )
 
 

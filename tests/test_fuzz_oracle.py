@@ -81,6 +81,7 @@ FUZZED_QUERIES = (
     "q_commit_offsets",
     "q_ctr_wilson",
     "q_ewma",
+    "q_quantile_sketch_rollup",
     "q_filter_pushdown",
     "q_funnel",
     "q_interval_merge",
@@ -256,6 +257,7 @@ DOC_QUERIES = (
     "q_dsir_resample",
     "q_dsir_weights",
     "q_dsir_weights_hires",
+    "q_dup_flow_matrix",
     "q_dup_fraction",
     "q_dup_spans",
     "q_entropy",
@@ -285,6 +287,7 @@ DOC_QUERIES = (
     "q_quality_score",
     "q_repetition",
     "q_rerank_cross",
+    "q_rerank_mmr",
     "q_rrf_fusion",
     "q_sample_mixture",
     "q_text_stats",
@@ -667,6 +670,7 @@ embeddings_strategy = st.lists(
 EMB_QUERIES = (
     "q_array_ops",
     "q_classifier_report",
+    "q_centroid_drift",
     "q_dedup_embedding",
     "q_embedding_centroid",
     "q_embedding_norm",

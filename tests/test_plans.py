@@ -175,6 +175,8 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_benford",
         "q_heavy_hitters_exact",
         "q_ndcg_eval",  # two ONE-ROW DCG/IDCG scalar aggregates joined
+        "q_rerank_mmr",  # 1-row candidate fold × 1-row sim-map fold —
+        #   the single-row scalar-assembly join feeding the MMR aggregate
     }
     offenders = {}
     for name, plan in _all_plans(spark, sf_dir).items():
@@ -412,6 +414,8 @@ SINGLE_PARTITION_BUDGET = {
     "q_kappa_agreement": 1,  # single summary-row aggregate
     "q_ndcg_eval": 1,  # position window + scalar DCG folds over ≤k rows
     "q_rerank_cross": 1,  # rank over the ≤|top-k| retrieval shortlist
+    "q_rerank_mmr": 2,  # candidate-map + sim-map folds over the ≤|shortlist|
+    #   rows (shortlist² sim entries) — bounded by the top-k contract
     "q_gap_fill": 1,  # min/max spine bounds (1 row)
     "q_heavy_hitters": 1,  # 1-row total for the support threshold
     "q_heavy_hitters_exact": 1,  # same total on the exact twin

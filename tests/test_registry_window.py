@@ -35,6 +35,11 @@ ROUND7_MUST_COVER = {
     "q_multimodal_resize",
     "q_sim_ann_ivf",
     "q_sim_ann_lsh",
+    # round-7 additions (curation/eval + sketch-rollup family)
+    "q_dup_flow_matrix",
+    "q_rerank_mmr",
+    "q_centroid_drift",
+    "q_quantile_sketch_rollup",
 }
 
 

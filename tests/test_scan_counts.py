@@ -117,6 +117,14 @@ def test_executed_plan_scan_count(spark, sf_dir, name):
 FULL_SURFACE_SCANS = {
     "q_ab_test": 1,
     "q_agg_approx": 1,
+    # Round-7 curation/sketch family: drift + flow-matrix read their two
+    # corpus sides once each; the sketch is one window+rollup pass; MMR's
+    # corpus work happens before its checkpointed shortlist (0 scans in
+    # the final fold plan)
+    "q_centroid_drift": 2,
+    "q_dup_flow_matrix": 2,
+    "q_quantile_sketch_rollup": 1,
+    "q_rerank_mmr": 0,
     "q_agg_approx_quantile": 1,
     "q_agg_distinct": 1,
     "q_agg_hash": 1,

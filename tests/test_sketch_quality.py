@@ -659,3 +659,95 @@ def test_ann_opq_recall_on_clustered_corpus(spark, tmp_path):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"clustered opq recall {recall:.2f} < 0.9"
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    """q_quantile_sketch_rollup's weekly estimates must sit within the
+    equi-depth rank-error bound of the EXACT weekly quantiles: each daily
+    point's true rank is known within its bucket (n_day/K rows), so the
+    merged estimate's realized CDF position may deviate from the target
+    quantile by at most ~1/K plus one selection step — gated at 2.5/K."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.queries.scale_ops import _QSK_K
+    from bifrost_spark.tables import load_table
+
+    est = {
+        (r["week"], r["q_pct"]): r["est_value"]
+        for r in registry.queries()["q_quantile_sketch_rollup"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.date_trunc("week", "ts").cast("date").alias("week"), "value")
+    )
+    by_week = {}
+    for r in ev.collect():
+        by_week.setdefault(r["week"], []).append(r["value"])
+    assert est and by_week
+    tol = 2.5 / _QSK_K
+    for (week, q_pct), v in est.items():
+        vals = sorted(by_week[week])
+        cdf = sum(1 for x in vals if x <= v) / len(vals)
+        assert abs(cdf - q_pct / 100.0) <= tol, (week, q_pct, cdf, tol)
+
+
+def test_quantile_sketch_mergeability(spark):
+    """The weekly rollup must be computable from the DAILY sketch points
+    alone: recomputing the merge from the per-day (value, weight) summary
+    in plain Python reproduces the engine's weekly estimates exactly —
+    the property that lets 100 TB dashboards store K points per day and
+    never rescan raw events."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bifrost_spark.queries.scale_ops import _QSK_K, _QSK_PCTS
+    from bifrost_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    wday = Window.partitionBy("day")
+    base = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "value",
+        "event_id",
+    ).select(
+        "day",
+        "week",
+        "value",
+        F.row_number().over(wday.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wday).alias("n"),
+    )
+    daily = (
+        base.withColumn("bucket", F.expr(f"((rn - 1) * {_QSK_K}) DIV n"))
+        .groupBy("day", "bucket")
+        .agg(
+            F.min("week").alias("week"),
+            F.max_by("value", "rn").alias("pv"),
+            F.count(F.lit(1)).alias("w"),
+        )
+        .collect()
+    )
+    by_week = {}
+    for r in daily:
+        by_week.setdefault(r["week"], []).append((r["pv"], r["day"], r["bucket"], r["w"]))
+    want = {
+        (r["week"], r["q_pct"]): r["est_value"]
+        for r in registry.queries()["q_quantile_sketch_rollup"](
+            spark, SF_DIR
+        ).collect()
+    }
+    got = {}
+    for week, pts in by_week.items():
+        pts.sort(key=lambda t: (t[0], t[1], t[2]))
+        total = sum(w for *_ignored, w in pts)
+        for pct in _QSK_PCTS:
+            cum = 0
+            for pv, _d, _b, w in pts:
+                cum += w
+                if 100 * cum >= pct * total:
+                    got[(week, pct)] = pv
+                    break
+    assert got == want
