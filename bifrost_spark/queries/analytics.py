@@ -920,3 +920,65 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         corr.alias("lag1_autocorr"),
     )
+
+
+@query(
+    "q_trimmed_mean",
+    oracle="""
+        WITH r AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                 AS trimmed_mean
+        FROM r
+        WHERE rn > n // 10 AND rn <= n - n // 10
+        GROUP BY event_type
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of the metric per event type — the robust-location
+    estimator metric pipelines use when a handful of instrumented outliers
+    would otherwise move the mean (the standard robustness companion to
+    q_outlier_iqr's flagging pass).
+
+    This is the PURE-BUILT-IN spelling of the statistic q_udaf_pandas
+    computes with a GROUPED_AGG pandas UDAF (relational_ext2.py): same
+    trim rule, zero Python in the hot path — the pair demonstrates the
+    UDAF-to-JVM migration every 100 TB pipeline eventually makes (the
+    UDAF ships every group's values through Arrow; this ships two window
+    columns and an exact decimal sum).
+
+    Scale shape: one rank window partitioned by event_type (the shuffle
+    carries (type, value) once), then the SAME shuffle's partitioning
+    feeds the trimmed aggregate — no second exchange.  Trim bounds are
+    integer arithmetic on the per-group rank/count (n DIV 10 off each
+    end), so group sizes below 10 trim nothing and nothing divides by a
+    group-size expression.
+
+    Determinism: rank ties break on event_id; the mean is an exact
+    decimal sum (2-dp metric values, the dsum contract) over the kept
+    rows divided once in double — bit-stable at any partitioning."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rn") > F.expr("n DIV 10")) & (F.col("rn") <= F.col("n") - F.expr("n DIV 10"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )

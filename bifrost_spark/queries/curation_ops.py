@@ -1557,3 +1557,111 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round(F.sqrt(F.col("drift2").cast("double")), 9).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fleiss_kappa — multi-rater chance-corrected agreement
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fleiss_kappa",
+    oracle=f"""
+        WITH l AS (
+          SELECT (CASE WHEN lang IS NOT DISTINCT FROM 'en' THEN 1 ELSE 0 END
+                  + CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                              t -> t IN {_SW_SQL})) * 20
+                              >= len(string_split(text, ' '))
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN contains(lower(text), 'the')
+                         THEN 1 ELSE 0 END) AS n1
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(n1), 0) AS BIGINT) AS t1,
+                 CAST(COALESCE(SUM(n1 * n1 + (3 - n1) * (3 - n1) - 3), 0)
+                      AS BIGINT) AS s
+          FROM l
+        )
+        SELECT n, t1,
+               round(CAST(s AS DOUBLE) / (6.0 * n), 9) AS pbar,
+               round(CAST(t1 AS DOUBLE) / (3.0 * n)
+                     * (CAST(t1 AS DOUBLE) / (3.0 * n))
+                     + (1.0 - CAST(t1 AS DOUBLE) / (3.0 * n))
+                       * (1.0 - CAST(t1 AS DOUBLE) / (3.0 * n)), 9) AS pe,
+               CASE WHEN t1 = 0 OR t1 = 3 * n THEN NULL
+                    ELSE round((CAST(s AS DOUBLE) / (6.0 * n)
+                                - (CAST(t1 AS DOUBLE) / (3.0 * n)
+                                   * (CAST(t1 AS DOUBLE) / (3.0 * n))
+                                   + (1.0 - CAST(t1 AS DOUBLE) / (3.0 * n))
+                                     * (1.0 - CAST(t1 AS DOUBLE) / (3.0 * n))))
+                               / (1.0 - (CAST(t1 AS DOUBLE) / (3.0 * n)
+                                         * (CAST(t1 AS DOUBLE) / (3.0 * n))
+                                         + (1.0 - CAST(t1 AS DOUBLE) / (3.0 * n))
+                                           * (1.0 - CAST(t1 AS DOUBLE)
+                                              / (3.0 * n)))), 9)
+               END AS kappa
+        FROM c WHERE n > 0
+    """,
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (1971) across THREE document labelers — the
+    multi-rater generalization of q_kappa_agreement, the statistic a
+    labeling pipeline reports when every example gets n ≥ 3 annotations
+    (rater pools, LLM-judge ensembles).  Raters on the is-English task:
+    the lang metadata, the stopword-ratio heuristic (q_lang_id's
+    classifier), and a lexical 'the'-substring heuristic.  Docs with NULL
+    text can't be rated and are excluded on both engines.
+
+    Scale shape: three scan-local 0/1 expressions collapse to the per-doc
+    positive-vote count n1; ONE map-side-combined scalar aggregate
+    carries two exact integer sums (Σn1 and Σ(n1²+(3−n1)²−3)) — a single
+    summary row regardless of corpus size, the q_kappa_agreement shape
+    with the per-item agreement P_i folded into integer algebra (P̄ =
+    S/(6N) exactly, since every P_i is a rational with denominator 6).
+
+    Determinism: pbar/pe/kappa derive from two exact integers via an
+    identically-spelled IEEE tree rounded at 9 dp; the degenerate case
+    (every rater votes the same category on every doc → pe = 1) is the
+    exact integer condition t1 ∈ {0, 3n} — no float equality — and
+    yields NULL on both engines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks_lower = F.split(F.lower("text"), " ", -1)
+    sw_hits = F.size(F.filter(toks_lower, lambda t: t.isin(*STOPWORDS)))
+    n_toks = F.size(F.split("text", " ", -1))
+    n1 = (
+        (F.col("lang").eqNullSafe("en")).cast("int")
+        + (sw_hits * 20 >= n_toks).cast("int")
+        + F.lower("text").contains("the").cast("int")
+    )
+    c = d.select(n1.alias("n1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("n1"), F.lit(0)).cast("bigint").alias("t1"),
+        F.coalesce(
+            F.sum(
+                F.col("n1") * F.col("n1")
+                + (F.lit(3) - F.col("n1")) * (F.lit(3) - F.col("n1"))
+                - F.lit(3)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    nd = F.col("n").cast("double")
+    p1 = F.col("t1").cast("double") / (F.lit(3.0) * nd)
+    pbar = F.col("s").cast("double") / (F.lit(6.0) * nd)
+    pe = p1 * p1 + (F.lit(1.0) - p1) * (F.lit(1.0) - p1)
+    return c.filter(F.col("n") > 0).select(
+        "n",
+        "t1",
+        F.round(pbar, 9).alias("pbar"),
+        F.round(pe, 9).alias("pe"),
+        F.when(
+            (F.col("t1") == 0) | (F.col("t1") == F.lit(3) * F.col("n")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round((pbar - pe) / (F.lit(1.0) - pe), 9))
+        .alias("kappa"),
+    )

@@ -73,6 +73,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_rerank_mmr",
     "q_centroid_drift",
     "q_quantile_sketch_rollup",
+    "q_trimmed_mean",
+    "q_fleiss_kappa",
     # Round-3 cohort: analytics/pipeline oracle ids (most behavior-coupled
     # to ongoing work first), then TPC-H in query order
     "q_pipeline_e2e",
@@ -102,8 +104,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_tpch03",
     "q_tpch04",
     "q_tpch05",
-    "q_tpch06",
-    "q_tpch07",
 )
 
 

@@ -82,6 +82,7 @@ FUZZED_QUERIES = (
     "q_ctr_wilson",
     "q_ewma",
     "q_quantile_sketch_rollup",
+    "q_trimmed_mean",
     "q_filter_pushdown",
     "q_funnel",
     "q_interval_merge",
@@ -264,6 +265,7 @@ DOC_QUERIES = (
     "q_explode_tokens",
     "q_feature_hash",
     "q_fingerprint",
+    "q_fleiss_kappa",
     "q_freq_spectrum",
     "q_gopher_rules",
     "q_hapax_report",

@@ -412,6 +412,7 @@ SINGLE_PARTITION_BUDGET = {
     "q_ctr_wilson": 1,  # rank over ≤16 arm rows (bounded by the modulus)
     "q_funnel": 3,  # three per-step scalar frontier counts
     "q_kappa_agreement": 1,  # single summary-row aggregate
+    "q_fleiss_kappa": 1,  # same single summary-row aggregate shape
     "q_ndcg_eval": 1,  # position window + scalar DCG folds over ≤k rows
     "q_rerank_cross": 1,  # rank over the ≤|top-k| retrieval shortlist
     "q_rerank_mmr": 2,  # candidate-map + sim-map folds over the ≤|shortlist|

@@ -40,6 +40,8 @@ ROUND7_MUST_COVER = {
     "q_rerank_mmr",
     "q_centroid_drift",
     "q_quantile_sketch_rollup",
+    "q_trimmed_mean",
+    "q_fleiss_kappa",
 }
 
 

@@ -125,6 +125,8 @@ FULL_SURFACE_SCANS = {
     "q_dup_flow_matrix": 2,
     "q_quantile_sketch_rollup": 1,
     "q_rerank_mmr": 0,
+    "q_trimmed_mean": 1,
+    "q_fleiss_kappa": 1,
     "q_agg_approx_quantile": 1,
     "q_agg_distinct": 1,
     "q_agg_hash": 1,
