@@ -15,3 +15,4 @@ import bifrost_spark.queries.llm_clean  # noqa: F401
 import bifrost_spark.queries.llm_web  # noqa: F401
 import bifrost_spark.queries.pipeline_ops  # noqa: F401
 import bifrost_spark.queries.curation_ops  # noqa: F401
+import bifrost_spark.queries.eval_stats  # noqa: F401

@@ -76,6 +76,7 @@ FUZZED_QUERIES = (
     "q_attribution",
     "q_autocorr",
     "q_behavior_entropy",
+    "q_bh_fdr",
     "q_bootstrap_ci",
     "q_cohort_retention",
     "q_commit_offsets",
@@ -85,6 +86,7 @@ FUZZED_QUERIES = (
     "q_trimmed_mean",
     "q_filter_pushdown",
     "q_funnel",
+    "q_gini_users",
     "q_interval_merge",
     "q_join_asof",
     "q_join_asof_tol",
@@ -239,6 +241,7 @@ DOC_QUERIES = (
     "q_bm25",
     "q_calibration_bins",
     "q_ccnet_bucket",
+    "q_chi2_keywords",
     "q_chunking",
     "q_collocations",
     "q_compaction_plan",
@@ -271,10 +274,13 @@ DOC_QUERIES = (
     "q_hapax_report",
     "q_heavy_hitters_exact",
     "q_jaccard_ppjoin",
+    "q_js_divergence",
     "q_kappa_agreement",
     "q_lang_id",
     "q_lm_bigram",
     "q_lm_score",
+    "q_mann_whitney",
+    "q_mcnemar",
     "q_mixture_weights",
     "q_multimodal_decode",
     "q_multimodal_dedup",
@@ -292,6 +298,7 @@ DOC_QUERIES = (
     "q_rerank_mmr",
     "q_rrf_fusion",
     "q_sample_mixture",
+    "q_spearman_corr",
     "q_text_stats",
     "q_tfidf",
     "q_token_count",

@@ -413,6 +413,13 @@ SINGLE_PARTITION_BUDGET = {
     "q_funnel": 3,  # three per-step scalar frontier counts
     "q_kappa_agreement": 1,  # single summary-row aggregate
     "q_fleiss_kappa": 1,  # same single summary-row aggregate shape
+    "q_mcnemar": 1,  # single summary-row aggregate (three integer counts)
+    "q_mann_whitney": 1,  # cum-window + scalar fold over the DISTINCT-VALUE frame
+    "q_js_divergence": 1,  # totals + term fold over the |vocab| token frame
+    "q_chi2_keywords": 1,  # rank over the ≤30 TakeOrdered shortlist
+    "q_spearman_corr": 3,  # two DISTINCT-VALUE rank windows + 1 scalar fold
+    "q_bh_fdr": 2,  # BH rank + step-up running-min over ≤16 arm rows
+    "q_gini_users": 1,  # cum-window + scalar fold over the distinct-SPEND frame
     "q_ndcg_eval": 1,  # position window + scalar DCG folds over ≤k rows
     "q_rerank_cross": 1,  # rank over the ≤|top-k| retrieval shortlist
     "q_rerank_mmr": 2,  # candidate-map + sim-map folds over the ≤|shortlist|

@@ -42,6 +42,14 @@ ROUND7_MUST_COVER = {
     "q_quantile_sketch_rollup",
     "q_trimmed_mean",
     "q_fleiss_kappa",
+    # round-7 additions, second batch (eval_stats family)
+    "q_mcnemar",
+    "q_mann_whitney",
+    "q_js_divergence",
+    "q_chi2_keywords",
+    "q_spearman_corr",
+    "q_bh_fdr",
+    "q_gini_users",
 }
 
 

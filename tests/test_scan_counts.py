@@ -127,6 +127,16 @@ FULL_SURFACE_SCANS = {
     "q_rerank_mmr": 0,
     "q_trimmed_mean": 1,
     "q_fleiss_kappa": 1,
+    # Round-7 eval_stats family: mcnemar/mann-whitney/gini are one pass;
+    # jsd/chi2/spearman checkpoint their shared frame (0 scans in the
+    # final plan); bh_fdr checkpoints the 16-row arm frame
+    "q_mcnemar": 1,
+    "q_mann_whitney": 1,
+    "q_js_divergence": 0,
+    "q_chi2_keywords": 0,
+    "q_spearman_corr": 0,
+    "q_bh_fdr": 0,
+    "q_gini_users": 1,
     "q_agg_approx_quantile": 1,
     "q_agg_distinct": 1,
     "q_agg_hash": 1,
