@@ -174,6 +174,12 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_psi_drift",
         "q_benford",
         "q_heavy_hitters_exact",
+        # round-7 eval_stats: 1-row cohort/arm TOTALS broadcast onto a
+        # bounded aggregate frame (|vocab| tokens / 16 arms) — the same
+        # scalar-join shape as q_ks_drift/q_psi_drift
+        "q_js_divergence",
+        "q_chi2_keywords",
+        "q_bh_fdr",
         "q_ndcg_eval",  # two ONE-ROW DCG/IDCG scalar aggregates joined
         "q_rerank_mmr",  # 1-row candidate fold × 1-row sim-map fold —
         #   the single-row scalar-assembly join feeding the MMR aggregate
