@@ -31,7 +31,13 @@ exact shapes (integer folds, distinct-value frames, bounded windows):
 * **contribution concentration** (``q_gini_users``) — the Gini
   coefficient of per-user metric totals via the rank identity
   G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), folded over the
-  DISTINCT-VALUE frame so no per-row global sort exists.
+  DISTINCT-VALUE frame so no per-row global sort exists;
+* **k-classifier marginal homogeneity** (``q_cochran_q``) — Cochran's Q
+  (1950) over the q_fleiss_kappa rater panel, the k=3 generalization of
+  McNemar, reduced to four exact integer sums;
+* **categorical association strength** (``q_cramers_v``) — Cramer's V
+  (1946) of the source x language contingency table, the corpus-
+  composition coupling number, folded over the bounded cell frame.
 
 Determinism discipline (house rules): compared doubles are either single
 IEEE operations on exact integers/decimals or identically-spelled trees
@@ -975,4 +981,222 @@ def q_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cochran_q — k-classifier marginal-homogeneity test (McNemar for k=3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cochran_q",
+    oracle=f"""
+        WITH scored AS (
+          SELECT CASE WHEN {_EN_SQL} THEN 1 ELSE 0 END AS x1,
+                 CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                           t -> t IN {_SW_SQL})) * 20
+                           >= len(string_split(text, ' '))
+                      THEN 1 ELSE 0 END AS x2,
+                 CASE WHEN contains(lower(text), 'the') THEN 1 ELSE 0 END
+                   AS x3
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(x1), 0) AS BIGINT) AS c1,
+                 CAST(COALESCE(SUM(x2), 0) AS BIGINT) AS c2,
+                 CAST(COALESCE(SUM(x3), 0) AS BIGINT) AS c3,
+                 CAST(COALESCE(SUM((x1 + x2 + x3) * (x1 + x2 + x3)), 0)
+                      AS BIGINT) AS sr2
+          FROM scored
+        )
+        SELECT n, c1, c2, c3,
+               CASE WHEN 3 * (c1 + c2 + c3) - sr2 = 0 THEN NULL
+                    ELSE round(2.0 * (3.0 * (CAST(c1 AS DOUBLE) * c1
+                                             + CAST(c2 AS DOUBLE) * c2
+                                             + CAST(c3 AS DOUBLE) * c3)
+                                      - CAST(c1 + c2 + c3 AS DOUBLE)
+                                        * (c1 + c2 + c3))
+                               / (3 * (c1 + c2 + c3) - sr2), 9)
+               END AS q_stat
+        FROM c
+    """,
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (1950): do THREE is-English classifiers (the
+    q_fleiss_kappa rater panel — lang metadata, stopword-ratio heuristic,
+    'the'-substring heuristic) mark the same FRACTION of documents
+    positive?  The k-classifier generalization of q_mcnemar (Q reduces to
+    McNemar's uncorrected statistic at k=2) and the complement of
+    q_fleiss_kappa: kappa asks "do the raters agree per item", Q asks
+    "are their marginal rates even comparable" — a panel can be
+    marginally homogeneous yet disagree on every item, and vice versa.
+    Docs with NULL text can't be scored and are excluded on both engines.
+
+    Scale shape: three scan-local 0/1 expressions, ONE map-side-combined
+    scalar aggregate carrying four exact integer sums (three column
+    totals and the squared row-total sum) — a single summary row
+    regardless of corpus size (the q_fleiss_kappa shape; column-sum
+    identity T = c1+c2+c3 folds the cross term away).
+
+    Determinism: Q = (k-1)(k*sum(C_j^2) - T^2) / (k*T - sum(R_i^2)) is
+    integer algebra up to one IEEE division, rounded at 9 dp; the
+    degenerate denominator (every doc unanimous — all R_i in {{0, k}})
+    is an exact integer condition and yields NULL on both engines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks_lower = F.split(F.lower("text"), " ", -1)
+    sw_hits = F.size(F.filter(toks_lower, lambda t: t.isin(*STOPWORDS)))
+    n_toks = F.size(F.split("text", " ", -1))
+    x1 = _en_col().cast("int")
+    x2 = (sw_hits * 20 >= n_toks).cast("int")
+    x3 = F.lower("text").contains("the").cast("int")
+    r = x1 + x2 + x3
+    c = d.select(
+        x1.alias("x1"), x2.alias("x2"), x3.alias("x3"), r.alias("r")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("x1"), F.lit(0)).cast("bigint").alias("c1"),
+        F.coalesce(F.sum("x2"), F.lit(0)).cast("bigint").alias("c2"),
+        F.coalesce(F.sum("x3"), F.lit(0)).cast("bigint").alias("c3"),
+        F.coalesce(F.sum(F.col("r") * F.col("r")), F.lit(0))
+        .cast("bigint")
+        .alias("sr2"),
+    )
+    t = F.col("c1") + F.col("c2") + F.col("c3")
+    denom = 3 * t - F.col("sr2")
+    num = F.lit(2.0) * (
+        F.lit(3.0)
+        * (
+            F.col("c1").cast("double") * F.col("c1")
+            + F.col("c2").cast("double") * F.col("c2")
+            + F.col("c3").cast("double") * F.col("c3")
+        )
+        - t.cast("double") * t
+    )
+    return c.select(
+        "n",
+        "c1",
+        "c2",
+        "c3",
+        F.when(denom == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / denom, 9))
+        .alias("q_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cramers_v — source × lang association strength over the bounded
+# contingency frame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+        WITH cells AS (
+          SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+          FROM documents
+          WHERE source IS NOT NULL AND lang IS NOT NULL
+          GROUP BY source, lang
+        ),
+        rowt AS (SELECT source, SUM(o) AS rt FROM cells GROUP BY source),
+        colt AS (SELECT lang, SUM(o) AS ct FROM cells GROUP BY lang),
+        tot AS (
+          SELECT SUM(o) AS nt,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS nr,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS nc
+          FROM cells
+        ),
+        terms AS (
+          SELECT nt, nr, nc,
+                 round((CAST(o AS DOUBLE)
+                        - CAST(rt AS DOUBLE) * ct / nt)
+                       * (CAST(o AS DOUBLE)
+                          - CAST(rt AS DOUBLE) * ct / nt)
+                       / (CAST(rt AS DOUBLE) * ct / nt), 12) AS term
+          FROM cells
+          JOIN rowt USING (source)
+          JOIN colt USING (lang)
+          CROSS JOIN tot
+          WHERE nt > 0 AND nr >= 2 AND nc >= 2
+        )
+        SELECT CAST(nt AS BIGINT) AS n, nr AS n_sources, nc AS n_langs,
+               round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 9)
+                 + 0.0 AS chi2,
+               round(sqrt(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
+                          / (CAST(nt AS DOUBLE)
+                             * (LEAST(nr, nc) - 1))), 9) + 0.0 AS v
+        FROM terms GROUP BY nt, nr, nc
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V (1946): the [0,1]-normalized strength of the
+    source x language association — the one-number answer to "do sources
+    specialize by language?", which decides whether per-source and
+    per-language curation quotas can be tuned independently or must be
+    joint (the q_split_balance companion for corpus composition).  Docs
+    missing either label can't be cross-classified and are excluded on
+    both engines; a degenerate table (one row or one column, or empty)
+    leaves V undefined → no output row, by integer conditions.
+
+    Scale shape: ONE map-side-combined hash aggregate to the
+    |sources| x |langs| contingency frame (bounded by label domains,
+    never corpus size); margins, totals, and the chi-square fold all run
+    over that bounded frame (the cells frame is checkpointed so margin
+    passes don't rescan the corpus).
+
+    Determinism: expected counts rt*ct/nt are single IEEE trees over
+    exact integers, but the per-cell chi-square terms sum in engine-
+    dependent order — each term rounds at 12 dp and accumulates in
+    DECIMAL(28,12) (the q_psi_drift device); chi2 and V round at 9 dp
+    with +0.0 canonicalizing -0.0."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    cells = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)  # margins + totals + terms reuse it
+    )
+    rowt = cells.groupBy("source").agg(F.sum("o").alias("rt"))
+    colt = cells.groupBy("lang").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("nt"),
+        F.countDistinct("source").cast("bigint").alias("nr"),
+        F.countDistinct("lang").cast("bigint").alias("nc"),
+    )
+    exp_ = F.col("rt").cast("double") * F.col("ct") / F.col("nt")
+    dev = F.col("o").cast("double") - exp_
+    term = F.round(dev * dev / exp_, 12)
+    chi2sum = F.sum(term.cast("decimal(28,12)")).cast("double")
+    return (
+        cells.join(F.broadcast(rowt), "source")
+        .join(F.broadcast(colt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("nt") > 0) & (F.col("nr") >= 2) & (F.col("nc") >= 2))
+        .groupBy("nt", "nr", "nc")
+        .agg(
+            (F.round(chi2sum, 9) + F.lit(0.0)).alias("chi2"),
+            (
+                F.round(
+                    F.sqrt(
+                        chi2sum
+                        / (
+                            F.col("nt").cast("double")
+                            * (F.least(F.col("nr"), F.col("nc")) - 1)
+                        )
+                    ),
+                    9,
+                )
+                + F.lit(0.0)
+            ).alias("v"),
+        )
+        .select(
+            F.col("nt").cast("bigint").alias("n"),
+            F.col("nr").alias("n_sources"),
+            F.col("nc").alias("n_langs"),
+            "chi2",
+            "v",
+        )
     )

@@ -44,10 +44,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # round-7 operators (each new id lands in its own round's window), then the
 # round-3 cohort, oracle ids first.  Rolled to round 8: the round-3
 # TPC-H tail (q_tpch02–q_tpch21, displaced one-for-one as new round-7 ids
-# were inserted above them), q_lm_score / q_gap_fill / q_percentile_cont
-# (displaced by the second round-7 batch), and the round-3 rows-only
-# sketch ids (q_hll_rollup, q_decontaminate_fuzzy, q_theta_overlap,
-# q_heavy_hitters, q_dedup_semantic, q_sim_ann_ivfpq).
+# were inserted above them), q_lm_score / q_gap_fill / q_percentile_cont /
+# q_join_skew_salted / q_triangle_count (displaced by the second round-7
+# batch), and the round-3 rows-only sketch ids (q_hll_rollup,
+# q_decontaminate_fuzzy, q_theta_overlap, q_heavy_hitters,
+# q_dedup_semantic, q_sim_ann_ivfpq).
 CHECK_PRIORITY: tuple[str, ...] = (
     # Round-2 leftovers: oracle-checked misc-relational/expression ids
     "q_fuzzy_join",
@@ -84,6 +85,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_spearman_corr",
     "q_bh_fdr",
     "q_gini_users",
+    "q_cochran_q",
+    "q_cramers_v",
     # Round-3 cohort: analytics/pipeline oracle ids (most behavior-coupled
     # to ongoing work first), then TPC-H in query order
     "q_pipeline_e2e",
@@ -104,8 +107,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_ab_test",
     "q_bloom_prune",
     "q_recursive_cte",
-    "q_join_skew_salted",
-    "q_triangle_count",
 )
 
 

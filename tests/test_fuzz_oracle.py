@@ -243,6 +243,8 @@ DOC_QUERIES = (
     "q_ccnet_bucket",
     "q_chi2_keywords",
     "q_chunking",
+    "q_cochran_q",
+    "q_cramers_v",
     "q_collocations",
     "q_compaction_plan",
     "q_containment",

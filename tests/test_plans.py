@@ -180,6 +180,7 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_js_divergence",
         "q_chi2_keywords",
         "q_bh_fdr",
+        "q_cramers_v",
         "q_ndcg_eval",  # two ONE-ROW DCG/IDCG scalar aggregates joined
         "q_rerank_mmr",  # 1-row candidate fold × 1-row sim-map fold —
         #   the single-row scalar-assembly join feeding the MMR aggregate
@@ -426,6 +427,8 @@ SINGLE_PARTITION_BUDGET = {
     "q_spearman_corr": 3,  # two DISTINCT-VALUE rank windows + 1 scalar fold
     "q_bh_fdr": 2,  # BH rank + step-up running-min over ≤16 arm rows
     "q_gini_users": 1,  # cum-window + scalar fold over the distinct-SPEND frame
+    "q_cochran_q": 1,  # single summary-row aggregate (four integer sums)
+    "q_cramers_v": 1,  # chi-square fold over the |sources|·|langs| cell frame
     "q_ndcg_eval": 1,  # position window + scalar DCG folds over ≤k rows
     "q_rerank_cross": 1,  # rank over the ≤|top-k| retrieval shortlist
     "q_rerank_mmr": 2,  # candidate-map + sim-map folds over the ≤|shortlist|

@@ -50,6 +50,8 @@ ROUND7_MUST_COVER = {
     "q_spearman_corr",
     "q_bh_fdr",
     "q_gini_users",
+    "q_cochran_q",
+    "q_cramers_v",
 }
 
 

@@ -137,6 +137,8 @@ FULL_SURFACE_SCANS = {
     "q_spearman_corr": 0,
     "q_bh_fdr": 0,
     "q_gini_users": 1,
+    "q_cochran_q": 1,
+    "q_cramers_v": 0,
     "q_agg_approx_quantile": 1,
     "q_agg_distinct": 1,
     "q_agg_hash": 1,
