@@ -100,6 +100,10 @@ HEADLINE = [
     "q_rerank_mmr",
     "q_centroid_drift",
     "q_quantile_sketch_rollup",
+    # eval_stats representatives: the distinct-value-frame rank device and
+    # the |vocab|-frame chi-square fold (the family's two heaviest shapes)
+    "q_mann_whitney",
+    "q_chi2_keywords",
 ]
 
 

@@ -1108,6 +1108,15 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(COUNT(DISTINCT lang) AS BIGINT) AS nc
           FROM cells
         ),
+        spine AS (
+          -- the FULL r x c grid: a zero cell still contributes
+          -- (0-e)^2/e = e to chi-square; folding only observed cells
+          -- understates the statistic (caught by the triple-entry
+          -- reference-model test, tests/test_eval_stats_models.py)
+          SELECT r.source, c.lang, r.rt, c.ct, COALESCE(cells.o, 0) AS o
+          FROM rowt r CROSS JOIN colt c
+          LEFT JOIN cells USING (source, lang)
+        ),
         terms AS (
           SELECT nt, nr, nc,
                  round((CAST(o AS DOUBLE)
@@ -1115,9 +1124,7 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * (CAST(o AS DOUBLE)
                           - CAST(rt AS DOUBLE) * ct / nt)
                        / (CAST(rt AS DOUBLE) * ct / nt), 12) AS term
-          FROM cells
-          JOIN rowt USING (source)
-          JOIN colt USING (lang)
+          FROM spine
           CROSS JOIN tot
           WHERE nt > 0 AND nr >= 2 AND nc >= 2
         )
@@ -1144,7 +1151,11 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| x |langs| contingency frame (bounded by label domains,
     never corpus size); margins, totals, and the chi-square fold all run
     over that bounded frame (the cells frame is checkpointed so margin
-    passes don't rescan the corpus).
+    passes don't rescan the corpus).  The fold runs over the FULL r x c
+    margin-spine grid, not just observed cells — a zero cell still
+    contributes (0-e)^2/e = e, and skipping it understates chi-square
+    (a bug the triple-entry reference-model test caught on the first
+    spelling; the spine is margin-bounded, so the grid join is free).
 
     Determinism: expected counts rt*ct/nt are single IEEE trees over
     exact integers, but the per-cell chi-square terms sum in engine-
@@ -1170,10 +1181,16 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = F.col("o").cast("double") - exp_
     term = F.round(dev * dev / exp_, 12)
     chi2sum = F.sum(term.cast("decimal(28,12)")).cast("double")
+    spine = (
+        rowt.crossJoin(F.broadcast(colt))
+        .join(cells, ["source", "lang"], "left")
+        .select(
+            "source", "lang", "rt", "ct",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
     return (
-        cells.join(F.broadcast(rowt), "source")
-        .join(F.broadcast(colt), "lang")
-        .crossJoin(F.broadcast(tot))
+        spine.crossJoin(F.broadcast(tot))
         .filter((F.col("nt") > 0) & (F.col("nr") >= 2) & (F.col("nc") >= 2))
         .groupBy("nt", "nr", "nc")
         .agg(
