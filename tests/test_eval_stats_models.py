@@ -255,3 +255,85 @@ def test_cramers_v_matches_numpy_contingency(spark, docs):
     assert abs(got["chi2"] - chi2) < 1e-5  # 12-dp term rounding accumulates
     assert abs(got["v"] - v) < TOL
     assert 0.0 <= got["v"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-6 statistics family: the same triple-entry treatment
+# ---------------------------------------------------------------------------
+
+
+def test_ctr_wilson_matches_textbook_interval(spark, events):
+    e = events[events.user_id.notna()]
+    arms = (e.user_id % 16).astype(int)
+    z = 1.96
+    rows = registry.queries()["q_ctr_wilson"](spark, SF_DIR).collect()
+    want = {}
+    for variant, grp in e.groupby(arms):
+        n = len(grp)
+        p = float((grp.event_type == "purchase").sum()) / n
+        # the center ± margin spelling (vs the engine's single-tree form)
+        center = (p + z * z / (2 * n)) / (1 + z * z / n)
+        margin = (z / (1 + z * z / n)) * math.sqrt(
+            p * (1 - p) / n + z * z / (4 * n * n)
+        )
+        want[variant] = center - margin
+    assert len(rows) == len(want)
+    for r in rows:
+        assert abs(r["wilson_lb"] - want[r["variant"]]) < TOL
+    # rank must order the bounds descending (ties broken by variant)
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    keys = [(-r["wilson_lb"], r["variant"]) for r in by_rank]
+    assert keys == sorted(keys)
+
+
+def test_cohen_kappa_matches_confusion_matrix(spark, docs):
+    d = docs[docs.text.notna()]
+    a = d.lang.map(_is_en).to_numpy(bool)
+    b = d.text.map(_pred_stopword).to_numpy(bool)
+    n = len(d)
+    po = float((a == b).sum()) / n
+    pe = (a.mean() * b.mean()) + ((1 - a.mean()) * (1 - b.mean()))
+    kappa = (po - pe) / (1 - pe)
+    got = _row(spark, "q_kappa_agreement")
+    assert got["n"] == n and got["n_agree"] == int((a == b).sum())
+    assert abs(got["po"] - po) < TOL
+    assert abs(got["pe"] - pe) < TOL
+    assert abs(got["kappa"] - kappa) < TOL
+
+
+def test_fleiss_kappa_matches_per_item_form(spark, docs):
+    d = docs[docs.text.notna()]
+    votes = (
+        d.lang.map(_is_en).to_numpy(int)
+        + d.text.map(_pred_stopword).to_numpy(int)
+        + d.text.map(_pred_the).to_numpy(int)
+    )
+    k, n = 3, len(votes)
+    # the textbook per-item agreement P_i, averaged — no integer folding
+    p_i = (votes**2 + (k - votes) ** 2 - k) / (k * (k - 1))
+    pbar = float(p_i.mean())
+    p1 = float(votes.sum()) / (k * n)
+    pe = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (pbar - pe) / (1 - pe)
+    got = _row(spark, "q_fleiss_kappa")
+    assert got["n"] == n and got["t1"] == int(votes.sum())
+    assert abs(got["pbar"] - pbar) < TOL
+    assert abs(got["pe"] - pe) < TOL
+    assert abs(got["kappa"] - kappa) < TOL
+
+
+def test_calibration_bins_match_python_binning(spark, docs):
+    d = docs[docs.text.notna()]
+    want: Counter = Counter()
+    pos: Counter = Counter()
+    for text, lang in zip(d.text, d.lang):
+        toks = _toks(text)
+        if not toks:
+            continue
+        score = len(set(toks)) / len(toks)
+        b = min(int(score * 10), 9)
+        want[b] += 1
+        pos[b] += int(_is_en(lang))
+    rows = registry.queries()["q_calibration_bins"](spark, SF_DIR).collect()
+    assert {r["bin"]: r["n"] for r in rows} == dict(want)
+    assert {r["bin"]: r["n_pos"] for r in rows} == {b: pos[b] for b in want}
