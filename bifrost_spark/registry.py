@@ -48,7 +48,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 # q_join_skew_salted / q_triangle_count (displaced by the second round-7
 # batch), and the round-3 rows-only sketch ids (q_hll_rollup,
 # q_decontaminate_fuzzy, q_theta_overlap, q_heavy_hitters,
-# q_dedup_semantic, q_sim_ann_ivfpq).
+# q_dedup_semantic, q_sim_ann_ivfpq).  ROUND-8 WINDOW PLAN: those ~31
+# rolled ids first (oracle ids before rows-only), any new round-8 ids
+# next, then the stalest round-4 standing rows to fill 50.
 CHECK_PRIORITY: tuple[str, ...] = (
     # Round-2 leftovers: oracle-checked misc-relational/expression ids
     "q_fuzzy_join",
