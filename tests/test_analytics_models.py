@@ -1,0 +1,196 @@
+"""Triple-entry verification, tranche 2: analytics/pipeline statistics.
+
+Same rationale as tests/test_eval_stats_models.py (where this class of
+test caught q_cramers_v's zero-cell chi-square bug): the DuckDB oracle
+proves both engines compute the same expression, not that the expression
+is the statistic.  Each test here recomputes an earlier-round statistic
+from its textbook definition in plain Python/numpy/pandas — hashlib md5
+for the A/B assignment, pandas resampling for the daily series, Counter
+entropies, numpy ddof=1 variance, brute-force CDF gaps — and requires
+the engine to agree within its own 9-dp rounding."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bifrost_spark import registry
+from conftest import SF_DIR
+
+TOL = 1e-6
+
+
+@pytest.fixture(scope="module")
+def events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_ab_test_matches_hashlib_assignment(spark, events):
+    conv = {}
+    for uid, grp in events.groupby("user_id"):
+        conv[uid] = int((grp.event_type == "purchase").sum() * 4 > len(grp))
+    n = {"A": 0, "B": 0}
+    c = {"A": 0, "B": 0}
+    for uid, converted in conv.items():
+        first_hex = hashlib.md5(str(int(uid)).encode()).hexdigest()[0]
+        v = "A" if ord(first_hex) % 2 == 0 else "B"
+        n[v] += 1
+        c[v] += converted
+    p = (c["A"] + c["B"]) / (n["A"] + n["B"])
+    z = (c["A"] / n["A"] - c["B"] / n["B"]) / math.sqrt(
+        p * (1 - p) * (1 / n["A"] + 1 / n["B"])
+    )
+    [r] = registry.queries()["q_ab_test"](spark, SF_DIR).collect()
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (
+        n["A"], c["A"], n["B"], c["B"],
+    )
+    assert abs(r["z_stat"] - z) < TOL
+
+
+def test_autocorr_matches_pandas_lag1(spark, events):
+    e = events.copy()
+    e["d"] = e.ts.dt.floor("D")
+    # daily totals in exact cents, matching the engine's decimal fold
+    daily = (
+        (e.value * 100).round().astype("int64").groupby([e.event_type, e.d]).sum()
+    )
+    rows = registry.queries()["q_autocorr"](spark, SF_DIR).collect()
+    for r in rows:
+        series = daily[r["event_type"]].sort_index().to_numpy(dtype=float)
+        x, y = series[:-1], series[1:]
+        assert r["n_pairs"] == len(x)
+        want = float(np.corrcoef(x, y)[0, 1])
+        assert abs(r["lag1_autocorr"] - want) < TOL
+
+
+def test_benford_matches_direct_digits(spark, orders):
+    o = orders[orders.o_totalprice >= 1]
+    digits = o.o_totalprice.map(lambda v: int(str(int(math.floor(v)))[0]))
+    counts = Counter(digits)
+    total = sum(counts.values())
+    rows = registry.queries()["q_benford"](spark, SF_DIR).collect()
+    assert {r["d"]: r["n"] for r in rows} == dict(counts)
+    for r in rows:
+        assert abs(r["observed_p"] - counts[r["d"]] / total) < TOL
+        assert abs(r["benford_p"] - math.log10(1 + 1 / r["d"])) < TOL
+
+
+def test_behavior_entropy_matches_counter_model(spark, events):
+    rows = registry.queries()["q_behavior_entropy"](spark, SF_DIR).collect()
+    want = {}
+    for uid, grp in events.groupby("user_id"):
+        cnt = Counter(grp.event_type)
+        nt = sum(cnt.values())
+        h = -sum((v / nt) * math.log2(v / nt) for v in cnt.values())
+        want[uid] = (len(cnt), nt, h)
+    assert len(rows) == len(want)
+    for r in rows:
+        n_types, n_events, h = want[r["user_id"]]
+        assert (r["n_types"], r["n_events"]) == (n_types, n_events)
+        assert abs(r["type_entropy"] - h) < TOL
+
+
+def test_agg_stats_variance_matches_numpy_ddof1(spark, lineitem):
+    rows = registry.queries()["q_agg_stats"](spark, SF_DIR).collect()
+    for r in rows:
+        q = lineitem[lineitem.l_returnflag == r["l_returnflag"]].l_quantity
+        assert r["n"] == len(q)
+        assert float(r["min_qty"]) == float(q.min())
+        assert float(r["max_qty"]) == float(q.max())
+        want = float(np.var(q.to_numpy(dtype=float), ddof=1))
+        assert abs(r["var_qty"] - want) < 1e-9 * max(1.0, want)
+
+
+def test_outlier_iqr_matches_numpy_percentiles(spark, lineitem):
+    rows = registry.queries()["q_outlier_iqr"](spark, SF_DIR).collect()
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+    # compare as multisets of full output rows
+    want: Counter = Counter()
+    for flag, grp in lineitem.groupby("l_returnflag"):
+        x = grp.l_quantity.to_numpy(dtype=float)
+        q1, q3 = np.percentile(x, [25, 75])  # linear interp = percentile_cont
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        for _, row in grp.iterrows():
+            want[
+                (row.l_orderkey, row.l_linenumber, flag,
+                 int(row.l_quantity > hi or row.l_quantity < lo))
+            ] += 1
+    got = Counter(
+        (r["l_orderkey"], r["l_linenumber"], r["l_returnflag"], r["is_outlier"])
+        for r in rows
+    )
+    assert got == want
+
+
+def test_ks_drift_matches_bruteforce_cdf_gap(spark, events):
+    split = pd.Timestamp("2024-01-16 00:00:00")
+    e = events[events.value.notna()]
+    a = np.sort(e[e.ts < split].value.to_numpy(dtype=float))
+    b = np.sort(e[e.ts >= split].value.to_numpy(dtype=float))
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    gaps = np.abs(fa - fb)
+    d_want = float(gaps.max())
+    at_want = float(grid[np.argmax(gaps == gaps.max())])
+    [r] = registry.queries()["q_ks_drift"](spark, SF_DIR).collect()
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert abs(r["ks_d"] - d_want) < TOL
+    assert float(r["at_value"]) == at_want
+
+
+def test_psi_drift_matches_direct_binning(spark, events):
+    split = pd.Timestamp("2024-01-16 00:00:00")
+    e = events[events.value.notna()]
+    bins_a: Counter = Counter()
+    bins_b: Counter = Counter()
+    for ts, v in zip(e.ts, e.value):
+        b = min(int(math.floor(v / 50.0)), 9)
+        if 0 <= b <= 9:  # negative bins fall off the 0..9 spine
+            (bins_a if ts < split else bins_b)[b] += 1
+    na, nb = sum(bins_a.values()), sum(bins_b.values())
+    psi = 0.0
+    for b in range(10):
+        pa = (2 * bins_a[b] + 1) / (2 * na + 10)
+        pb = (2 * bins_b[b] + 1) / (2 * nb + 10)
+        psi += (pa - pb) * math.log(pa / pb)
+    [r] = registry.queries()["q_psi_drift"](spark, SF_DIR).collect()
+    assert r["n_bins"] == 10
+    assert abs(r["psi"] - psi) < TOL
+
+
+def test_char_entropy_matches_counter_model(spark, docs):
+    rows = registry.queries()["q_entropy"](spark, SF_DIR).collect()
+    want = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        if text is None or len(text) == 0:
+            continue
+        cnt = Counter(text.lower())
+        n = len(text)  # the engine's n: length of the ORIGINAL text
+        h = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        want[doc_id] = (len(cnt), h + 0.0)
+    assert len(rows) == len(want)
+    for r in rows:
+        n_chars, h = want[r["doc_id"]]
+        assert r["n_distinct_chars"] == n_chars
+        assert abs(r["char_entropy"] - h) < TOL
