@@ -194,3 +194,126 @@ def test_char_entropy_matches_counter_model(spark, docs):
         n_chars, h = want[r["doc_id"]]
         assert r["n_distinct_chars"] == n_chars
         assert abs(r["char_entropy"] - h) < TOL
+
+
+# ---------------------------------------------------------------------------
+# tranche 3: retrieval scores, windowed and skew statistics
+# ---------------------------------------------------------------------------
+
+
+def _toks(text) -> list[str]:
+    if text is None:
+        return []
+    return [t for t in text.lower().split(" ") if t != ""]
+
+
+def test_bm25_matches_python_okapi(spark, docs):
+    K1, B, TERMS = 1.2, 0.75, ("vector", "hash", "scan")
+    toks = {d: _toks(t) for d, t in zip(docs.doc_id, docs.text)}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    df = {t: sum(1 for w in toks.values() if t in w) for t in TERMS}
+    scored = []
+    for d, w in toks.items():
+        tf = {t: w.count(t) for t in TERMS}
+        if sum(tf.values()) == 0:
+            continue
+        score = sum(
+            round(
+                math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                * (tf[t] * (K1 + 1))
+                / (tf[t] + K1 * (1 - B + B * len(w) / avgdl)),
+                12,
+            )
+            for t in TERMS
+        )
+        scored.append((d, sum(1 for t in TERMS if tf[t] > 0), score))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    want = [(d, m, i + 1) for i, (d, m, _) in enumerate(scored[:20])]
+    rows = sorted(
+        registry.queries()["q_bm25"](spark, SF_DIR).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [(r["doc_id"], r["n_terms_matched"], r["rnk"]) for r in rows] == want
+
+
+def test_tfidf_matches_python_model(spark, docs):
+    toks = {d: _toks(t) for d, t in zip(docs.doc_id, docs.text)}
+    n = len(docs)  # N counts ALL docs, incl. NULL text (oracle spelling)
+    df: Counter = Counter()
+    for w in toks.values():
+        df.update(set(w))
+    want = set()
+    for d, w in toks.items():
+        if not w:
+            continue
+        tf = Counter(w)
+        ranked = sorted(
+            tf.items(), key=lambda kv: (-kv[1] * math.log(n / df[kv[0]]), kv[0])
+        )
+        for i, (term, _) in enumerate(ranked[:3]):
+            want.add((d, term, i + 1))
+    rows = registry.queries()["q_tfidf"](spark, SF_DIR).collect()
+    assert {(r["doc_id"], r["term"], r["rnk"]) for r in rows} == want
+
+
+def test_time_weighted_avg_matches_pandas_intervals(spark, events):
+    want = {}
+    for uid, grp in events.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        # the engine differs WHOLE epoch seconds (cast timestamp→long
+        # truncates sub-second parts before the subtraction); don't use
+        # .astype("int64") — its unit follows the datetime64 resolution
+        secs = g.ts.map(lambda t: int(t.timestamp()))
+        durs = (secs.shift(-1) - secs)[:-1]
+        vals = g.value[:-1]
+        if len(durs) == 0 or durs.sum() <= 0:
+            continue
+        num = sum(
+            round(v * d, 6) for v, d in zip(vals, durs) if not pd.isna(v)
+        )
+        want[uid] = (len(durs), num / durs.sum())
+    rows = registry.queries()["q_time_weighted_avg"](spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n_iv, twa = want[r["user_id"]]
+        assert r["n_intervals"] == n_iv
+        assert abs(r["twa"] - twa) < TOL
+
+
+def test_vocab_growth_matches_first_seen_model(spark, docs):
+    m = int(docs.doc_id.max()) + 1
+    tok_dec: Counter = Counter()
+    first_seen: dict = {}
+    for d, t in zip(docs.doc_id, docs.text):
+        w = _toks(t)
+        tok_dec[int(d * 10.0 / m)] += len(w)
+        for tkn in w:
+            if tkn not in first_seen or d < first_seen[tkn]:
+                first_seen[tkn] = d
+    voc_dec: Counter = Counter(int(d * 10.0 / m) for d in first_seen.values())
+    rows = sorted(
+        registry.queries()["q_vocab_growth"](spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == sorted(tok_dec)
+    tcum = vcum = 0
+    for r in rows:
+        tcum += tok_dec[r["decile"]]
+        vcum += voc_dec[r["decile"]]
+        assert (r["tokens_cum"], r["vocab_cum"]) == (tcum, vcum)
+
+
+def test_skew_report_matches_sorted_counts(spark, orders):
+    counts = orders.groupby("o_custkey").size().sort_index()
+    pairs = sorted(zip(counts.to_numpy(), counts.index))
+    x = np.array([n for n, _ in pairs], dtype=float)
+    k, tot = len(x), float(x.sum())
+    i = np.arange(1, k + 1, dtype=float)
+    gini = float(((2 * i - k - 1) * x).sum()) / (k * tot)
+    median = x[int(math.floor((k + 1) / 2.0)) - 1]  # lower-middle, 1-indexed
+    [r] = registry.queries()["q_skew_report"](spark, SF_DIR).collect()
+    assert (r["n_keys"], r["n_rows"], r["max_n"]) == (k, int(tot), int(x.max()))
+    assert r["median_n"] == int(median)
+    assert abs(r["skew_ratio"] - x.max() / median) < TOL
+    assert abs(r["gini"] - gini) < TOL
