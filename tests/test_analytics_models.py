@@ -317,3 +317,110 @@ def test_skew_report_matches_sorted_counts(spark, orders):
     assert r["median_n"] == int(median)
     assert abs(r["skew_ratio"] - x.max() / median) < TOL
     assert abs(r["gini"] - gini) < TOL
+
+
+# ---------------------------------------------------------------------------
+# tranche 4: the retrieval-pipeline chain (QLM → RRF → nDCG)
+# ---------------------------------------------------------------------------
+
+_TERMS = ("vector", "hash", "scan")
+
+
+def _bm25_top20(docs) -> list[tuple]:
+    """(doc_id, n_terms_matched, rnk) for the Okapi top-20 — model copy."""
+    K1, B = 1.2, 0.75
+    toks = {d: _toks(t) for d, t in zip(docs.doc_id, docs.text)}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    df = {t: sum(1 for w in toks.values() if t in w) for t in _TERMS}
+    scored = []
+    for d, w in toks.items():
+        tf = {t: w.count(t) for t in _TERMS}
+        if sum(tf.values()) == 0:
+            continue
+        score = sum(
+            round(
+                math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                * (tf[t] * (K1 + 1))
+                / (tf[t] + K1 * (1 - B + B * len(w) / avgdl)),
+                12,
+            )
+            for t in _TERMS
+        )
+        scored.append((d, sum(1 for t in _TERMS if tf[t] > 0), score))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return [(d, m, i + 1) for i, (d, m, _) in enumerate(scored[:20])]
+
+
+def _qlm_top20(docs) -> list[tuple]:
+    """(doc_id, n_terms_matched, rnk) for Dirichlet-smoothed QLM top-20."""
+    MU = 100.0
+    toks = {d: _toks(t) for d, t in zip(docs.doc_id, docs.text)}
+    total = sum(len(w) for w in toks.values())
+    cf = {t: sum(w.count(t) for w in toks.values()) for t in _TERMS}
+    scored = []
+    for d, w in toks.items():
+        score = sum(
+            round(
+                math.log((w.count(t) + MU * (cf[t] / total)) / (len(w) + MU)),
+                12,
+            )
+            for t in _TERMS
+            if cf[t] > 0
+        )
+        scored.append((d, sum(1 for t in _TERMS if t in w), score))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return [(d, m, i + 1) for i, (d, m, _) in enumerate(scored[:20])]
+
+
+def test_qlm_matches_python_dirichlet(spark, docs):
+    want = _qlm_top20(docs)
+    rows = sorted(
+        registry.queries()["q_qlm"](spark, SF_DIR).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [(r["doc_id"], r["n_terms_matched"], r["rnk"]) for r in rows] == want
+
+
+def test_rrf_fusion_matches_python_combiner(spark, docs):
+    K = 60
+    bm = {d: r for d, _, r in _bm25_top20(docs)}
+    qm = {d: r for d, _, r in _qlm_top20(docs)}
+    fused = []
+    for d in set(bm) | set(qm):
+        rrf = (1.0 / (K + bm[d]) if d in bm else 0.0) + (
+            1.0 / (K + qm[d]) if d in qm else 0.0
+        )
+        fused.append((d, bm.get(d), qm.get(d), rrf))
+    fused.sort(key=lambda r: (-r[3], r[0]))
+    want = [
+        (d, b, q, i + 1) for i, (d, b, q, _) in enumerate(fused)
+    ]
+    rows = sorted(
+        registry.queries()["q_rrf_fusion"](spark, SF_DIR).collect(),
+        key=lambda r: r["fused_rnk"],
+    )
+    assert [
+        (r["doc_id"], r["bm25_rnk"], r["qlm_rnk"], r["fused_rnk"]) for r in rows
+    ] == want
+
+
+def test_ndcg_matches_python_dcg(spark, docs):
+    gains = {}
+    for d, t in zip(docs.doc_id, docs.text):
+        w = _toks(t)
+        cov = sum(1 for term in _TERMS if term in w)
+        gains[d] = {0: 0, 1: 1, 2: 3, 3: 7}[cov]
+    dcg = sum(
+        round(gains[d] / math.log2(rnk + 1), 12)
+        for d, _, rnk in _bm25_top20(docs)
+        if rnk <= 10
+    )
+    ideal = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    idcg = sum(
+        round(g / math.log2(pos + 2), 12) for pos, (_, g) in enumerate(ideal)
+    )
+    [r] = registry.queries()["q_ndcg_eval"](spark, SF_DIR).collect()
+    cols = r.asDict()
+    ndcg = [v for k, v in cols.items() if "ndcg" in k.lower()][0]
+    assert abs(ndcg - dcg / idcg) < TOL
