@@ -424,3 +424,81 @@ def test_ndcg_matches_python_dcg(spark, docs):
     cols = r.asDict()
     ndcg = [v for k, v in cols.items() if "ndcg" in k.lower()][0]
     assert abs(ndcg - dcg / idcg) < TOL
+
+
+# ---------------------------------------------------------------------------
+# tranche 5: LM surprisal, Markov transitions, Gopher rules
+# ---------------------------------------------------------------------------
+
+
+def test_lm_bigram_matches_counter_model(spark, docs):
+    toks = {d: _toks(t) for d, t in zip(docs.doc_id, docs.text)}
+    bg: Counter = Counter()
+    for w in toks.values():
+        bg.update(zip(w, w[1:]))
+    uni: Counter = Counter()
+    for (w1, _), c in bg.items():
+        uni[w1] += c
+    vocab = {w for pair in bg for w in pair}
+    v = len(vocab)
+    want = {}
+    for d, w in toks.items():
+        pairs = list(zip(w, w[1:]))
+        if not pairs:
+            continue
+        # surprisal = log2(context + V) - log2(count + 1), add-one smoothed
+        s = sum(
+            round(math.log2(uni[p[0]] + v), 12) - round(math.log2(bg[p] + 1), 12)
+            for p in pairs
+        )
+        want[d] = (len(pairs), s / len(pairs))
+    rows = registry.queries()["q_lm_bigram"](spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n_bg, avg = want[r["doc_id"]]
+        assert r["n_bigrams"] == n_bg
+        assert abs(r["avg_neg_log2_p"] - avg) < TOL
+
+
+def test_markov_transitions_match_counter_model(spark, events):
+    pairs: Counter = Counter()
+    for _, grp in events.groupby("user_id"):
+        seq = grp.sort_values(["ts", "event_id"]).event_type.tolist()
+        pairs.update(zip(seq, seq[1:]))
+    n_from: Counter = Counter()
+    for (f, _), c in pairs.items():
+        n_from[f] += c
+    rows = registry.queries()["q_markov_transitions"](spark, SF_DIR).collect()
+    assert len(rows) == len(pairs)
+    for r in rows:
+        key = (r["from_type"], r["to_type"])
+        assert r["n"] == pairs[key]
+        assert abs(r["p_next"] - pairs[key] / n_from[r["from_type"]]) < TOL
+    # each from-row must be a probability distribution
+    sums: Counter = Counter()
+    for r in rows:
+        sums[r["from_type"]] += r["p_next"]
+    for s in sums.values():
+        assert abs(s - 1.0) < 1e-6
+
+
+def test_gopher_rules_match_python_ruleset(spark, docs):
+    STOP = ("the", "a", "of", "and", "to", "in", "is")
+    rows = registry.queries()["q_gopher_rules"](spark, SF_DIR).collect()
+    assert len(rows) == len(docs)
+    by_id = {r["doc_id"]: r for r in rows}
+    for d, t in zip(docs.doc_id, docs.text):
+        # gopher tokenizes WITHOUT case folding (mean word length and
+        # stopword kinds are case-sensitive by design)
+        w = [x for x in (t.split(" ") if t is not None else []) if x != ""]
+        r = by_id[d]
+        assert r["n_words"] == len(w)
+        if len(w) == 0:
+            assert r["mean_word_len"] is None and r["keep"] == 0
+            continue
+        mwl = sum(len(x) for x in w) / len(w)
+        kinds = len({x for x in w if x in STOP})
+        assert abs(r["mean_word_len"] - mwl) < TOL
+        assert r["n_stopword_kinds"] == kinds
+        keep = int(20 <= len(w) <= 100_000 and 2.0 <= mwl <= 10.0 and kinds >= 2)
+        assert r["keep"] == keep
