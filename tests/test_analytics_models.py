@@ -502,3 +502,96 @@ def test_gopher_rules_match_python_ruleset(spark, docs):
         assert r["n_stopword_kinds"] == kinds
         keep = int(20 <= len(w) <= 100_000 and 2.0 <= mwl <= 10.0 and kinds >= 2)
         assert r["keep"] == keep
+
+
+# ---------------------------------------------------------------------------
+# tranche 6: hashed-feature DSIR, CCNet buckets, z-score
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_match_hashlib_model(spark, docs):
+    B, TARGET = 64, {"src1", "src2", "src3"}
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:2], 16) % B
+
+    cr: Counter = Counter()
+    ct: Counter = Counter()
+    per_doc: dict = {}
+    for d, t, src in zip(docs.doc_id, docs.text, docs.source):
+        toks = [bucket(x) for x in _toks(t)]
+        per_doc[d] = toks
+        cr.update(toks)
+        if src in TARGET:
+            ct.update(toks)
+    nr, nt = sum(cr.values()), sum(ct.values())
+    rows = registry.queries()["q_dsir_weights"](spark, SF_DIR).collect()
+    want_ids = {d for d, toks in per_doc.items() if toks}
+    assert {r["doc_id"] for r in rows} == want_ids
+    for r in rows:
+        toks = per_doc[r["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        s = sum(
+            round(math.log2(ct[b] + 1), 12) - round(math.log2(cr[b] + 1), 12)
+            for b in toks
+        )
+        want = s / len(toks) + math.log2(nr + B) - math.log2(nt + B)
+        assert abs(r["avg_log2_ratio"] - want) < TOL
+
+
+def test_ccnet_bucket_matches_ntile_model(spark, docs):
+    # CASE-SENSITIVE tokens by design (string_split(text), no lower)
+    toks = {
+        d: [x for x in (t.split(" ") if t is not None else []) if x != ""]
+        for d, t in zip(docs.doc_id, docs.text)
+    }
+    freq: Counter = Counter()
+    for w in toks.values():
+        freq.update(w)
+    total = sum(freq.values())
+    score = {}
+    for d, w in toks.items():
+        if not w:
+            continue
+        s = sum(round(math.log2(freq[x]), 12) for x in w)
+        score[d] = round(math.log2(total) - s / len(w), 9)
+    langs = dict(zip(docs.doc_id, docs.lang))
+    want = {}
+    by_lang: dict = {}
+    for d in score:
+        by_lang.setdefault(langs[d], []).append(d)
+    for lang, ids in by_lang.items():
+        ids.sort(key=lambda d: (score[d], d))
+        n = len(ids)
+        sizes = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
+        pos = 0
+        for tile, sz in zip(("head", "middle", "tail"), sizes):
+            for d in ids[pos : pos + sz]:
+                want[d] = tile
+            pos += sz
+    rows = registry.queries()["q_ccnet_bucket"](spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert abs(r["score"] - score[r["doc_id"]]) < TOL
+        assert r["bucket"] == want[r["doc_id"]]
+
+
+def test_zscore_matches_numpy_standardization(spark, lineitem):
+    rows = registry.queries()["q_zscore"](spark, SF_DIR).collect()
+    stats = {}
+    for flag, grp in lineitem.groupby("l_returnflag"):
+        x = grp.l_quantity.to_numpy(dtype=float)
+        stats[flag] = (x.mean(), float(np.std(x, ddof=1)))
+    want: Counter = Counter()
+    for _, row in lineitem.iterrows():
+        mu, sd = stats[row.l_returnflag]
+        want[
+            (row.l_orderkey, row.l_linenumber, row.l_returnflag,
+             round((row.l_quantity - mu) / sd, 6))
+        ] += 1
+    got = Counter(
+        (r["l_orderkey"], r["l_linenumber"], r["l_returnflag"],
+         round(r["qty_z"], 6))
+        for r in rows
+    )
+    assert got == want
