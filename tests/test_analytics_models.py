@@ -595,3 +595,51 @@ def test_zscore_matches_numpy_standardization(spark, lineitem):
         for r in rows
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# tranche 7: the deterministic Poisson bootstrap, replicated end to end
+# ---------------------------------------------------------------------------
+
+_POIS_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+)
+
+
+def test_bootstrap_ci_matches_hashlib_poisson(spark, events):
+    """Replicates the ENTIRE Chamandy pipeline independently: md5-derived
+    uniforms (8 per digest), CDF-threshold Poisson weights, weighted
+    replicate means, and the trim-aware percentile rule — so the
+    engine's resample-by-weight algebra is checked against a literal
+    per-replicate resimulation."""
+    e = events[events.value.notna()]
+    reps: dict = {}
+    for et, eid, v in zip(e.event_type, e.event_id, e.value):
+        for r in range(32):
+            h = hashlib.md5(f"{int(eid)}:{r // 8}".encode()).hexdigest()
+            slot = r % 8
+            u = int(h[slot * 4 : slot * 4 + 4], 16) / 65536.0
+            w = 6
+            for k, c in enumerate(_POIS_CDF):
+                if u < c:
+                    w = k
+                    break
+            num, den = reps.setdefault((et, r), [0.0, 0])
+            reps[(et, r)] = [num + w * v, den + w]
+    means: dict = {}
+    for (et, r), (num, den) in reps.items():
+        if den > 0:
+            means.setdefault(et, []).append(num / den)
+    rows = registry.queries()["q_bootstrap_ci"](spark, SF_DIR).collect()
+    for r in rows:
+        arr = sorted(means[r["event_type"]])
+        n = len(arr)
+        assert r["n_replicates"] == n
+        lo, hi = (arr[1], arr[n - 2]) if n >= 4 else (arr[0], arr[n - 1])
+        grp = e[e.event_type == r["event_type"]].value
+        assert r["n_rows"] == len(grp)
+        assert abs(r["mean"] - grp.mean()) < TOL
+        assert abs(r["ci_lo"] - lo) < TOL
+        assert abs(r["ci_hi"] - hi) < TOL
+        assert r["ci_lo"] <= r["ci_hi"] + 1e-12  # interval ordering invariant
