@@ -740,12 +740,22 @@ def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT label, side, CAST(COUNT(*) AS BIGINT) AS o
           FROM tagged GROUP BY 1, 2
         ),
+        spine AS (
+          -- full labels x sides grid: a label with ALL its vectors on
+          -- one side still owes its zero cell's (0-e)^2/e = e term
+          -- (the q_cramers_v zero-cell class, fixed the same round)
+          SELECT l.label, s.side, COALESCE(c.o, 0) AS o
+          FROM (SELECT DISTINCT label FROM cells) l
+          CROSS JOIN (SELECT DISTINCT side FROM cells) s
+          LEFT JOIN cells c
+            ON c.label IS NOT DISTINCT FROM l.label AND c.side = s.side
+        ),
         margins AS (
           SELECT c.label, c.side, c.o,
                  SUM(c.o) OVER (PARTITION BY c.label) AS row_tot,
                  SUM(c.o) OVER (PARTITION BY c.side) AS col_tot,
                  SUM(c.o) OVER () AS n
-          FROM cells c
+          FROM spine c
         )
         SELECT CAST(COUNT(DISTINCT label) - 1 AS BIGINT) AS dof,
                CAST(MIN(n) AS BIGINT) AS n_rows,
@@ -782,8 +792,28 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("label", side.alias("side"))
         .groupBy("label", "side")
         .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)  # label/side spines + probe reuse it
     )
-    margins = cells.select(
+    # full labels x sides grid — a zero cell still owes its (o-e)^2/e = e
+    # term (the q_cramers_v zero-cell class, fixed the same round); the
+    # grid is bounded by the label domain x 2 sides, so the join is free
+    labels = cells.select(F.col("label").alias("sl")).distinct()
+    sides = cells.select(F.col("side").alias("ss")).distinct()
+    spine = (
+        labels.crossJoin(F.broadcast(sides))
+        .join(
+            cells,
+            F.col("sl").eqNullSafe(F.col("label"))
+            & (F.col("ss") == F.col("side")),
+            "left",
+        )
+        .select(
+            F.col("sl").alias("label"),
+            F.col("ss").alias("side"),
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    margins = spine.select(
         "label",
         "side",
         "o",

@@ -643,3 +643,93 @@ def test_bootstrap_ci_matches_hashlib_poisson(spark, events):
         assert abs(r["ci_lo"] - lo) < TOL
         assert abs(r["ci_hi"] - hi) < TOL
         assert r["ci_lo"] <= r["ci_hi"] + 1e-12  # interval ordering invariant
+
+
+# ---------------------------------------------------------------------------
+# tranche 7b: split-balance chi-square (the zero-cell class, second find)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _split_side(vec_id) -> str:
+    return (
+        "a"
+        if int(hashlib.md5(str(int(vec_id)).encode()).hexdigest()[0], 16) % 2 == 0
+        else "b"
+    )
+
+
+def _split_balance_model(pairs) -> tuple:
+    """(dof, n, chi2) over the FULL labels x sides grid from (label, side)."""
+    cells: Counter = Counter(pairs)
+    labels = {l for l, _ in cells}
+    sides = {s for _, s in cells}
+    n = sum(cells.values())
+    row = Counter()
+    col = Counter()
+    for (l, s), o in cells.items():
+        row[l] += o
+        col[s] += o
+    chi2 = 0.0
+    for l in labels:
+        for s in sides:
+            e = row[l] * col[s] / n
+            chi2 += round((cells[(l, s)] - e) ** 2 / e, 12)
+    n_labels = len([l for l in labels if l is not None])
+    return n_labels - 1, n, chi2
+
+
+def test_split_balance_matches_numpy_contingency(spark, embeddings):
+    pairs = [
+        (lab, _split_side(vid))
+        for vid, lab in zip(embeddings.vec_id, embeddings.label)
+    ]
+    dof, n, chi2 = _split_balance_model(pairs)
+    [r] = registry.queries()["q_split_balance"](spark, SF_DIR).collect()
+    assert (r["dof"], r["n_rows"]) == (dof, n)
+    assert abs(r["chi2"] - chi2) < TOL
+
+
+def test_split_balance_includes_one_sided_labels(spark, tmp_path):
+    """Regression for the zero-cell class (found via q_cramers_v's
+    triple-entry test, then audited here): a label whose vectors ALL land
+    on one split side must still contribute its zero cell's
+    (0-e)^2/e = e term.  The crafted corpus pins label 9 entirely to side
+    'a' (vec_ids chosen by md5 parity)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, f), os.path.join(tmp_path, f))
+    os.unlink(os.path.join(tmp_path, "embeddings.parquet"))
+    a_ids = [i for i in range(200) if _split_side(i) == "a"]
+    b_ids = [i for i in range(200) if _split_side(i) == "b"]
+    # label 0: balanced across sides; label 9: side 'a' ONLY
+    vec_ids = a_ids[:8] + b_ids[:8] + a_ids[8:14]
+    labels = [0] * 16 + [9] * 6
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0, 0.0, 0.0]] * len(vec_ids),
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    pairs = [(l, _split_side(v)) for v, l in zip(vec_ids, labels)]
+    dof, n, chi2 = _split_balance_model(pairs)
+    assert any(
+        (l, "b") not in Counter(pairs) for l in {9}
+    )  # the crafted corpus really is one-sided
+    [r] = registry.queries()["q_split_balance"](spark, str(tmp_path)).collect()
+    assert (r["dof"], r["n_rows"]) == (dof, n)
+    assert abs(r["chi2"] - chi2) < TOL

@@ -181,6 +181,7 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_chi2_keywords",
         "q_bh_fdr",
         "q_cramers_v",
+        "q_split_balance",  # labels x 2-sides grid spine (zero-cell fix)
         "q_ndcg_eval",  # two ONE-ROW DCG/IDCG scalar aggregates joined
         "q_rerank_mmr",  # 1-row candidate fold × 1-row sim-map fold —
         #   the single-row scalar-assembly join feeding the MMR aggregate

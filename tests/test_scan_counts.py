@@ -69,7 +69,8 @@ SCAN_CEILINGS = {
     "q_autocorr": 1,  # one (type, day) aggregate feeds window + moments
     "q_seasonal_baseline": 1,  # profile checkpointed; one scoring scan
     "q_behavior_entropy": 1,  # one count shuffle + user margin window
-    "q_split_balance": 1,  # one (label, side) count; margins over 2L cells
+    "q_split_balance": 0,  # (label, side) counts checkpointed; spine +
+    #   margins reuse them (zero-cell spine fix, round 7)
     "q_classifier_report": 0,  # confusion matrix checkpointed; 3 margins reuse
     "q_skew_report": 1,  # one count shuffle; windows over the key frame
     "q_vocab_growth": 2,  # token-decile + first-occurrence aggregates
