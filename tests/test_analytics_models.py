@@ -733,3 +733,112 @@ def test_split_balance_includes_one_sided_labels(spark, tmp_path):
     [r] = registry.queries()["q_split_balance"](spark, str(tmp_path)).collect()
     assert (r["dof"], r["n_rows"]) == (dof, n)
     assert abs(r["chi2"] - chi2) < TOL
+
+
+# ---------------------------------------------------------------------------
+# tranche 8: PMI collocations, rolling median, seasonal profile, anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_match_counter_pmi(spark, docs):
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _, t in zip(docs.doc_id, docs.text):
+        w = _toks(t)
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+    n, b = sum(uni.values()), sum(big.values())
+    scored = []
+    for (w1, w2), c in big.items():
+        if c < 5:
+            continue
+        pmi = round(
+            round(math.log2(c), 12)
+            - round(math.log2(b), 12)
+            - round(math.log2(uni[w1]), 12)
+            - round(math.log2(uni[w2]), 12)
+            + 2 * round(math.log2(n), 12),
+            9,
+        )
+        scored.append((w1, w2, c, pmi))
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = scored[:20]
+    rows = registry.queries()["q_collocations"](spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    got = sorted(
+        [(r["w1"], r["w2"], r["n_pair"], r["pmi"]) for r in rows],
+        key=lambda r: (-r[3], r[0], r[1]),
+    )
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) < TOL
+
+
+def test_rolling_median_matches_python_frames(spark, events):
+    rows = {r["event_id"]: r for r in
+            registry.queries()["q_rolling_median"](spark, SF_DIR).collect()}
+    assert len(rows) == len(events)
+    for _, grp in events.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"]).reset_index()
+        for i in range(len(g)):
+            frame = [
+                v for v in g.value[max(0, i - 4) : i + 1] if not pd.isna(v)
+            ]
+            frame.sort()
+            n = len(frame)
+            if n == 0:
+                want = None
+            elif n % 2 == 1:
+                want = frame[n // 2]
+            else:
+                want = (frame[n // 2 - 1] + frame[n // 2]) / 2.0
+            got = rows[g.event_id[i]]["med5"]
+            if want is None:
+                assert got is None
+            else:
+                assert abs(got - want) < TOL
+
+
+def test_seasonal_baseline_matches_profile_join(spark, events):
+    prof: dict = {}
+    for (et, hr), grp in events.groupby([events.event_type, events.ts.dt.hour]):
+        prof[(et, hr)] = grp.value.sum() / len(grp)  # SUM skips NULL, n counts all
+    rows = registry.queries()["q_seasonal_baseline"](spark, SF_DIR).collect()
+    assert len(rows) == len(events)
+    vals = dict(zip(events.event_id, events.value))
+    for r in rows:
+        want = prof[(r["event_type"], r["hr"])]
+        assert abs(r["expected"] - want) < TOL
+        v = vals[r["event_id"]]
+        if pd.isna(v):
+            assert r["residual"] is None
+        else:
+            assert abs(r["residual"] - (v - want)) < 1e-5
+
+
+def test_top_anomalies_match_population_zscores(spark, events):
+    stats: dict = {}
+    for (et, hr), grp in events.groupby([events.event_type, events.ts.dt.hour]):
+        n = float(len(grp))  # counts NULL-value rows too (COUNT(*))
+        sx = float(grp.value.sum())
+        sxx = float((grp.value**2).sum())
+        if n >= 2 and n * sxx > sx * sx:
+            mu = sx / n
+            sd = math.sqrt((n * sxx - sx * sx) / (n * n))
+            stats[(et, hr)] = (mu, sd)
+    scored = []
+    for eid, et, ts, v in zip(
+        events.event_id, events.event_type, events.ts, events.value
+    ):
+        key = (et, ts.hour)
+        if key in stats and not pd.isna(v):
+            mu, sd = stats[key]
+            scored.append((eid, round((v - mu) / sd, 9)))
+    scored.sort(key=lambda r: (-abs(r[1]), r[0]))
+    want = {eid: (z, i + 1) for i, (eid, z) in enumerate(scored[:20])}
+    rows = registry.queries()["q_top_anomalies"](spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        z, rnk = want[r["event_id"]]
+        assert r["rnk"] == rnk
+        assert abs(r["z"] - z) < TOL
