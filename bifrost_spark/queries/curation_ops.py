@@ -299,7 +299,7 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors it read (the same bounded-partials argument as the PCA moments
     pass).  Output is |labels|·d rows — flat scalars, no arrays.
 
-    Determinism: element sums accumulate in {_DEC_EMB} (order-independent);
+    Determinism: element sums accumulate in DECIMAL(32,16) (order-independent);
     the mean divides two exact values and is rounded at 9 dp, far above
     the cross-engine decimal-cast drift documented on _DEC_EMB.  NULL
     embeddings contribute no rows (posexplode of NULL), matching the
@@ -371,12 +371,12 @@ def q_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion rate: the standard correction that stops a 1/1 arm from
     outranking a 900/1000 arm — how any ranking over low-trial binomial
     rates (arms, sellers, documents-by-click) should be ordered.  Arm =
-    ``user_id % {_WILSON_VARIANTS}`` (deterministic assignment stand-in);
+    ``user_id % 16`` (deterministic assignment stand-in);
     success = a purchase event.  Events without a user can't be assigned
     an arm and are excluded on both engines (the q_ks_drift NULL-ordering
     discipline).
 
-    Scale shape: one hash aggregate (map-side combinable) to {_WILSON_VARIANTS}
+    Scale shape: one hash aggregate (map-side combinable) to 16
     arm rows; the scoring and final rank run over that bounded arm table —
     the single-partition stage is bounded by the modulus, never the event
     volume.
@@ -1352,9 +1352,9 @@ def q_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: everything quadratic is bounded by the TOP-K CONTRACT,
     never the corpus — relevance comes from the already-bounded rerank
-    shortlist (≤{_MMR_SHORTLIST} docs, broadcast-semi-joined to fetch
+    shortlist (≤12 docs, broadcast-semi-joined to fetch
     just their texts), pairwise word-set Jaccard is a self-join over
-    those ≤{_MMR_SHORTLIST} docs' distinct words, and the greedy runs as
+    those ≤12 docs' distinct words, and the greedy runs as
     ONE single-row higher-order F.aggregate fold over k steps — fully
     engine-side, no driver loop, no per-step job.  The one
     BroadcastNestedLoopJoin is the 1-row × 1-row scalar assembly of the

@@ -223,10 +223,9 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               * (CAST(n1 + n2 AS DOUBLE)
                                                  - 1.0)))), 9) + 0.0
                END AS z,
-               round(1.0 - (CAST(r2x1 AS DOUBLE)
-                              - CAST(n1 AS DOUBLE)
-                                * (CAST(n1 AS DOUBLE) + 1.0))
-                           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9)
+               round((CAST(r2x1 AS DOUBLE)
+                        - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+                       / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - 1.0, 9)
                  + 0.0 AS r_rb
         FROM s WHERE n1 > 0 AND n2 > 0
     """,
@@ -237,8 +236,9 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonparametric alternative to the t-test when the metric is skewed
     (document lengths always are).  Reports U for the English side, the
     tie-corrected normal z (the large-sample approximation every stats
-    package uses), and the rank-biserial effect size r = 1 - 2U/(n1*n2)
-    (Cureton 1956).  Docs with NULL text or NULL n_chars are excluded on
+    package uses), and the rank-biserial effect size r = 2U/(n1*n2) - 1
+    (Cureton 1956; the group-1 convention — POSITIVE when English
+    documents tend to rank longer).  Docs with NULL text or NULL n_chars are excluded on
     both engines; either cohort empty → no row (U is undefined).
 
     Scale shape: ONE map-side-combined aggregate to the DISTINCT-VALUE
@@ -308,7 +308,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z"),
         (
-            F.round(F.lit(1.0) - F.lit(2.0) * u1 / (n1d * n2d), 9) + F.lit(0.0)
+            F.round(F.lit(2.0) * u1 / (n1d * n2d) - F.lit(1.0), 9) + F.lit(0.0)
         ).alias("r_rb"),
     )
 
@@ -485,18 +485,18 @@ _CHI2_MIN_DF = 5
 def q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared keyword-label association (Yang & Pedersen 1997): for
     every token, the 2x2 chi-square between "document contains the token"
-    and "document is English", reported as the top-{_CHI2_TOPK} give-away
+    and "document is English", reported as the top-30 give-away
     tokens — the classic feature-selection / label-leakage screen a
     curation team runs before training a quality classifier.  Document
     frequency (distinct per doc), not term frequency; tokens under
-    {_CHI2_MIN_DF} total df are noise and excluded, as are degenerate
+    5 total df are noise and excluded, as are degenerate
     margins (a token in EVERY document, or an empty cohort).
 
     Scale shape: per-doc distinct tokens are scan-local (array_distinct),
     ONE (token) hash aggregate carries both cohort dfs (|vocab| rows),
     the 2-scalar doc totals broadcast back, and the top-k is
     TakeOrdered — never a global sort; the only single-partition window
-    ranks the {_CHI2_TOPK} surviving rows.  The shared base frame is
+    ranks the 30 surviving rows.  The shared base frame is
     checkpointed so totals and dfs don't rescan the corpus.
 
     Determinism: a, b and the margins are exact integers; chi2 =
@@ -782,19 +782,19 @@ _BH_ALPHA = 0.05
     """,
 )
 def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benjamini-Hochberg step-up FDR control (1995) over {_BH_ARMS}
+    """Benjamini-Hochberg step-up FDR control (1995) over 16
     simultaneous per-arm tests — the multiple-comparisons discipline an
     experimentation platform applies before declaring any arm "different"
     (at m=16 arms, alpha=0.05 per test yields ~0.56 familywise false-
     positive odds; BH caps the FALSE DISCOVERY RATE instead).  Each arm
-    (user_id % {_BH_ARMS}) gets a 3-category chi-square homogeneity test
+    (user_id % 16) gets a 3-category chi-square homogeneity test
     of its event-outcome mix (purchase / click / other) against the
     pooled mix — df = 2, whose survival function is the CLOSED FORM
     exp(-x/2): exact p-values with no erf/gamma special function on
     either engine.  Events without a user can't be assigned an arm and
     are excluded on both engines.
 
-    Scale shape: one hash aggregate (map-side combined) to {_BH_ARMS} arm
+    Scale shape: one hash aggregate (map-side combined) to 16 arm
     rows; totals, scoring, ranking, and the step-up running minimum all
     run over that bounded arm table — every single-partition stage is
     bounded by the modulus, never the event volume (the q_ctr_wilson
@@ -1042,7 +1042,7 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: Q = (k-1)(k*sum(C_j^2) - T^2) / (k*T - sum(R_i^2)) is
     integer algebra up to one IEEE division, rounded at 9 dp; the
-    degenerate denominator (every doc unanimous — all R_i in {{0, k}})
+    degenerate denominator (every doc unanimous — all R_i in {0, k})
     is an exact integer condition and yields NULL on both engines."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks_lower = F.split(F.lower("text"), " ", -1)

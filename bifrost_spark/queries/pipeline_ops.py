@@ -757,7 +757,10 @@ def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(c.o) OVER () AS n
           FROM spine c
         )
-        SELECT CAST(COUNT(DISTINCT label) - 1 AS BIGINT) AS dof,
+        -- dof counts label GROUPS (NULL label included — the spine
+        -- folds its cells, so the statistic's df must count it too):
+        -- margins has exactly |label groups| x |sides| rows
+        SELECT CAST(COUNT(*) / COUNT(DISTINCT side) - 1 AS BIGINT) AS dof,
                CAST(MIN(n) AS BIGINT) AS n_rows,
                round(CAST(SUM(CAST(round(
                    (o - row_tot * col_tot * 1.0 / n)
@@ -826,7 +829,12 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(28,12)"
     )
     return margins.agg(
-        (F.count_distinct("label") - 1).cast("bigint").alias("dof"),
+        # label GROUPS incl. NULL (ADVICE r7): the spine folds the
+        # NULL-label row's cells, so dof must count that group — rows in
+        # the margins grid are exactly |label groups| x |sides|
+        (F.count(F.lit(1)) / F.count_distinct("side") - 1)
+        .cast("bigint")
+        .alias("dof"),
         F.min("n").cast("bigint").alias("n_rows"),
         F.round(F.sum(addend).cast("double"), 9).alias("chi2"),
     )

@@ -950,7 +950,7 @@ _QSK_PCTS = (50, 90, 99)
 def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile-sketch rollup — the q_hll_rollup twin for
     percentiles (VERDICT r6 item 5c): per-day equi-depth sketches
-    ({_QSK_K} weighted summary points: each bucket's right-edge value
+    (64 weighted summary points: each bucket's right-edge value
     carrying the bucket's row count) merged to per-week p50/p90/p99 by
     weighted rank, WITHOUT rescanning raw events.  This is the pattern
     that makes 100 TB latency/size dashboards incremental: store the K
@@ -961,8 +961,8 @@ def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the daily sketch is one window pass partitioned by day
     (rank + count; the shuffle carries (day,value) pairs once) followed
-    by a groupBy to day·{_QSK_K} rows; the weekly merge then works on
-    days·{_QSK_K} rows only.  At 100 TB the window stage is the scan-
+    by a groupBy to day·64 rows; the weekly merge then works on
+    days·64 rows only.  At 100 TB the window stage is the scan-
     bound step, and day-partitioned parquet makes it partition-local.
 
     Determinism: bucket assignment is pure integer arithmetic

@@ -36,79 +36,74 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The external correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order, so ordering is part of the driver contract.  Queries
 # named here are yielded first (in this order); everything else follows in
-# registration order.  Round 7 window (VERDICT r6 item 1): the 17 round-2
-# leftovers rolled from round 6 (oracle-checked ids first — q_fuzzy_join
-# leads because its blocking key was rewritten this round; the rows-only
-# dedup/sketch ids ALSO carry round-6 semantic changes to
-# minhash_signatures' content-free filter, ADVICE r6 item 4), then any NEW
-# round-7 operators (each new id lands in its own round's window), then the
-# round-3 cohort, oracle ids first.  Rolled to round 8: the round-3
-# TPC-H tail (q_tpch02–q_tpch21, displaced one-for-one as new round-7 ids
-# were inserted above them), q_lm_score / q_gap_fill / q_percentile_cont /
-# q_join_skew_salted / q_triangle_count (displaced by the second round-7
-# batch), and the round-3 rows-only sketch ids (q_hll_rollup,
-# q_decontaminate_fuzzy, q_theta_overlap, q_heavy_hitters,
-# q_dedup_semantic, q_sim_ann_ivfpq).  ROUND-8 WINDOW PLAN: those ~31
-# rolled ids first (oracle ids before rows-only), any new round-8 ids
-# next, then the stalest round-4 standing rows to fill 50.
+# registration order.  Round 8 window (VERDICT r7 item 1): the 31 ids whose
+# standing rows date from round 3 — the TPC-H tail q_tpch02..q_tpch21,
+# q_join_skew_salted / q_triangle_count / q_lm_score / q_gap_fill /
+# q_percentile_cont, and the round-3 rows-only sketch ids — oracle ids
+# before rows-only, then any NEW round-8 ids (each new id lands in its own
+# round's window), then the stalest round-4 standing rows to fill 50.
+# Rolled to round 9: the remaining round-4 cohort (relational core beyond
+# the fills below, the dedup/web family, q_tpch22 and the dsir ids).
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Round-2 leftovers: oracle-checked misc-relational/expression ids
-    "q_fuzzy_join",
-    "q_sql_api",
-    "q_variant",
-    "q_udaf_pandas",
-    "q_collect_sorted",
-    "q_token_count",
-    "q_fingerprint",
-    "q_pii_redact",
-    "q_repetition",
-    "q_sample_mixture",
-    # Round-2 leftovers: rows-only sketch/media ids (q_dedup_minhash /
-    # q_dedup_simhash re-prove the round-6 content-free signature filter)
-    "q_agg_approx_quantile",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_sim_ann_ivf",
-    "q_sim_ann_lsh",
-    # NEW round-7 operators — every new id lands in its own round's window
-    "q_dup_flow_matrix",
-    "q_rerank_mmr",
-    "q_centroid_drift",
-    "q_quantile_sketch_rollup",
-    "q_trimmed_mean",
-    "q_fleiss_kappa",
-    # NEW round-7 operators, second batch (eval_stats family)
-    "q_mcnemar",
-    "q_mann_whitney",
-    "q_js_divergence",
-    "q_chi2_keywords",
-    "q_spearman_corr",
-    "q_bh_fdr",
-    "q_gini_users",
-    "q_cochran_q",
-    "q_cramers_v",
-    # Round-3 cohort: analytics/pipeline oracle ids (most behavior-coupled
-    # to ongoing work first), then TPC-H in query order
-    "q_pipeline_e2e",
-    "q_stratified_sample",
-    "q_dataset_split",
-    "q_dataset_split_grouped",
-    "q_gopher_rules",
-    "q_ewma",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_scd2",
-    "q_merge_upsert",
-    "q_running_distinct",
-    "q_interval_merge",
-    "q_seq_pattern",
-    "q_pagerank",
-    "q_outlier_iqr",
-    "q_ab_test",
-    "q_bloom_prune",
-    "q_recursive_cte",
+    # Round-3 rolled cohort, oracle ids first: the TPC-H tail in query
+    # order (standing rows date from round 3)
+    "q_tpch02",
+    "q_tpch03",
+    "q_tpch04",
+    "q_tpch05",
+    "q_tpch06",
+    "q_tpch07",
+    "q_tpch08",
+    "q_tpch09",
+    "q_tpch10",
+    "q_tpch11",
+    "q_tpch12",
+    "q_tpch13",
+    "q_tpch14",
+    "q_tpch15",
+    "q_tpch16",
+    "q_tpch17",
+    "q_tpch18",
+    "q_tpch19",
+    "q_tpch20",
+    "q_tpch21",
+    # Round-3 rolled cohort: remaining oracle ids
+    "q_join_skew_salted",
+    "q_triangle_count",
+    "q_lm_score",
+    "q_gap_fill",
+    "q_percentile_cont",
+    # Round-3 rolled cohort: rows-only sketch ids (local accuracy gates
+    # stand in for the hash check — recall/precision/rank-error)
+    "q_hll_rollup",
+    "q_decontaminate_fuzzy",
+    "q_theta_overlap",
+    "q_heavy_hitters",
+    "q_dedup_semantic",
+    "q_sim_ann_ivfpq",
+    # NEW round-8 operators land here (each new id must sit in its own
+    # round's window) — r4 staleness fills below shrink one-for-one as
+    # they do
+    # Round-4 staleness fills (stalest standing rows, registration order)
+    "q_scan_events",
+    "q_filter_pushdown",
+    "q_project_expr",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_agg_hash",
+    "q_agg_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_window_rank",
+    "q_window_running",
+    "q_sort_limit",
+    "q_set_ops",
+    "q_scalar_funcs",
+    "q_json_extract",
+    "q_array_ops",
 )
 
 

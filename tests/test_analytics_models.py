@@ -679,8 +679,9 @@ def _split_balance_model(pairs) -> tuple:
         for s in sides:
             e = row[l] * col[s] / n
             chi2 += round((cells[(l, s)] - e) ** 2 / e, 12)
-    n_labels = len([l for l in labels if l is not None])
-    return n_labels - 1, n, chi2
+    # dof counts label GROUPS — a NULL label forms a real group whose
+    # cells the spine folds (ADVICE r7): len(labels) includes None
+    return len(labels) - 1, n, chi2
 
 
 def test_split_balance_matches_numpy_contingency(spark, embeddings):
@@ -690,6 +691,41 @@ def test_split_balance_matches_numpy_contingency(spark, embeddings):
     ]
     dof, n, chi2 = _split_balance_model(pairs)
     [r] = registry.queries()["q_split_balance"](spark, SF_DIR).collect()
+    assert (r["dof"], r["n_rows"]) == (dof, n)
+    assert abs(r["chi2"] - chi2) < TOL
+
+
+def test_split_balance_counts_null_label_group_in_dof(spark, tmp_path):
+    """Regression for ADVICE r7 item 3: the spine deliberately folds the
+    NULL-label row's cells into chi2 (eqNullSafe / IS NOT DISTINCT FROM),
+    so dof must count that group too — COUNT(DISTINCT label) silently
+    dropped it, understating dof by 1 whenever NULL labels exist."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, f), os.path.join(tmp_path, f))
+    os.unlink(os.path.join(tmp_path, "embeddings.parquet"))
+    vec_ids = list(range(24))
+    labels = [0] * 10 + [1] * 8 + [None] * 6
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0, 0.0, 0.0]] * len(vec_ids),
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    pairs = [(l, _split_side(v)) for v, l in zip(vec_ids, labels)]
+    dof, n, chi2 = _split_balance_model(pairs)
+    assert dof == 2  # three label groups {0, 1, NULL} minus one
+    [r] = registry.queries()["q_split_balance"](spark, str(tmp_path)).collect()
     assert (r["dof"], r["n_rows"]) == (dof, n)
     assert abs(r["chi2"] - chi2) < TOL
 
@@ -842,3 +878,90 @@ def test_top_anomalies_match_population_zscores(spark, events):
         z, rnk = want[r["event_id"]]
         assert r["rnk"] == rnk
         assert abs(r["z"] - z) < TOL
+
+
+# ---------------------------------------------------------------------------
+# tranche 9 (round 8, VERDICT r7 item 2): Pearson corr, PageRank, trimmed
+# mean, EWMA recursion, interpolated percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_corr_matches_numpy_pearson(spark, lineitem):
+    rows = registry.queries()["q_corr"](spark, SF_DIR).collect()
+    got = {r["l_returnflag"]: r["qty_price_corr"] for r in rows}
+    for flag, grp in lineitem.groupby("l_returnflag"):
+        x = grp.l_quantity.to_numpy(dtype=float)
+        y = grp.l_extendedprice.to_numpy(dtype=float) / 1000.0
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(got[flag] - want) < TOL
+
+
+def test_pagerank_matches_python_power_iteration(spark, events):
+    e = events.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    edges: Counter = Counter()
+    for _, grp in e.groupby("user_id", sort=False):
+        ets = list(grp.event_type)
+        for a, b in zip(ets, ets[1:]):
+            edges[(a, b)] += 1
+    outs: Counter = Counter()
+    for (a, _), c in edges.items():
+        outs[a] += c
+    nodes = sorted(set(events.event_type))
+    rank = {n: 0.2 for n in nodes}
+    for _ in range(5):
+        incoming = {n: 0.0 for n in nodes}
+        for (a, b), c in edges.items():
+            incoming[b] += rank[a] * (c / outs[a])
+        rank = {n: 0.03 + 0.85 * incoming[n] for n in nodes}
+    rows = registry.queries()["q_pagerank"](spark, SF_DIR).collect()
+    assert len(rows) == len(nodes)
+    for r in rows:
+        assert abs(r["pagerank"] - rank[r["node"]]) < 1e-5
+
+
+def test_trimmed_mean_matches_numpy_sorted_trim(spark, events):
+    rows = registry.queries()["q_trimmed_mean"](spark, SF_DIR).collect()
+    got = {r["event_type"]: (r["n_kept"], r["trimmed_mean"]) for r in rows}
+    ev = events[events.value.notna()]
+    for et, grp in ev.groupby("event_type"):
+        # trimming drops n//10 ranks off each end; tied values make the
+        # event_id tiebreak irrelevant to the kept-value MULTISET
+        v = np.sort(grp.value.to_numpy(dtype=float))
+        k = len(v) // 10
+        kept = v[k : len(v) - k]
+        n_kept, tm = got[et]
+        assert n_kept == len(kept)
+        assert abs(tm - kept.mean()) < TOL
+
+
+def test_ewma_matches_explicit_recursion(spark, events):
+    """Plain-Python EWMA_t = 0.2*x_t + 0.8*EWMA_{t-1} walk, NULLs skipped
+    (they emit the carried state, NULL while unseeded) — independent of
+    both the pandas-ewm kernel and the DuckDB recursive CTE."""
+    rows = registry.queries()["q_ewma"](spark, SF_DIR).collect()
+    got = {(r["user_id"], r["event_id"]): r["ewma"] for r in rows}
+    e = events.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    n_checked = 0
+    for uid, grp in e.groupby("user_id", sort=False):
+        state = None
+        for eid, v in zip(grp.event_id, grp.value):
+            if not pd.isna(v):
+                state = v if state is None else 0.2 * v + 0.8 * state
+            want = None if state is None else round(state, 9)
+            have = got[(uid, eid)]
+            if want is None:
+                assert have is None
+            else:
+                assert abs(have - want) < TOL
+            n_checked += 1
+    assert n_checked == len(rows)
+
+
+def test_percentile_cont_matches_numpy(spark, lineitem):
+    rows = registry.queries()["q_percentile_cont"](spark, SF_DIR).collect()
+    got = {r["l_returnflag"]: (r["q1"], r["q2"], r["q3"]) for r in rows}
+    for flag, grp in lineitem.groupby("l_returnflag"):
+        x = grp.l_quantity.to_numpy(dtype=float)
+        want = np.percentile(x, [25, 50, 75])  # linear interpolation
+        for g, w in zip(got[flag], want):
+            assert abs(g - w) < TOL

@@ -75,7 +75,8 @@ def test_mann_whitney_matches_bruteforce_pairs(spark, docs):
         (a[:, None] > b[None, :]).sum() + 0.5 * (a[:, None] == b[None, :]).sum()
     )
     n1, n2 = len(a), len(b)
-    r_rb = 1.0 - 2.0 * u1 / (n1 * n2)
+    # group-1 convention (ADVICE r7): positive when group 1 ranks HIGHER
+    r_rb = 2.0 * u1 / (n1 * n2) - 1.0
     # z via pandas average ranks (independent of the engine's 2x-rank fold)
     pooled = pd.Series(np.concatenate([a, b]))
     ranks = pooled.rank(method="average")

@@ -10,48 +10,44 @@ from bifrost_spark import registry
 
 WINDOW = 50
 
-# Round-7 hard targets (VERDICT r6 "Next round" item 1): the 17 ids whose
-# standing driver rows date from round 2 (q_fuzzy_join additionally carries
-# this round's blocking-key rewrite; q_dedup_minhash / q_dedup_simhash carry
-# round 6's content-free signature-filter change, ADVICE r6 item 4), PLUS
-# every round-7 addition (a new id must land in its own round's window so
-# the driver-unchecked backlog never re-grows).  The rest of the window is
-# staleness rotation over the round-3 cohort.
-ROUND7_MUST_COVER = {
-    "q_fuzzy_join",
-    "q_sql_api",
-    "q_variant",
-    "q_udaf_pandas",
-    "q_collect_sorted",
-    "q_token_count",
-    "q_fingerprint",
-    "q_pii_redact",
-    "q_repetition",
-    "q_sample_mixture",
-    "q_agg_approx_quantile",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_sim_ann_ivf",
-    "q_sim_ann_lsh",
-    # round-7 additions (curation/eval + sketch-rollup family)
-    "q_dup_flow_matrix",
-    "q_rerank_mmr",
-    "q_centroid_drift",
-    "q_quantile_sketch_rollup",
-    "q_trimmed_mean",
-    "q_fleiss_kappa",
-    # round-7 additions, second batch (eval_stats family)
-    "q_mcnemar",
-    "q_mann_whitney",
-    "q_js_divergence",
-    "q_chi2_keywords",
-    "q_spearman_corr",
-    "q_bh_fdr",
-    "q_gini_users",
-    "q_cochran_q",
-    "q_cramers_v",
+# Round-8 hard targets (VERDICT r7 "Next round" item 1): the 31 ids whose
+# standing driver rows date from round 3 — the TPC-H tail, the five other
+# round-3 oracle ids, and the round-3 rows-only sketch ids — PLUS every
+# round-8 addition (a new id must land in its own round's window so the
+# driver-unchecked backlog never re-grows).  The rest of the window is
+# staleness rotation over the round-4 cohort.
+ROUND8_MUST_COVER = {
+    "q_tpch02",
+    "q_tpch03",
+    "q_tpch04",
+    "q_tpch05",
+    "q_tpch06",
+    "q_tpch07",
+    "q_tpch08",
+    "q_tpch09",
+    "q_tpch10",
+    "q_tpch11",
+    "q_tpch12",
+    "q_tpch13",
+    "q_tpch14",
+    "q_tpch15",
+    "q_tpch16",
+    "q_tpch17",
+    "q_tpch18",
+    "q_tpch19",
+    "q_tpch20",
+    "q_tpch21",
+    "q_join_skew_salted",
+    "q_triangle_count",
+    "q_lm_score",
+    "q_gap_fill",
+    "q_percentile_cont",
+    "q_hll_rollup",
+    "q_decontaminate_fuzzy",
+    "q_theta_overlap",
+    "q_heavy_hitters",
+    "q_dedup_semantic",
+    "q_sim_ann_ivfpq",
 }
 
 
@@ -71,9 +67,9 @@ def test_window_is_check_priority_in_order():
     assert first == list(registry.CHECK_PRIORITY)
 
 
-def test_round7_targets_inside_window():
+def test_round8_targets_inside_window():
     window = set(list(registry.queries())[:WINDOW])
-    assert ROUND7_MUST_COVER <= window
+    assert ROUND8_MUST_COVER <= window
 
 
 def test_registered_outputs_are_scalar_only(spark, sf_dir):
