@@ -104,6 +104,15 @@ HEADLINE = [
     # the |vocab|-frame chi-square fold (the family's two heaviest shapes)
     "q_mann_whitney",
     "q_chi2_keywords",
+    # round-8 representatives: the two gram-heavy dedup/contamination
+    # shapes, the sketch-summary KS monitor, and the two heaviest
+    # statistics shapes (distinct-value-frame ranks; the median-dependent
+    # two-scan deviation fold)
+    "q_dup_span_ladder",
+    "q_contamination_drift",
+    "q_sketch_drift",
+    "q_kruskal_wallis",
+    "q_brown_forsythe",
 ]
 
 

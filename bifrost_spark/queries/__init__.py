@@ -16,3 +16,5 @@ import bifrost_spark.queries.llm_web  # noqa: F401
 import bifrost_spark.queries.pipeline_ops  # noqa: F401
 import bifrost_spark.queries.curation_ops  # noqa: F401
 import bifrost_spark.queries.eval_stats  # noqa: F401
+import bifrost_spark.queries.robust_stats  # noqa: F401
+import bifrost_spark.queries.monitor_ops  # noqa: F401

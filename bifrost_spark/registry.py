@@ -81,29 +81,30 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_heavy_hitters",
     "q_dedup_semantic",
     "q_sim_ann_ivfpq",
-    # NEW round-8 operators land here (each new id must sit in its own
-    # round's window) — r4 staleness fills below shrink one-for-one as
-    # they do
+    # NEW round-8 operators (each new id lands in its own round's window):
+    # the robust/nonparametric statistics family, the sequential
+    # monitoring family, and the two dedup/drift shapes from VERDICT r7
+    # item 4
+    "q_anova_f",
+    "q_cohens_d",
+    "q_kruskal_wallis",
+    "q_wilcoxon_signed_rank",
+    "q_kendall_tau",
+    "q_brown_forsythe",
+    "q_friedman_test",
+    "q_mad_outliers",
+    "q_sprt_monitor",
+    "q_cusum_drift",
+    "q_jackknife_variance",
+    "q_woe_iv",
+    "q_contamination_drift",
+    "q_dup_span_ladder",
+    "q_sketch_drift",
     # Round-4 staleness fills (stalest standing rows, registration order)
     "q_scan_events",
     "q_filter_pushdown",
     "q_project_expr",
     "q_join_inner",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_agg_hash",
-    "q_agg_distinct",
-    "q_rollup",
-    "q_cube",
-    "q_window_rank",
-    "q_window_running",
-    "q_sort_limit",
-    "q_set_ops",
-    "q_scalar_funcs",
-    "q_json_extract",
-    "q_array_ops",
 )
 
 

@@ -84,6 +84,17 @@ FUZZED_QUERIES = (
     "q_ewma",
     "q_quantile_sketch_rollup",
     "q_trimmed_mean",
+    # round-8 events-based statistics/monitoring family
+    "q_anova_f",
+    "q_wilcoxon_signed_rank",
+    "q_brown_forsythe",
+    "q_friedman_test",
+    "q_mad_outliers",
+    "q_sprt_monitor",
+    "q_cusum_drift",
+    "q_jackknife_variance",
+    "q_woe_iv",
+    "q_sketch_drift",
     "q_filter_pushdown",
     "q_funnel",
     "q_gini_users",
@@ -266,6 +277,12 @@ DOC_QUERIES = (
     "q_dup_flow_matrix",
     "q_dup_fraction",
     "q_dup_spans",
+    # round-8 documents-based statistics/dedup family
+    "q_cohens_d",
+    "q_kruskal_wallis",
+    "q_kendall_tau",
+    "q_contamination_drift",
+    "q_dup_span_ladder",
     "q_entropy",
     "q_explode_tokens",
     "q_feature_hash",

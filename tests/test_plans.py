@@ -185,6 +185,20 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_ndcg_eval",  # two ONE-ROW DCG/IDCG scalar aggregates joined
         "q_rerank_mmr",  # 1-row candidate fold × 1-row sim-map fold —
         #   the single-row scalar-assembly join feeding the MMR aggregate
+        # round-8 statistics/monitoring: 1-row totals / tie terms /
+        # baseline scalars broadcast onto bounded aggregate frames (k
+        # groups, 100 cells, 32 buckets, 10 bins, |days| rows) — the
+        # established scalar-fold shape; q_kendall_tau additionally
+        # self-joins its ≤100-cell frame (cell-pair mass, bounded by the
+        # 10x10 grid at ANY corpus size); q_sketch_drift replicates the
+        # ≤7·K-point baseline sketch per scoring day (|days| x K rows)
+        "q_kruskal_wallis",
+        "q_kendall_tau",
+        "q_friedman_test",
+        "q_cusum_drift",
+        "q_jackknife_variance",
+        "q_woe_iv",
+        "q_sketch_drift",
     }
     offenders = {}
     for name, plan in _all_plans(spark, sf_dir).items():
@@ -458,6 +472,20 @@ SINGLE_PARTITION_BUDGET = {
     "q_tpch20": 1,  # threshold scalar
     "q_tpch22": 1,  # avg-balance scalar
     "q_vocab_growth": 1,  # cumulative window over ≤10 corpus-decile rows
+    # Round-8 robust-stats family — every one-task stage is a fold over a
+    # bounded frame (k groups / distinct values / 100 cells), never facts
+    "q_anova_f": 1,  # k-row sum-of-squares fold
+    "q_cohens_d": 1,  # 2-cohort-row effect fold
+    "q_kruskal_wallis": 3,  # distinct-LENGTH cum window + k-row fold + tie fold
+    "q_wilcoxon_signed_rank": 1,  # cum window + fold over the distinct-|d| frame
+    "q_kendall_tau": 4,  # 100-cell pair fold + n/margin folds
+    "q_brown_forsythe": 1,  # k-row deviation-moment fold
+    "q_friedman_test": 3,  # k-row R_j fold + 1-row A4 fold + k scalar
+    "q_sprt_monitor": 1,  # cumulative walk over ≤|days| rows
+    "q_cusum_drift": 4,  # day window + 7-row baseline folds + 1-row recursion
+    "q_jackknife_variance": 7,  # 32-bucket folds: totals/theta/dot/dev chains
+    "q_woe_iv": 1,  # 10-bin totals fold
+    "q_sketch_drift": 3,  # min-week + day-grid folds over days x K summary rows
 }
 
 

@@ -48,6 +48,22 @@ ROUND8_MUST_COVER = {
     "q_heavy_hitters",
     "q_dedup_semantic",
     "q_sim_ann_ivfpq",
+    # round-8 additions (robust stats + monitoring + dedup/drift shapes)
+    "q_anova_f",
+    "q_cohens_d",
+    "q_kruskal_wallis",
+    "q_wilcoxon_signed_rank",
+    "q_kendall_tau",
+    "q_brown_forsythe",
+    "q_friedman_test",
+    "q_mad_outliers",
+    "q_sprt_monitor",
+    "q_cusum_drift",
+    "q_jackknife_variance",
+    "q_woe_iv",
+    "q_contamination_drift",
+    "q_dup_span_ladder",
+    "q_sketch_drift",
 }
 
 

@@ -138,6 +138,27 @@ FULL_SURFACE_SCANS = {
     "q_spearman_corr": 0,
     "q_bh_fdr": 0,
     "q_gini_users": 1,
+    # Round-8 robust-stats family: single-aggregate folds; kruskal/kendall
+    # checkpoint their bounded frames (0 final-plan scans); brown-forsythe
+    # and mad_outliers inherently re-scan for the median-dependent pass
+    "q_anova_f": 1,
+    "q_cohens_d": 1,
+    "q_kruskal_wallis": 0,
+    "q_wilcoxon_signed_rank": 1,
+    "q_kendall_tau": 0,
+    "q_brown_forsythe": 2,
+    "q_friedman_test": 1,
+    "q_mad_outliers": 2,
+    # Round-8 monitoring family: cusum/woe/jackknife fold over
+    # checkpointed bounded frames; contamination_drift mirrors
+    # q_contamination_report's 3 structural gram/join passes
+    "q_sprt_monitor": 1,
+    "q_cusum_drift": 0,
+    "q_jackknife_variance": 0,
+    "q_woe_iv": 0,
+    "q_contamination_drift": 3,
+    "q_dup_span_ladder": 1,
+    "q_sketch_drift": 0,
     "q_cochran_q": 1,
     "q_cramers_v": 0,
     "q_agg_approx_quantile": 1,
