@@ -965,3 +965,128 @@ def test_percentile_cont_matches_numpy(spark, lineitem):
         want = np.percentile(x, [25, 50, 75])  # linear interpolation
         for g, w in zip(got[flag], want):
             assert abs(g - w) < TOL
+
+
+# ---------------------------------------------------------------------------
+# tranche 11 (round 8): text-statistics family — lang-ID heuristic, quality
+# ratios, repetition, fertility, hapax, frequency spectrum, unigram surprisal
+# ---------------------------------------------------------------------------
+
+_SW = {"the", "a", "and", "of", "to", "in", "is", "on", "for", "with"}
+
+
+def test_lang_id_matches_python_stopword_rule(spark, docs):
+    rows = registry.queries()["q_lang_id"](spark, SF_DIR).collect()
+    got = {r["doc_id"]: (r["lang_label"], r["lang_pred"]) for r in rows}
+    assert len(got) == len(docs)
+    for did, lang, text in zip(docs.doc_id, docs.lang, docs.text):
+        if text is None:
+            want = "unk"
+        else:
+            hits = sum(1 for t in text.lower().split(" ") if t in _SW)
+            want = "en" if hits * 20 >= len(text.split(" ")) else "unk"
+        assert got[did] == (lang, want)
+
+
+def test_quality_score_matches_python_ratios(spark, docs):
+    import re
+
+    rows = registry.queries()["q_quality_score"](spark, SF_DIR).collect()
+    got = {
+        r["doc_id"]: (r["alpha_ratio"], r["stopword_ratio"], r["mean_token_len"])
+        for r in rows
+    }
+    d = docs[docs.text.notna() & (docs.text.str.len() > 0)]
+    assert len(got) == len(d)
+    for did, text in zip(d.doc_id, d.text):
+        alpha = len(re.sub("[^A-Za-z]", "", text)) / len(text)
+        toks = text.split(" ")
+        sw = sum(1 for t in text.lower().split(" ") if t in _SW) / len(toks)
+        mtl = len(text) / len(toks)
+        a, s, m = got[did]
+        assert abs(a - alpha) < TOL and abs(s - sw) < TOL and abs(m - mtl) < TOL
+
+
+def test_repetition_matches_python_bigram_counts(spark, docs):
+    rows = registry.queries()["q_repetition"](spark, SF_DIR).collect()
+    got = {r["doc_id"]: (r["n_bigrams"], r["dup_bigram_frac"]) for r in rows}
+    n_checked = 0
+    for did, text in zip(docs.doc_id, docs.text):
+        if text is None:
+            continue
+        toks = [t for t in text.lower().split(" ") if t != ""]
+        if len(toks) < 2:
+            continue
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        nb, frac = got[did]
+        assert nb == len(bigrams)
+        assert abs(frac - (1.0 - len(set(bigrams)) / len(bigrams))) < TOL
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_tokenizer_fertility_matches_python_totals(spark, docs):
+    rows = registry.queries()["q_tokenizer_fertility"](spark, SF_DIR).collect()
+    got = {r["lang"]: r for r in rows}
+    for lang, grp in docs.groupby("lang", dropna=False):
+        key = None if pd.isna(lang) else lang
+        toks = sum(
+            len([t for t in txt.split(" ") if t != ""])
+            for txt in grp.text if txt is not None
+        )
+        chars = int(sum(len(t) for t in grp.text if t is not None))
+        r = got[key]
+        assert (r["n_docs"], r["n_tokens"], r["n_chars"]) == (len(grp), toks, chars)
+        if toks:
+            assert abs(r["chars_per_token"] - chars / toks) < TOL
+
+
+def test_hapax_report_matches_counter_model(spark, docs):
+    rows = registry.queries()["q_hapax_report"](spark, SF_DIR).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["n_hapax"], r["hapax_frac"]) for r in rows}
+    n_checked = 0
+    for did, text in zip(docs.doc_id, docs.text):
+        if text is None:
+            continue
+        cnt = Counter(t for t in text.lower().split(" ") if t != "")
+        if not cnt:
+            continue
+        n = sum(cnt.values())
+        hap = sum(1 for c in cnt.values() if c == 1)
+        nt, nh, frac = got[did]
+        assert (nt, nh) == (n, hap)
+        assert abs(frac - hap / n) < TOL
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_freq_spectrum_matches_counter_of_counts(spark, docs):
+    corpus: Counter = Counter()
+    for text in docs.text:
+        if text is not None:
+            corpus.update(t for t in text.lower().split(" ") if t != "")
+    spectrum = Counter(corpus.values())
+    rows = registry.queries()["q_freq_spectrum"](spark, SF_DIR).collect()
+    assert {r["freq"]: r["n_types"] for r in rows} == dict(spectrum)
+
+
+def test_lm_score_matches_python_surprisal(spark, docs):
+    corpus: Counter = Counter()
+    per_doc: dict = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        if text is None:
+            continue
+        toks = [t for t in text.split(" ") if t != ""]
+        if toks:
+            per_doc[did] = toks
+            corpus.update(toks)
+    total = sum(corpus.values())
+    rows = registry.queries()["q_lm_score"](spark, SF_DIR).collect()
+    assert len(rows) == len(per_doc)
+    for r in rows:
+        toks = per_doc[r["doc_id"]]
+        want = math.log2(total) - sum(
+            round(math.log2(corpus[t]), 12) for t in toks
+        ) / len(toks)
+        assert r["n_tokens"] == len(toks)
+        assert abs(r["avg_neg_log2_p"] - want) < TOL
