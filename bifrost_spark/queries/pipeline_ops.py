@@ -759,8 +759,12 @@ def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         -- dof counts label GROUPS (NULL label included — the spine
         -- folds its cells, so the statistic's df must count it too):
-        -- margins has exactly |label groups| x |sides| rows
-        SELECT CAST(COUNT(*) / COUNT(DISTINCT side) - 1 AS BIGINT) AS dof,
+        -- margins has exactly |label groups| x |sides| rows.  An EMPTY
+        -- corpus has no sides at all — dof is undefined (NULL), and the
+        -- guard keeps the division off the 0/0 path (fuzzer finding)
+        SELECT CAST(CASE WHEN COUNT(DISTINCT side) > 0
+                         THEN COUNT(*) / COUNT(DISTINCT side) - 1
+                    END AS BIGINT) AS dof,
                CAST(MIN(n) AS BIGINT) AS n_rows,
                round(CAST(SUM(CAST(round(
                    (o - row_tot * col_tot * 1.0 / n)
@@ -831,8 +835,13 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margins.agg(
         # label GROUPS incl. NULL (ADVICE r7): the spine folds the
         # NULL-label row's cells, so dof must count that group — rows in
-        # the margins grid are exactly |label groups| x |sides|
-        (F.count(F.lit(1)) / F.count_distinct("side") - 1)
+        # the margins grid are exactly |label groups| x |sides|.  An
+        # empty corpus has zero sides: dof is NULL, never 0/0 (ANSI
+        # would throw; fuzzer finding)
+        F.when(
+            F.count_distinct("side") > 0,
+            F.count(F.lit(1)) / F.count_distinct("side") - 1,
+        )
         .cast("bigint")
         .alias("dof"),
         F.min("n").cast("bigint").alias("n_rows"),
