@@ -44,6 +44,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 # round's window), then the stalest round-4 standing rows to fill 50.
 # Rolled to round 9: the remaining round-4 cohort (relational core beyond
 # the fills below, the dedup/web family, q_tpch22 and the dsir ids).
+# ROUND-9 WINDOW PLAN: after this round's driver run the stalest standing
+# rows are the 45 round-4 ids not in the fills — q_join_left/semi/anti/
+# multiway, q_agg_hash/distinct, q_rollup/q_cube, the window/sort/set/
+# scalar/json/array relational core, q_dedup_exact, q_sim_topk,
+# q_text_stats, q_tpch22, the dsir trio, q_bm25, q_snapshot_diff, the
+# web-dedup family (q_url_dedup, q_dedup_paragraph, q_dedup_incremental),
+# q_hard_negatives, q_sim_ann_opq, q_quality_classifier, q_lm_bigram,
+# q_join_asof_tol, q_rolling_median, q_time_weighted_avg, q_bitwise_agg,
+# q_sliding_window, q_map_ops, q_integrity_check, q_zscore,
+# q_feature_hash, q_profile, q_zorder, q_percent_of_total,
+# q_lateral_topn, q_copurchase, q_dsir_weights_hires — those first
+# (oracle ids before rows-only q_sim_ann_opq), then new round-9 ids,
+# then stalest round-5 rows to fill 50.
 CHECK_PRIORITY: tuple[str, ...] = (
     # Round-3 rolled cohort, oracle ids first: the TPC-H tail in query
     # order (standing rows date from round 3)
