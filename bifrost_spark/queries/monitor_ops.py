@@ -64,6 +64,64 @@ _SPRT_A = 2.9444389791664403  # ln((1-beta)/alpha) = ln(19)
 _SPRT_B = -2.9444389791664403  # ln(beta/(1-alpha))
 
 
+def arm_b_daily_enrollments(ev: DataFrame) -> DataFrame:
+    """(day, n_day, c_day): arm-B users bucketed by FIRST event day with
+    their converted flag — the shared enrollment frame behind
+    q_sprt_monitor and the streaming monitor (streaming/sprt_monitor.py),
+    factored so both walks consume identical daily increments."""
+    first_hex = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
+    assign = ev.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 4
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+        F.first(F.when(first_hex % 2 == 0, "A").otherwise("B")).alias("variant"),
+    )
+    return (
+        assign.filter(F.col("variant") == "B")
+        .groupBy(F.col("first_day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_day"),
+            F.sum("converted").cast("bigint").alias("c_day"),
+        )
+    )
+
+
+def sprt_walk(daily: DataFrame, n_offset: int = 0, c_offset: int = 0) -> DataFrame:
+    """The Wald walk over a (day, n_day, c_day) frame: cumulative counts
+    (optionally continuing from prior totals) → llr → decision.  Shared
+    by the batch query and the streaming monitor so the recursion has ONE
+    spelling."""
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.select(
+        "day",
+        "n_day",
+        "c_day",
+        (F.sum("n_day").over(w) + F.lit(n_offset)).cast("bigint").alias("n_cum"),
+        (F.sum("c_day").over(w) + F.lit(c_offset)).cast("bigint").alias("c_cum"),
+    )
+    llr = F.col("c_cum") * F.lit(_SPRT_L1) + (
+        F.col("n_cum") - F.col("c_cum")
+    ) * F.lit(_SPRT_L0)
+    return walk.select(
+        "day",
+        "n_day",
+        "c_day",
+        "n_cum",
+        F.col("c_cum").alias("conv_cum"),
+        (F.round(llr, 9) + F.lit(0.0)).alias("llr"),
+        F.when(llr >= _SPRT_A, "accept_h1")
+        .when(llr <= _SPRT_B, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+
 @query(
     "q_sprt_monitor",
     oracle=f"""
@@ -129,46 +187,8 @@ def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so llr is integer·literal products + one add — bit-stable
     — rounded at 9 dp; decisions compare the same unrounded double to
     the same literals."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    first_hex = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
-    assign = ev.groupBy("user_id").agg(
-        F.min(F.date_trunc("day", "ts")).alias("first_day"),
-        F.when(
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 4
-            > F.count(F.lit(1)),
-            1,
-        )
-        .otherwise(0)
-        .alias("converted"),
-        F.first(F.when(first_hex % 2 == 0, "A").otherwise("B")).alias("variant"),
-    )
-    daily = (
-        assign.filter(F.col("variant") == "B")
-        .groupBy(F.col("first_day").alias("day"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_day"),
-            F.sum("converted").cast("bigint").alias("c_day"),
-        )
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    walk = daily.select(
-        "day",
-        F.sum("n_day").over(w).cast("bigint").alias("n_cum"),
-        F.sum("c_day").over(w).cast("bigint").alias("c_cum"),
-    )
-    llr = F.col("c_cum") * F.lit(_SPRT_L1) + (
-        F.col("n_cum") - F.col("c_cum")
-    ) * F.lit(_SPRT_L0)
-    return walk.select(
-        "day",
-        "n_cum",
-        F.col("c_cum").alias("conv_cum"),
-        (F.round(llr, 9) + F.lit(0.0)).alias("llr"),
-        F.when(llr >= _SPRT_A, "accept_h1")
-        .when(llr <= _SPRT_B, "accept_h0")
-        .otherwise("continue")
-        .alias("decision"),
-    )
+    ev = load_table(spark, sf_dir, "events")
+    return sprt_walk(arm_b_daily_enrollments(ev)).drop("n_day", "c_day")
 
 
 # ---------------------------------------------------------------------------

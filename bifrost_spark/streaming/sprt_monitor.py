@@ -1,0 +1,92 @@
+"""Streaming SPRT experiment monitor: per micro-batch of enrollment
+outcomes, continue Wald's sequential walk from the totals already
+emitted — the always-on deployment of ``q_sprt_monitor``
+(queries/monitor_ops.py), completing the batch↔streaming pairing family
+(centroid_drift, sketch_drift, and now the sequential-decision monitor).
+
+State device (NEW in this family): unlike the drift monitors, the SPRT
+is inherently CUMULATIVE — batch N's llr needs every prior batch's
+counts.  Instead of a state store, the running totals live in the
+monitor's OWN OUTPUT: each emit writes per-day rows carrying both the
+day increments (n_day, c_day) and the cumulative columns, partitioned by
+batch_id; the next batch recovers its offsets by summing the increments
+over partitions with ``batch_id < N`` only.  That restriction is what
+makes replay exactly-once: a re-run of batch N reads the same prior
+partitions (its own half-written output is excluded by the predicate)
+and the dynamic-overwrite sink rewrites batch_id=N in place.
+
+Ordering contract: each micro-batch is USER-COMPLETE (a user's whole
+event history arrives in one batch — the "observation window closed"
+delivery every outcome-attribution pipeline uses, since a user's
+converted flag is undefined until their window closes) and batches
+arrive in nondecreasing entry-day order.  A late enrollment would
+belong to an already-emitted day and is a backfill correction, not a
+monitor update.
+
+Determinism mirrors q_sprt_monitor: counts are exact integers, the llr
+multiplies them by PRECOMPUTED log literals (shared constants, one
+spelling in monitor_ops.sprt_walk), decisions compare the same unrounded
+double — a replayed batch emits identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from bifrost_spark.queries.monitor_ops import arm_b_daily_enrollments, sprt_walk
+
+
+def batch_sprt_update(
+    batch: DataFrame, n_offset: int, c_offset: int
+) -> DataFrame:
+    """One micro-batch of raw events → its arm-B daily enrollment
+    increments walked forward from the prior totals."""
+    return sprt_walk(arm_b_daily_enrollments(batch), n_offset, c_offset)
+
+
+def prior_totals(spark, output_path: str, batch_id: int) -> tuple[int, int]:
+    """(n, c) already walked: the sum of day increments over output
+    partitions with batch_id strictly below the current one — re-running
+    batch N therefore never reads its own partial output."""
+    try:
+        out = spark.read.parquet(output_path)
+    except Exception:  # first batch: no output yet
+        return 0, 0
+    row = (
+        out.filter(F.col("batch_id") < batch_id)
+        .agg(
+            F.coalesce(F.sum("n_day"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("c_day"), F.lit(0)).alias("c"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["c"])
+
+
+def start_sprt_monitor(
+    stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Start the monitor on a stream of raw events: each micro-batch
+    derives its enrollment increments, continues the walk from the
+    output-carried totals, and emits per-day decision rows to the
+    batch_id-partitioned replay-idempotent sink."""
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from bifrost_spark.streaming._sink import write_batch_partition
+
+        n0, c0 = prior_totals(batch.sparkSession, output_path, batch_id)
+        write_batch_partition(
+            batch_sprt_update(batch, n0, c0), batch_id, output_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
