@@ -970,33 +970,15 @@ def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-day rank, the merge orders by (value, day, bucket) — a total
     order, values being raw parquet doubles compared bit-identically —
     and quantile selection is the integer threshold 100·cum ≥ pct·total.
-    No float is ever computed, only routed."""
+    No float is ever computed, only routed.
+
+    The daily sketch is the SHARED ``daily_value_sketch`` helper — one
+    spelling for this rollup, q_sketch_drift, and the streaming monitor
+    (streaming/sketch_drift.py), so their by-construction parity cannot
+    drift apart under edits (ADVICE r8)."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    base = ev.select(
-        F.date_trunc("day", "ts").alias("day"),
-        F.date_trunc("week", "ts").cast("date").alias("week"),
-        "value",
-        "event_id",
-    )
-    wday = Window.partitionBy("day")
-    base = base.select(
-        "day",
-        "week",
-        "value",
-        F.row_number().over(wday.orderBy("value", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(wday).alias("n"),
-    )
-    sk = (
-        base.withColumn("bucket", F.expr(f"((rn - 1) * {_QSK_K}) DIV n"))
-        .groupBy("day", "bucket")
-        .agg(
-            F.min("week").alias("week"),
-            F.max_by("value", "rn").alias("pv"),
-            F.count(F.lit(1)).cast("bigint").alias("w"),
-        )
-    )
+    sk = daily_value_sketch(load_table(spark, sf_dir, "events"))
     wweek = Window.partitionBy("week")
     merged = sk.select(
         "week",

@@ -41,15 +41,22 @@ from bifrost_spark.queries.scale_ops import (
 def fit_baseline_sketch(df: DataFrame) -> DataFrame:
     """Baseline (pv, wb) sketch from a batch frame (e.g. the standing
     first week): per-day sketches merged by point value — exactly the
-    merge q_sketch_drift applies to its minimum-week days.  Materialized
-    so every micro-batch probes the artifact instead of re-deriving it
-    (Catalyst re-runs the window pass per batch otherwise)."""
-    return (
+    merge q_sketch_drift applies to its minimum-week days.
+
+    The fitted sketch is ≤7·K summary rows, so it is COLLECTED to the
+    driver and re-created as a local relation rather than
+    localCheckpoint-ed: checkpoint blocks live on executors with
+    truncated lineage, and for an always-on monitor a single executor
+    loss would make the baseline unrecoverable and fail every subsequent
+    micro-batch (ADVICE r8).  A local relation is broadcast-able,
+    survives executor churn, and round-trips losslessly (exact integer
+    weights, raw double point values)."""
+    agg = (
         daily_value_sketch(df)
         .groupBy("pv")
         .agg(F.sum("w").cast("bigint").alias("wb"))
-        .localCheckpoint(eager=True)
     )
+    return df.sparkSession.createDataFrame(agg.collect(), agg.schema)
 
 
 def batch_sketch_drift(batch: DataFrame, baseline: DataFrame) -> DataFrame:

@@ -46,23 +46,45 @@ def batch_sprt_update(
     return sprt_walk(arm_b_daily_enrollments(batch), n_offset, c_offset)
 
 
-def prior_totals(spark, output_path: str, batch_id: int) -> tuple[int, int]:
-    """(n, c) already walked: the sum of day increments over output
-    partitions with batch_id strictly below the current one — re-running
-    batch N therefore never reads its own partial output."""
-    try:
-        out = spark.read.parquet(output_path)
-    except Exception:  # first batch: no output yet
-        return 0, 0
+def _output_exists(spark, output_path: str) -> bool:
+    """Explicit existence probe for the monitor's own output directory.
+
+    The missing-path case (first batch ever) is the ONLY read failure
+    that may legally reset the cumulative walk to (0, 0); any other read
+    error (transient FS fault, corrupt file) must propagate so the
+    micro-batch fails and retries instead of silently restarting the
+    SPRT from zero and persisting wrong llr/decision rows (ADVICE r8)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(output_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
+def _prior_state(
+    spark, output_path: str, batch_id: int
+) -> tuple[int, int, object]:
+    """(n, c, max_day) over output partitions with batch_id strictly
+    below the current one — re-running batch N therefore never reads its
+    own partial output."""
+    if not _output_exists(spark, output_path):  # first batch: no output yet
+        return 0, 0, None
     row = (
-        out.filter(F.col("batch_id") < batch_id)
+        spark.read.parquet(output_path)
+        .filter(F.col("batch_id") < batch_id)
         .agg(
             F.coalesce(F.sum("n_day"), F.lit(0)).alias("n"),
             F.coalesce(F.sum("c_day"), F.lit(0)).alias("c"),
+            F.max("day").alias("max_day"),
         )
         .collect()[0]
     )
-    return int(row["n"]), int(row["c"])
+    return int(row["n"]), int(row["c"]), row["max_day"]
+
+
+def prior_totals(spark, output_path: str, batch_id: int) -> tuple[int, int]:
+    """(n, c) already walked — see ``_prior_state``."""
+    n, c, _ = _prior_state(spark, output_path, batch_id)
+    return n, c
 
 
 def start_sprt_monitor(
@@ -80,10 +102,30 @@ def start_sprt_monitor(
             return
         from bifrost_spark.streaming._sink import write_batch_partition
 
-        n0, c0 = prior_totals(batch.sparkSession, output_path, batch_id)
-        write_batch_partition(
-            batch_sprt_update(batch, n0, c0), batch_id, output_path
+        n0, c0, max_day = _prior_state(
+            batch.sparkSession, output_path, batch_id
         )
+        update = batch_sprt_update(batch, n0, c0)
+        if max_day is not None:
+            # Multiply-consumed below (guard agg + sink write): pin it so
+            # the enrollment derivation runs once per micro-batch.
+            update = update.localCheckpoint(eager=True)
+            # Enforce the documented ordering contract (ADVICE r8): a
+            # batch whose earliest entry day does not strictly follow the
+            # last emitted day is a backfill for an already-walked day —
+            # appending it would produce non-monotone duplicate-day
+            # cumulative rows, so reject it instead of corrupting the
+            # walk.  Replay of batch N is unaffected: max_day comes from
+            # batch_id < N partitions only.
+            min_day = update.agg(F.min("day").alias("d")).collect()[0]["d"]
+            if min_day is not None and min_day <= max_day:
+                raise ValueError(
+                    f"sprt_monitor: batch {batch_id} contains entry day "
+                    f"{min_day} <= last emitted day {max_day}; late "
+                    "enrollments are backfill corrections, not monitor "
+                    "updates (ordering contract)"
+                )
+        write_batch_partition(update, batch_id, output_path)
 
     return (
         stream.writeStream.foreachBatch(_emit)

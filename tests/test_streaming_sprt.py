@@ -141,6 +141,50 @@ def test_multi_batch_offsets_continue_the_walk(spark, tmp_path):
     assert _rows(emitted) == _twin_rows(spark, sf)
 
 
+def test_missing_output_is_first_batch_but_corrupt_output_raises(
+    spark, tmp_path
+):
+    """ADVICE r8: ONLY the missing-path case may reset the walk to (0,0).
+    An existing-but-unreadable output must propagate, never silently
+    restart the SPRT from zero."""
+    assert prior_totals(spark, str(tmp_path / "never_written"), 5) == (0, 0)
+    bad = tmp_path / "bad_out"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        prior_totals(spark, str(bad), 5)
+
+
+def test_backfill_batch_is_rejected(spark, tmp_path):
+    """ADVICE r8: a micro-batch whose earliest entry day does not strictly
+    follow the last emitted day is a backfill correction; the monitor must
+    fail it, not append non-monotone duplicate-day cumulative rows."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    (tmp_path / "fixture").mkdir(exist_ok=True)
+    sf = _crafted_events(tmp_path / "fixture", spark)
+    ev = load_table(spark, sf, "events")
+    cut = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    entry = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    early = entry.filter(F.col("t0") < cut).select("user_id")
+    src = str(tmp_path / "bsrc")
+    # write the LATE cohort first so the day-1 cohort arrives as batch 2
+    ev.join(early, "user_id", "left_anti").coalesce(1).write.parquet(src)
+    ev.join(early, "user_id", "left_semi").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out, ckpt = str(tmp_path / "bout"), str(tmp_path / "bckpt")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = start_sprt_monitor(stream, out, ckpt)
+    with pytest.raises(StreamingQueryException, match="ordering contract"):
+        q.processAllAvailable()
+    q.stop()
+
+
 def test_replay_reads_only_prior_partitions(spark, sf_dir, tmp_path):
     """Re-emitting batch 1 after its own (possibly partial) output exists
     must compute the SAME offsets — prior_totals filters batch_id < N, so
