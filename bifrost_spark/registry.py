@@ -42,82 +42,74 @@ REGISTRY: dict[str, QuerySpec] = {}
 # q_percentile_cont, and the round-3 rows-only sketch ids — oracle ids
 # before rows-only, then any NEW round-8 ids (each new id lands in its own
 # round's window), then the stalest round-4 standing rows to fill 50.
-# Rolled to round 9: the remaining round-4 cohort (relational core beyond
-# the fills below, the dedup/web family, q_tpch22 and the dsir ids).
-# ROUND-9 WINDOW PLAN: after this round's driver run the stalest standing
-# rows are the 45 round-4 ids not in the fills — q_join_left/semi/anti/
-# multiway, q_agg_hash/distinct, q_rollup/q_cube, the window/sort/set/
-# scalar/json/array relational core, q_dedup_exact, q_sim_topk,
-# q_text_stats, q_tpch22, the dsir trio, q_bm25, q_snapshot_diff, the
-# web-dedup family (q_url_dedup, q_dedup_paragraph, q_dedup_incremental),
-# q_hard_negatives, q_sim_ann_opq, q_quality_classifier, q_lm_bigram,
-# q_join_asof_tol, q_rolling_median, q_time_weighted_avg, q_bitwise_agg,
-# q_sliding_window, q_map_ops, q_integrity_check, q_zscore,
-# q_feature_hash, q_profile, q_zorder, q_percent_of_total,
-# q_lateral_topn, q_copurchase, q_dsir_weights_hires — those first
-# (oracle ids before rows-only q_sim_ann_opq), then new round-9 ids,
-# then stalest round-5 rows to fill 50.
+# ROUND-9 WINDOW (VERDICT r8 item 1): the round-4 cohort — the 45 ids
+# whose standing driver rows date from round 4 (the relational core,
+# q_tpch22, the dsir ids, the web-dedup family, …) — PLUS every new
+# round-9 id (a new id must land in its own round's window).  With 14
+# round-9 additions only 36 of the 45 round-4 ids fit; the 9 deferred to
+# round 10 are the tail below the oracle core: q_zscore, q_feature_hash,
+# q_profile, q_zorder, q_percent_of_total, q_lateral_topn, q_copurchase,
+# q_dsir_weights_hires, and rows-only q_sim_ann_opq.
+# ROUND-10 WINDOW PLAN: those 9 deferred round-4 ids first, then new
+# round-10 ids, then the stalest round-5 rows (the whole round-5 cohort
+# of 50 — q_agg_stats … q_window_range_frame — becomes the backlog) to
+# fill 50.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Round-3 rolled cohort, oracle ids first: the TPC-H tail in query
-    # order (standing rows date from round 3)
-    "q_tpch02",
-    "q_tpch03",
-    "q_tpch04",
-    "q_tpch05",
-    "q_tpch06",
-    "q_tpch07",
-    "q_tpch08",
-    "q_tpch09",
-    "q_tpch10",
-    "q_tpch11",
-    "q_tpch12",
-    "q_tpch13",
-    "q_tpch14",
-    "q_tpch15",
-    "q_tpch16",
-    "q_tpch17",
-    "q_tpch18",
-    "q_tpch19",
-    "q_tpch20",
-    "q_tpch21",
-    # Round-3 rolled cohort: remaining oracle ids
-    "q_join_skew_salted",
-    "q_triangle_count",
-    "q_lm_score",
-    "q_gap_fill",
-    "q_percentile_cont",
-    # Round-3 rolled cohort: rows-only sketch ids (local accuracy gates
-    # stand in for the hash check — recall/precision/rank-error)
-    "q_hll_rollup",
-    "q_decontaminate_fuzzy",
-    "q_theta_overlap",
-    "q_heavy_hitters",
-    "q_dedup_semantic",
-    "q_sim_ann_ivfpq",
-    # NEW round-8 operators (each new id lands in its own round's window):
-    # the robust/nonparametric statistics family, the sequential
-    # monitoring family, and the two dedup/drift shapes from VERDICT r7
-    # item 4
-    "q_anova_f",
-    "q_cohens_d",
-    "q_kruskal_wallis",
-    "q_wilcoxon_signed_rank",
-    "q_kendall_tau",
-    "q_brown_forsythe",
-    "q_friedman_test",
-    "q_mad_outliers",
-    "q_sprt_monitor",
-    "q_cusum_drift",
-    "q_jackknife_variance",
-    "q_woe_iv",
-    "q_contamination_drift",
-    "q_dup_span_ladder",
-    "q_sketch_drift",
-    # Round-4 staleness fills (stalest standing rows, registration order)
-    "q_scan_events",
-    "q_filter_pushdown",
-    "q_project_expr",
-    "q_join_inner",
+    # Round-4 cohort: relational core (oracle ids)
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_agg_hash",
+    "q_agg_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_window_rank",
+    "q_window_running",
+    "q_sort_limit",
+    "q_set_ops",
+    "q_scalar_funcs",
+    "q_json_extract",
+    "q_array_ops",
+    # Round-4 cohort: LLM-pipeline + analytics oracle ids
+    "q_dedup_exact",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_tpch22",
+    "q_dsir_weights",
+    "q_dsir_resample",
+    "q_bm25",
+    "q_snapshot_diff",
+    "q_url_dedup",
+    "q_dedup_paragraph",
+    "q_dedup_incremental",
+    "q_hard_negatives",
+    "q_quality_classifier",
+    "q_lm_bigram",
+    "q_join_asof_tol",
+    "q_rolling_median",
+    "q_time_weighted_avg",
+    "q_bitwise_agg",
+    "q_sliding_window",
+    "q_map_ops",
+    "q_integrity_check",
+    # Round-4 staleness fills beyond the planned 36 (displaced one-by-one
+    # as new round-9 ids register; final state = 36 round-4 + 14 new)
+    "q_zscore",
+    "q_feature_hash",
+    "q_profile",
+    "q_zorder",
+    "q_percent_of_total",
+    "q_lateral_topn",
+    "q_copurchase",
+    "q_dsir_weights_hires",
+    "q_sim_ann_opq",
+    # Round-5 staleness fills (stalest standing rows, registration order)
+    "q_agg_stats",
+    "q_attribution",
+    "q_autocorr",
+    "q_behavior_entropy",
+    "q_benford",
 )
 
 

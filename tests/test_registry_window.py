@@ -10,60 +10,49 @@ from bifrost_spark import registry
 
 WINDOW = 50
 
-# Round-8 hard targets (VERDICT r7 "Next round" item 1): the 31 ids whose
-# standing driver rows date from round 3 — the TPC-H tail, the five other
-# round-3 oracle ids, and the round-3 rows-only sketch ids — PLUS every
-# round-8 addition (a new id must land in its own round's window so the
-# driver-unchecked backlog never re-grows).  The rest of the window is
-# staleness rotation over the round-4 cohort.
-ROUND8_MUST_COVER = {
-    "q_tpch02",
-    "q_tpch03",
-    "q_tpch04",
-    "q_tpch05",
-    "q_tpch06",
-    "q_tpch07",
-    "q_tpch08",
-    "q_tpch09",
-    "q_tpch10",
-    "q_tpch11",
-    "q_tpch12",
-    "q_tpch13",
-    "q_tpch14",
-    "q_tpch15",
-    "q_tpch16",
-    "q_tpch17",
-    "q_tpch18",
-    "q_tpch19",
-    "q_tpch20",
-    "q_tpch21",
-    "q_join_skew_salted",
-    "q_triangle_count",
-    "q_lm_score",
-    "q_gap_fill",
-    "q_percentile_cont",
-    "q_hll_rollup",
-    "q_decontaminate_fuzzy",
-    "q_theta_overlap",
-    "q_heavy_hitters",
-    "q_dedup_semantic",
-    "q_sim_ann_ivfpq",
-    # round-8 additions (robust stats + monitoring + dedup/drift shapes)
-    "q_anova_f",
-    "q_cohens_d",
-    "q_kruskal_wallis",
-    "q_wilcoxon_signed_rank",
-    "q_kendall_tau",
-    "q_brown_forsythe",
-    "q_friedman_test",
-    "q_mad_outliers",
-    "q_sprt_monitor",
-    "q_cusum_drift",
-    "q_jackknife_variance",
-    "q_woe_iv",
-    "q_contamination_drift",
-    "q_dup_span_ladder",
-    "q_sketch_drift",
+# Round-9 hard targets (VERDICT r8 "Next round" item 1): the round-4
+# cohort — the ids whose standing driver rows date from round 4 (the
+# relational core, q_tpch22, the dsir ids, the web-dedup family) — PLUS
+# every round-9 addition (a new id must land in its own round's window so
+# the driver-unchecked backlog never re-grows).  9 round-4 ids spill to
+# round 10 to make room for the 14 round-9 additions.
+ROUND9_MUST_COVER = {
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_agg_hash",
+    "q_agg_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_window_rank",
+    "q_window_running",
+    "q_sort_limit",
+    "q_set_ops",
+    "q_scalar_funcs",
+    "q_json_extract",
+    "q_array_ops",
+    "q_dedup_exact",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_tpch22",
+    "q_dsir_weights",
+    "q_dsir_resample",
+    "q_bm25",
+    "q_snapshot_diff",
+    "q_url_dedup",
+    "q_dedup_paragraph",
+    "q_dedup_incremental",
+    "q_hard_negatives",
+    "q_quality_classifier",
+    "q_lm_bigram",
+    "q_join_asof_tol",
+    "q_rolling_median",
+    "q_time_weighted_avg",
+    "q_bitwise_agg",
+    "q_sliding_window",
+    "q_map_ops",
+    "q_integrity_check",
 }
 
 
@@ -83,9 +72,9 @@ def test_window_is_check_priority_in_order():
     assert first == list(registry.CHECK_PRIORITY)
 
 
-def test_round8_targets_inside_window():
+def test_round9_targets_inside_window():
     window = set(list(registry.queries())[:WINDOW])
-    assert ROUND8_MUST_COVER <= window
+    assert ROUND9_MUST_COVER <= window
 
 
 def test_registered_outputs_are_scalar_only(spark, sf_dir):
