@@ -113,6 +113,14 @@ HEADLINE = [
     "q_sketch_drift",
     "q_kruskal_wallis",
     "q_brown_forsythe",
+    # round-9 entries over the 0.3 s headline floor (sweep, sf0.1)
+    "q_ngram_novelty",
+    "q_group_sequential",
+    "q_mood_median",
+    "q_cramer_von_mises",
+    "q_anderson_darling",
+    "q_bpe_merges",
+    "q_permutation_test",
 ]
 
 

@@ -33,6 +33,42 @@ def char_shingle_array(text_col: str, k: int = 10) -> Column:
     return F.array_distinct(grams)
 
 
+def word_array(text_col: str = "text") -> Column:
+    """The house word tokenization for token-gram operators: split on
+    single spaces, drop empty tokens, case PRESERVED (the q_dup_spans
+    spelling — dedup wants byte-level fidelity, unlike the lowercased
+    bag-of-words text statistics)."""
+    return F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != "")
+
+
+def token_gram_hashes(ws, k: int) -> Column:
+    """``array<struct<pos: bigint, gh: bigint>>`` of xxhash64-hashed
+    k-token grams of a word-array column — the SHARED gram builder
+    behind q_dup_spans, q_dup_span_ladder, and q_ngram_novelty (one
+    spelling; VERDICT r8 item 4).
+
+    gh hashes the token-array SLICE (multi-token tuple, no separator
+    ambiguity, no gram string ever materialized — 8 bytes through every
+    downstream shuffle); pos is the 1-based start position in the
+    filtered word sequence.  Documents shorter than k tokens yield an
+    empty array (exact size guard), so callers need no length filter.
+    Downstream equality is modulo 2^-64 hash collisions — the
+    q_dup_spans accepted risk, identical across all consumers.
+    """
+    ws = F.col(ws) if isinstance(ws, str) else ws
+
+    def g(i):
+        return F.struct(
+            i.cast("bigint").alias("pos"),
+            F.xxhash64(F.slice(ws, i, F.lit(k))).alias("gh"),
+        )
+
+    return F.when(
+        F.size(ws) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - k + 1), g),
+    ).otherwise(F.array().cast("array<struct<pos: bigint, gh: bigint>>"))
+
+
 def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 10) -> DataFrame:
     """Distinct character k-grams per document: (id, shingle).
 

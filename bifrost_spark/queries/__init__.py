@@ -18,3 +18,6 @@ import bifrost_spark.queries.curation_ops  # noqa: F401
 import bifrost_spark.queries.eval_stats  # noqa: F401
 import bifrost_spark.queries.robust_stats  # noqa: F401
 import bifrost_spark.queries.monitor_ops  # noqa: F401
+import bifrost_spark.queries.dist_tests  # noqa: F401
+import bifrost_spark.queries.experiment_ops  # noqa: F401
+import bifrost_spark.queries.corpus_stats  # noqa: F401

@@ -1,0 +1,725 @@
+"""Round-9 experimentation-design operator family.
+
+The readouts an experimentation platform needs BEYOND a single
+fixed-horizon z-test (q_ab_test) or a fully-sequential walk
+(q_sprt_monitor):
+
+* **q_group_sequential** — group-sequential monitoring at K scheduled
+  looks with O'Brien-Fleming and Pocock stopping boundaries (O'Brien &
+  Fleming 1979; Pocock 1977): the industry-standard "peek K times,
+  spend alpha by schedule" design between one-look and always-on SPRT;
+* **q_mantel_haenszel** — the Cochran-Mantel-Haenszel stratified 2×2
+  test and MH common odds ratio (Mantel & Haenszel 1959): the
+  Simpson's-paradox guard q_ab_test lacks when arm allocation skews
+  across strata (here entry-week cohorts);
+* **q_permutation_test** — a deterministic-label permutation test for
+  the variant difference in per-user mean metric: the
+  assumption-free p-value when neither normality nor equal variance
+  can be trusted, with md5-derived (RNG-free, engine-portable)
+  relabelings — the q_bootstrap_ci device applied to labels instead of
+  resamples;
+* **q_page_hinkley** — the Page-Hinkley drift monitor (Page 1954; the
+  running-mean variant of CUSUM standard in stream-mining): cumulative
+  deviation of each day's mean from the running mean, alarming when it
+  leaves its historical minimum by more than λ — the self-calibrating
+  cousin of q_cusum_drift that needs no baseline week.
+
+Determinism discipline (house rules): counts are exact integers;
+boundary constants and permutation counts are PRECOMPUTED literals
+shared by both engines; per-stratum and per-day deep-fraction addends
+round at 12 dp into DECIMAL(28,12) before order-free summation;
+z-statistics are identically-spelled IEEE trees over integer counts
+(the q_ab_test contract), compared at 9 dp with +0.0; degenerate
+inputs (empty arms, zero-variance strata, all-tied series) yield NULL
+or no row via integer-exact conditions.  All outputs are scalar
+columns (driver canonicalization).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bifrost_spark.queries.dist_tests import _DAILY_SQL, _daily_means
+from bifrost_spark.registry import query
+from bifrost_spark.tables import load_table
+
+_D2812 = "decimal(28,12)"
+
+# ---------------------------------------------------------------------------
+# q_group_sequential — K-look monitoring with OBF / Pocock boundaries
+# ---------------------------------------------------------------------------
+
+_GS_LOOKS = 5
+_GS_DAYS_PER_LOOK = 6
+# Published two-sided alpha=0.05 group-sequential constants for K=5
+# equally-spaced looks: O'Brien & Fleming (1979) use z_k = C_B * sqrt(K/k)
+# with C_B = 2.04; Pocock (1977, Table 1) uses the constant boundary
+# c_P = 2.413 at every look.  Both engines compare against the SAME
+# precomputed literals (the q_sprt_monitor boundary device).
+_GS_OBF_C = 2.04
+_GS_POCOCK = 2.413
+_GS_OBF_BOUNDS = tuple(
+    _GS_OBF_C * math.sqrt(_GS_LOOKS / k) for k in range(1, _GS_LOOKS + 1)
+)
+
+_GS_ASSIGN_SQL = """
+        assign AS (
+          SELECT user_id,
+                 MIN(date_trunc('day', ts)) AS first_day,
+                 CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                            % 2) = 0 THEN 'A' ELSE 'B' END AS variant,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) * 4 > COUNT(*)
+                      THEN 1 ELSE 0 END AS converted
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY user_id
+        )
+"""
+
+
+@query(
+    "q_group_sequential",
+    oracle=f"""
+        WITH {_GS_ASSIGN_SQL},
+        looks AS (
+          SELECT variant,
+                 LEAST({_GS_LOOKS}, 1 + date_diff('day',
+                       (SELECT CAST(MIN(first_day) AS DATE) FROM assign),
+                       CAST(first_day AS DATE)) // {_GS_DAYS_PER_LOOK})
+                   AS look,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(converted) AS BIGINT) AS c
+          FROM assign GROUP BY 1, 2
+        ),
+        spine AS (
+          SELECT v.variant, k.look,
+                 COALESCE(l.n, 0) AS n, COALESCE(l.c, 0) AS c
+          FROM (SELECT 'A' AS variant UNION ALL SELECT 'B') v
+          CROSS JOIN (SELECT UNNEST(range(1, {_GS_LOOKS + 1})) AS look) k
+          LEFT JOIN looks l ON l.variant = v.variant AND l.look = k.look
+        ),
+        cum AS (
+          SELECT variant, look,
+                 SUM(n) OVER (PARTITION BY variant ORDER BY look) AS n,
+                 SUM(c) OVER (PARTITION BY variant ORDER BY look) AS c
+          FROM spine
+        ),
+        wide AS (
+          SELECT look,
+                 CAST(MAX(CASE WHEN variant = 'A' THEN n END) AS DOUBLE)
+                   AS n_a,
+                 CAST(MAX(CASE WHEN variant = 'A' THEN c END) AS DOUBLE)
+                   AS c_a,
+                 CAST(MAX(CASE WHEN variant = 'B' THEN n END) AS DOUBLE)
+                   AS n_b,
+                 CAST(MAX(CASE WHEN variant = 'B' THEN c END) AS DOUBLE)
+                   AS c_b
+          FROM cum GROUP BY look
+        ),
+        z AS (
+          SELECT look, n_a, c_a, n_b, c_b,
+                 CASE WHEN n_a > 0 AND n_b > 0 AND c_a + c_b > 0
+                           AND c_a + c_b < n_a + n_b
+                      THEN round((c_a / n_a - c_b / n_b)
+                           / sqrt(((c_a + c_b) / (n_a + n_b))
+                                  * (1 - (c_a + c_b) / (n_a + n_b))
+                                  * (1 / n_a + 1 / n_b)), 9) + 0.0
+                 END AS z
+          FROM wide
+        )
+        SELECT CAST(look AS BIGINT) AS look,
+               CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+               CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+               z,
+               CASE look {" ".join(f"WHEN {k + 1} THEN {b!r}" for k, b in enumerate(_GS_OBF_BOUNDS))} END
+                 AS obf_bound,
+               {_GS_POCOCK!r} AS pocock_bound,
+               CAST(CASE WHEN z IS NOT NULL AND abs(z) >=
+                 CASE look {" ".join(f"WHEN {k + 1} THEN {b!r}" for k, b in enumerate(_GS_OBF_BOUNDS))} END
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_obf,
+               CAST(CASE WHEN z IS NOT NULL AND abs(z) >= {_GS_POCOCK!r}
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_pocock
+        FROM z
+    """,
+)
+def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential experiment monitoring at 5 scheduled looks
+    (every 6 entry-days): at each look the cumulative two-proportion
+    pooled z over users enrolled SO FAR is compared against the
+    O'Brien-Fleming boundary C·sqrt(K/k) (conservative early, nominal
+    late — the clinical-trials default) and the constant Pocock
+    boundary — the scheduled-looks counterpart to q_sprt_monitor's
+    always-on walk (VERDICT r8 item 3a).  Peeking at a fixed-horizon
+    z-test inflates its false-positive rate; these boundaries are WHAT
+    makes K looks legal.
+
+    Determinism: enrollment counts are exact integers on the full
+    variant × look spine (empty looks still emit cumulative rows); z is
+    the identical q_ab_test IEEE tree, rounded at 9 dp, NULL on empty
+    arms or degenerate pooled rates by exact integer conditions; the
+    boundaries are PRECOMPUTED Python literals interpolated into both
+    plans (the q_sprt_monitor device — no runtime sqrt feeds a compared
+    boundary).
+
+    Scale shape: one per-user aggregate (shuffle on user_id), a
+    ≤2K-cell rollup, and windows over the K-row spine — the readout
+    costs two aggregates regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    first_hex = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
+    assign = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.date_trunc("day", "ts")).alias("first_day"),
+            F.when(
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 4
+                > F.count(F.lit(1)),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+            F.first(F.when(first_hex % 2 == 0, "A").otherwise("B")).alias("variant"),
+        )
+        .localCheckpoint(eager=True)  # feeds min-day scalar AND the cells
+    )
+    d0 = assign.agg(F.min(F.col("first_day").cast("date")).alias("d0"))
+    looks = (
+        assign.crossJoin(F.broadcast(d0))
+        .groupBy(
+            "variant",
+            F.least(
+                F.lit(_GS_LOOKS),
+                1
+                + F.floor(
+                    F.datediff(F.col("first_day").cast("date"), F.col("d0"))
+                    / _GS_DAYS_PER_LOOK
+                ),
+            ).alias("look"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("converted").cast("bigint").alias("c"),
+        )
+    )
+    spine = (
+        spark.range(1, _GS_LOOKS + 1)
+        .select(F.col("id").alias("look"))
+        .crossJoin(
+            spark.createDataFrame([("A",), ("B",)], "variant string")
+        )
+        .join(looks, ["variant", "look"], "left")
+        .select(
+            "variant",
+            "look",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wc = Window.partitionBy("variant").orderBy("look")
+    cum = spine.select(
+        "variant",
+        "look",
+        F.sum("n").over(wc).alias("n"),
+        F.sum("c").over(wc).alias("c"),
+    )
+    wide = cum.groupBy("look").agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n")))
+        .cast("double")
+        .alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("c")))
+        .cast("double")
+        .alias("c_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n")))
+        .cast("double")
+        .alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("c")))
+        .cast("double")
+        .alias("c_b"),
+    )
+    p = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    zexpr = (F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b")) / F.sqrt(
+        p * (1 - p) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    z = wide.select(
+        "look",
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("c_a") + F.col("c_b") > 0)
+            & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")),
+            F.round(zexpr, 9) + F.lit(0.0),
+        ).alias("z"),
+    )
+    obf = F.element_at(
+        F.array(*[F.lit(b) for b in _GS_OBF_BOUNDS]), F.col("look").cast("int")
+    )
+    return z.select(
+        F.col("look").cast("bigint").alias("look"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        "z",
+        obf.alias("obf_bound"),
+        F.lit(_GS_POCOCK).alias("pocock_bound"),
+        F.when(F.col("z").isNotNull() & (F.abs("z") >= obf), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("reject_obf"),
+        F.when(F.col("z").isNotNull() & (F.abs("z") >= F.lit(_GS_POCOCK)), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("reject_pocock"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mantel_haenszel — stratified 2×2 CMH test + common odds ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mantel_haenszel",
+    oracle=f"""
+        WITH {_GS_ASSIGN_SQL},
+        strata AS (
+          SELECT date_diff('day',
+                   (SELECT CAST(MIN(first_day) AS DATE) FROM assign),
+                   CAST(first_day AS DATE)) // 7 AS stratum,
+                 CAST(SUM(CASE WHEN variant = 'A' AND converted = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN variant = 'A' AND converted = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN variant = 'B' AND converted = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN variant = 'B' AND converted = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM assign GROUP BY 1
+        ),
+        terms AS (
+          SELECT a,
+                 round(CAST((a + b) AS DOUBLE) * (a + c)
+                       / (a + b + c + d), 12) AS e,
+                 round(CAST((a + b) AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                       / (CAST(a + b + c + d AS DOUBLE)
+                          * (a + b + c + d) * (a + b + c + d - 1)),
+                       12) AS v,
+                 round(CAST(a AS DOUBLE) * d / (a + b + c + d), 12) AS rr,
+                 round(CAST(b AS DOUBLE) * c / (a + b + c + d), 12) AS ss
+          FROM strata WHERE a + b + c + d > 1
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                 CAST(SUM(a) AS BIGINT) AS sum_a,
+                 CAST(SUM(CAST(e AS DECIMAL(28,12))) AS DOUBLE) AS sum_e,
+                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS sum_v,
+                 CAST(SUM(CAST(rr AS DECIMAL(28,12))) AS DOUBLE) AS sum_r,
+                 CAST(SUM(CAST(ss AS DECIMAL(28,12))) AS DOUBLE) AS sum_s
+          FROM terms
+        )
+        SELECT n_strata, sum_a,
+               round(sum_e, 9) + 0.0 AS e_a,
+               CASE WHEN sum_v > 0 THEN
+                 round((abs(sum_a - sum_e) - 0.5) * (abs(sum_a - sum_e) - 0.5)
+                       / sum_v, 9) + 0.0
+               END AS chi2_mh,
+               CASE WHEN sum_s > 0 THEN round(sum_r / sum_s, 9) + 0.0
+               END AS or_mh
+        FROM agg WHERE n_strata > 0
+    """,
+)
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test and common odds ratio over
+    entry-week strata (Mantel & Haenszel 1959): each enrollment week is
+    its own 2×2 (variant × converted) table; the CMH statistic
+    (|Σa − ΣE| − ½)²/ΣV pools evidence ACROSS strata while the MH odds
+    ratio Σ(a·d/N)/Σ(b·c/N) estimates the common effect — the
+    Simpson's-paradox guard q_ab_test lacks when arm allocation or base
+    rates skew across cohorts (VERDICT r8 item 3b).
+
+    Determinism: the 2×2 cells are exact integers; per-stratum E, V and
+    the two odds-ratio addends are integer-ratio doubles rounded at
+    12 dp and summed order-free in DECIMAL(28,12); the final statistic
+    is one identical IEEE tree (with the classic −0.5 continuity
+    correction as a literal) rounded at 9 dp.  Strata with N ≤ 1 are
+    excluded by exact condition (V undefined); zero ΣV or Σ(b·c/N)
+    yield NULL via exact conditions.
+
+    Scale shape: one per-user aggregate, then everything folds on
+    ≤|strata| rows — bounded by the calendar, not the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    first_hex = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
+    assign = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.date_trunc("day", "ts")).alias("first_day"),
+            F.when(
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 4
+                > F.count(F.lit(1)),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+            F.first(F.when(first_hex % 2 == 0, "A").otherwise("B")).alias("variant"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d0 = assign.agg(F.min(F.col("first_day").cast("date")).alias("d0"))
+    strata = (
+        assign.crossJoin(F.broadcast(d0))
+        .groupBy(
+            F.floor(
+                F.datediff(F.col("first_day").cast("date"), F.col("d0")) / 7
+            ).alias("stratum")
+        )
+        .agg(
+            F.sum(
+                F.when((F.col("variant") == "A") & (F.col("converted") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("a"),
+            F.sum(
+                F.when((F.col("variant") == "A") & (F.col("converted") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("b"),
+            F.sum(
+                F.when((F.col("variant") == "B") & (F.col("converted") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c"),
+            F.sum(
+                F.when((F.col("variant") == "B") & (F.col("converted") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    nt = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = strata.filter(nt > 1).select(
+        "a",
+        F.round(
+            (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c")) / nt,
+            12,
+        ).alias("e"),
+        F.round(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (nt.cast("double") * nt * (nt - 1)),
+            12,
+        ).alias("v"),
+        F.round(F.col("a").cast("double") * F.col("d") / nt, 12).alias("rr"),
+        F.round(F.col("b").cast("double") * F.col("c") / nt, 12).alias("ss"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum(F.col("e").cast(_D2812)).cast("double").alias("sum_e"),
+        F.sum(F.col("v").cast(_D2812)).cast("double").alias("sum_v"),
+        F.sum(F.col("rr").cast(_D2812)).cast("double").alias("sum_r"),
+        F.sum(F.col("ss").cast(_D2812)).cast("double").alias("sum_s"),
+    ).filter(F.col("n_strata") > 0)
+    dev = F.abs(F.col("sum_a") - F.col("sum_e")) - F.lit(0.5)
+    return agg.select(
+        "n_strata",
+        "sum_a",
+        (F.round(F.col("sum_e"), 9) + F.lit(0.0)).alias("e_a"),
+        F.when(
+            F.col("sum_v") > 0, F.round(dev * dev / F.col("sum_v"), 9) + F.lit(0.0)
+        ).alias("chi2_mh"),
+        F.when(
+            F.col("sum_s") > 0,
+            F.round(F.col("sum_r") / F.col("sum_s"), 9) + F.lit(0.0),
+        ).alias("or_mh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_permutation_test — deterministic-relabel permutation p-value
+# ---------------------------------------------------------------------------
+
+_PERM_B = 32
+
+
+@query(
+    "q_permutation_test",
+    oracle=f"""
+        WITH users AS (
+          SELECT user_id,
+                 round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(value), 12) AS um,
+                 CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                            % 2) = 0 THEN 'A' ELSE 'B' END AS variant
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY user_id
+        ),
+        obs AS (
+          SELECT CAST(SUM(CAST(um AS DECIMAL(28,12)))
+                      FILTER (WHERE variant = 'A') AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE variant = 'A')
+                 - CAST(SUM(CAST(um AS DECIMAL(28,12)))
+                        FILTER (WHERE variant = 'B') AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE variant = 'B') AS delta
+          FROM users
+          HAVING COUNT(*) FILTER (WHERE variant = 'A') > 0
+             AND COUNT(*) FILTER (WHERE variant = 'B') > 0
+        ),
+        perms AS (
+          SELECT p.b,
+                 CAST(SUM(CAST(u.um AS DECIMAL(28,12)))
+                      FILTER (WHERE (ascii(substr(md5(
+                          CAST(u.user_id AS VARCHAR) || ':'
+                          || CAST(p.b AS VARCHAR)), 1, 1)) % 2) = 0
+                      ) AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE (ascii(substr(md5(
+                          CAST(u.user_id AS VARCHAR) || ':'
+                          || CAST(p.b AS VARCHAR)), 1, 1)) % 2) = 0)
+                 - CAST(SUM(CAST(u.um AS DECIMAL(28,12)))
+                      FILTER (WHERE (ascii(substr(md5(
+                          CAST(u.user_id AS VARCHAR) || ':'
+                          || CAST(p.b AS VARCHAR)), 1, 1)) % 2) = 1
+                      ) AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE (ascii(substr(md5(
+                          CAST(u.user_id AS VARCHAR) || ':'
+                          || CAST(p.b AS VARCHAR)), 1, 1)) % 2) = 1)
+                   AS delta_b
+          FROM users u
+          CROSS JOIN (SELECT UNNEST(range(1, {_PERM_B + 1})) AS b) p
+          GROUP BY p.b
+          HAVING COUNT(*) FILTER (WHERE (ascii(substr(md5(
+                   CAST(u.user_id AS VARCHAR) || ':'
+                   || CAST(p.b AS VARCHAR)), 1, 1)) % 2) = 0) > 0
+             AND COUNT(*) FILTER (WHERE (ascii(substr(md5(
+                   CAST(u.user_id AS VARCHAR) || ':'
+                   || CAST(p.b AS VARCHAR)), 1, 1)) % 2) = 1) > 0
+        )
+        SELECT round((SELECT delta FROM obs), 9) + 0.0 AS delta_obs,
+               CAST({_PERM_B} AS BIGINT) AS n_perms,
+               CAST(SUM(CASE WHEN abs(delta_b) >= abs((SELECT delta FROM obs))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+               round((1.0 + SUM(CASE WHEN abs(delta_b) >=
+                                          abs((SELECT delta FROM obs))
+                                     THEN 1 ELSE 0 END))
+                     / (1 + {_PERM_B}), 9) + 0.0 AS p_value
+        FROM perms WHERE (SELECT delta FROM obs) IS NOT NULL
+    """,
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the A−B difference in per-user mean metric
+    with 32 DETERMINISTIC relabelings: permutation b reassigns each
+    user by md5(user_id ‖ ':' ‖ b) — RNG-free and engine-portable (the
+    q_bootstrap_ci determinism device applied to LABELS) — and the
+    p-value is the add-one estimate (1 + #(|Δ_b| ≥ |Δ_obs|))/(B+1)
+    (Davison & Hinkley 1997), exact under the randomization null with
+    no normality or equal-variance assumption.
+
+    Determinism: per-user means are 12-dp decimal-exact; arm means sum
+    those in DECIMAL(28,12) (order-free) and divide once; every |Δ_b|
+    vs |Δ_obs| comparison is between identically-derived doubles, so
+    the integer n_extreme — and therefore the exact-rational p —
+    hash-match.  Degenerate relabelings that empty an arm are excluded
+    by exact integer conditions on both engines.
+
+    Scale shape: ONE shuffle to the per-user frame; the B relabelings
+    explode the user frame (not the event table) and fold map-side to
+    B partial rows — cost is |users|·B hash evaluations, the same
+    class as q_bootstrap_ci's 32× replicate fold, independent of event
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count("value"),
+                12,
+            ).alias("um")
+        )
+        .localCheckpoint(eager=True)  # feeds the observed AND B permuted folds
+    )
+    variant = (
+        F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) % 2 == 0
+    )
+    obs = (
+        users.agg(
+            F.sum(F.when(variant, F.col("um").cast(_D2812))).alias("sa"),
+            F.count(F.when(variant, 1)).alias("na"),
+            F.sum(F.when(~variant, F.col("um").cast(_D2812))).alias("sb"),
+            F.count(F.when(~variant, 1)).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            (
+                F.col("sa").cast("double") / F.col("na")
+                - F.col("sb").cast("double") / F.col("nb")
+            ).alias("delta")
+        )
+    )
+    perm_hex = F.ascii(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+    )
+    perms = (
+        users.crossJoin(
+            F.broadcast(spark.range(1, _PERM_B + 1).select(F.col("id").alias("b")))
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(perm_hex % 2 == 0, F.col("um").cast(_D2812))).alias("sa"),
+            F.count(F.when(perm_hex % 2 == 0, 1)).alias("na"),
+            F.sum(F.when(perm_hex % 2 == 1, F.col("um").cast(_D2812))).alias("sb"),
+            F.count(F.when(perm_hex % 2 == 1, 1)).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            (
+                F.col("sa").cast("double") / F.col("na")
+                - F.col("sb").cast("double") / F.col("nb")
+            ).alias("delta_b")
+        )
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .agg(
+            F.first("delta").alias("delta"),
+            F.sum(
+                F.when(F.abs("delta_b") >= F.abs("delta"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            (F.round(F.col("delta"), 9) + F.lit(0.0)).alias("delta_obs"),
+            F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+            "n_extreme",
+            (
+                F.round(
+                    (F.lit(1.0) + F.col("n_extreme")) / F.lit(1 + _PERM_B), 9
+                )
+                + F.lit(0.0)
+            ).alias("p_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_page_hinkley — running-mean drift monitor over daily means
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = 0.5  # per-day drift allowance (metric units)
+_PH_LAMBDA = 5.0  # alarm when m_t leaves its running minimum by this much
+
+
+@query(
+    "q_page_hinkley",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        idx AS (
+          SELECT day, m, ROW_NUMBER() OVER (ORDER BY day) AS t,
+                 round(CAST(SUM(CAST(m AS DECIMAL(28,12))) OVER
+                              (ORDER BY day) AS DOUBLE)
+                       / ROW_NUMBER() OVER (ORDER BY day), 12) AS xbar
+          FROM daily
+        ),
+        walk AS (
+          SELECT day, m, t,
+                 CAST(SUM(CAST(round(m - xbar - {_PH_DELTA!r}, 12)
+                               AS DECIMAL(28,12))) OVER (ORDER BY day)
+                      AS DOUBLE) AS ph
+          FROM idx
+        ),
+        mins AS (
+          SELECT day, m, ph,
+                 MIN(ph) OVER (ORDER BY day) AS ph_min
+          FROM walk
+        )
+        SELECT day,
+               round(m, 9) + 0.0 AS day_mean,
+               round(ph, 9) + 0.0 AS ph_m,
+               round(ph - ph_min, 9) + 0.0 AS deficit,
+               CAST(CASE WHEN ph - ph_min > {_PH_LAMBDA!r}
+                         THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        FROM mins
+    """,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift monitor over the daily mean metric (Page 1954;
+    the stream-mining standard, e.g. Gama et al. 2014 survey):
+    m_T = Σ_t (x_t − x̄_t − δ) accumulates each day's deviation from the
+    RUNNING mean (δ = 0.5 tolerated drift), and the monitor alarms when
+    m_T − min_t m_t > λ = 5.0 — an upward shift stops m_T falling, so
+    its gap above the historical minimum grows.  Unlike q_cusum_drift
+    it needs NO baseline week: the reference level is self-calibrating,
+    which is what you deploy on a metric with no trusted warm-up.
+
+    Determinism: daily means and running means are 12-dp decimal-exact
+    (cumulative DECIMAL(28,12) sums over the day-ordered ≤|days| frame
+    divided by the integer t); the walk addends round at 12 dp into an
+    exact cumulative decimal sum — NO sequential recursion is needed
+    (the running-mean form is pure prefix sums, unlike CUSUM's
+    max-clamp), so both engines evaluate identical window algebra;
+    outputs round at 9 dp, the alarm compares the same unrounded
+    doubles to the literal λ.
+
+    Scale shape: one map-side-combined daily aggregate; the monitor
+    itself is three windows over the bounded ≤|days| frame."""
+    daily = _daily_means(spark, sf_dir)
+    wd = Window.orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        "day",
+        "m",
+        F.round(
+            F.sum(F.col("m").cast(_D2812)).over(wcum).cast("double")
+            / F.row_number().over(wd),
+            12,
+        ).alias("xbar"),
+    )
+    walk = idx.select(
+        "day",
+        "m",
+        F.sum(
+            F.round(F.col("m") - F.col("xbar") - F.lit(_PH_DELTA), 12).cast(_D2812)
+        )
+        .over(wcum)
+        .cast("double")
+        .alias("ph"),
+    )
+    mins = walk.select(
+        "day", "m", "ph", F.min("ph").over(wcum).alias("ph_min")
+    )
+    return mins.select(
+        "day",
+        (F.round(F.col("m"), 9) + F.lit(0.0)).alias("day_mean"),
+        (F.round(F.col("ph"), 9) + F.lit(0.0)).alias("ph_m"),
+        (F.round(F.col("ph") - F.col("ph_min"), 9) + F.lit(0.0)).alias("deficit"),
+        F.when(F.col("ph") - F.col("ph_min") > F.lit(_PH_LAMBDA), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("alarm"),
+    )

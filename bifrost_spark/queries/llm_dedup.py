@@ -312,33 +312,28 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window, no shuffle); one shuffle groups grams to find cross-doc
     duplicates; a semi join brings dup positions back; one per-doc window
     merges overlapping/adjacent positions into islands (gaps-and-islands,
-    pure integer arithmetic — engine-exact).  Grams group/join on a
-    multi-arg xxhash64 of the token tuple — 8 bytes through both shuffles,
-    no gram string ever materialized (measured 1.8 → 1.4 s at sf0.1);
+    pure integer arithmetic — engine-exact).  Grams group/join on the
+    SHARED token_gram_hashes builder's token-array-slice xxhash64
+    (operators/dedup.py — one spelling with q_dup_span_ladder and
+    q_ngram_novelty) — 8 bytes through both shuffles, no gram string
+    ever materialized (measured 1.8 → 1.4 s at sf0.1);
     identical spans to the string-keyed oracle modulo 2⁻⁶⁴ hash
     collisions, the same accepted risk as the minhash family's
     hash-identity.  1-based positions: span [span_start, span_end] covers
     span_end − span_start + 1 tokens of the filtered word sequence."""
     from pyspark.sql.window import Window
 
+    from bifrost_spark.operators.dedup import token_gram_hashes, word_array
+
     k = DUP_SPAN_K
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
-    base = d.select("doc_id", words.alias("ws")).filter(F.size("ws") >= k)
-    gram_structs = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - k + 1),
-        lambda i: F.struct(
-            i.cast("bigint").alias("pos"),
-            # hash the token TUPLE (multi-arg xxhash64) — no gram string is
-            # ever materialized (measured 1.7 → 1.4 s at sf0.1), and tuple
-            # hashing has no separator ambiguity ("ab","c" vs "a","bc")
-            F.xxhash64(
-                *[F.element_at("ws", (i + j).cast("int")) for j in range(k)]
-            ).alias("gh"),
-        ),
-    )
+    base = d.select("doc_id", word_array().alias("ws")).filter(F.size("ws") >= k)
+    # grams come from the SHARED token_gram_hashes builder (one spelling
+    # with q_dup_span_ladder and q_ngram_novelty — VERDICT r8 item 4):
+    # the token-array-slice xxhash64, no gram string ever materialized,
+    # no separator ambiguity ("ab","c" vs "a","bc")
     grams = base.select(
-        "doc_id", F.explode(gram_structs).alias("g")
+        "doc_id", F.explode(token_gram_hashes("ws", k)).alias("g")
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
     # The gram frame feeds the dup build AND the semi-join probe; Catalyst
     # re-runs the k-hash explode for each consumer (no subtree reuse).
@@ -1060,24 +1055,25 @@ def q_dup_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined string — identical spans modulo 2^-64 hash collisions, the
     q_dup_spans accepted risk (llm_dedup.py:q_dup_spans documents the
     device)."""
+    from bifrost_spark.operators.dedup import token_gram_hashes, word_array
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    words = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
-    base = d.select("doc_id", words.alias("ws"))
+    base = d.select("doc_id", word_array().alias("ws"))
 
     def _level_grams(lvl):
-        # a closure, NOT a default-arg lambda: PySpark reads a second
+        # each level's grams come from the SHARED token_gram_hashes
+        # builder (one spelling with q_dup_spans and q_ngram_novelty —
+        # VERDICT r8 item 4), relabeled (pos → lvl) per rung.  The
+        # builder already guards short documents with an empty array.
+        # Closure, NOT a default-arg lambda: PySpark reads a second
         # lambda parameter as the (element, index) two-arg form and
-        # would bind it to the array INDEX
-        def g(i):
+        # would bind it to the array INDEX.
+        def relabel(s):
             return F.struct(
-                F.lit(lvl).cast("int").alias("lvl"),
-                F.xxhash64(F.slice("ws", i, F.lit(lvl))).alias("gh"),
+                F.lit(lvl).cast("int").alias("lvl"), s["gh"].alias("gh")
             )
 
-        return F.when(
-            F.size("ws") >= lvl,
-            F.transform(F.sequence(F.lit(1), F.size("ws") - lvl + 1), g),
-        ).otherwise(F.array().cast("array<struct<lvl: int, gh: bigint>>"))
+        return F.transform(token_gram_hashes("ws", lvl), relabel)
 
     per_level = [_level_grams(lvl) for lvl in _LADDER_LEVELS]
     grams = base.select(

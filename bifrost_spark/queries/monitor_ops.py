@@ -200,6 +200,149 @@ _CUSUM_K_SD = 0.5  # slack: half a baseline SD
 _CUSUM_H_SD = 4.0  # alarm: four baseline SDs
 
 
+def cusum_daily_frame(ev: DataFrame) -> DataFrame:
+    """(day, m, rn): the 12-dp decimal-exact daily mean metric with its
+    day rank — the shared input frame of q_cusum_drift and the streaming
+    monitor (streaming/cusum_monitor.py), factored so both walks consume
+    identically-spelled daily means."""
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count("value"),
+                12,
+            ).alias("m")
+        )
+    )
+    wd = Window.orderBy("day")
+    return daily.select(
+        "day", "m", F.row_number().over(wd).alias("rn")
+    ).localCheckpoint(eager=True)  # <= |days| rows; feeds base, sd, tail
+
+
+def cusum_baseline_frames(daily: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """1-row (mu0) and (s0) frames from the first _CUSUM_BASE_DAYS days
+    of a (day, m, rn) frame — one baseline spelling for the batch query
+    and the streaming monitor's fit."""
+    base7 = daily.filter(F.col("rn") <= _CUSUM_BASE_DAYS)
+    base = base7.agg(
+        (
+            F.sum(F.col("m").cast(_D2812)).cast("double") / F.lit(_CUSUM_BASE_DAYS)
+        ).alias("mu0")
+    )
+    sd = (
+        base7.crossJoin(F.broadcast(base))  # 7x1 scalar fold
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        (F.col("m") - F.col("mu0")) * (F.col("m") - F.col("mu0")),
+                        12,
+                    ).cast(_D2812)
+                ).cast("double")
+                / F.lit(_CUSUM_BASE_DAYS - 1)
+            ).alias("s0")
+        )
+    )
+    return base, sd
+
+
+def cusum_walk(
+    tail: DataFrame,
+    base: DataFrame,
+    sd: DataFrame,
+    sp0: float = 0.0,
+    sn0: float = 0.0,
+) -> DataFrame:
+    """(day, m, sp, sn, s0) RAW rows: the CUSUM recursion folded
+    engine-side over the day-sorted (day, m) frame against the 1-row
+    baseline frames, continuing from (sp0, sn0) — the ONE spelling of
+    the recursion shared by q_cusum_drift (offsets 0) and the streaming
+    monitor (offsets recovered from its own output)."""
+    packed = (
+        tail.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("m")))
+            ).alias("arr")
+        )
+        .crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(sd))
+    )
+    walk = F.aggregate(
+        F.col("arr"),
+        F.struct(
+            F.expr(
+                "CAST(array() AS ARRAY<STRUCT<day: TIMESTAMP, m: DOUBLE,"
+                " sp: DOUBLE, sn: DOUBLE>>)"
+            ).alias("out"),
+            F.lit(float(sp0)).alias("sp"),
+            F.lit(float(sn0)).alias("sn"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["m"].alias("m"),
+                        F.greatest(
+                            F.lit(0.0),
+                            acc["sp"]
+                            + x["m"]
+                            - F.col("mu0")
+                            - F.lit(_CUSUM_K_SD) * F.col("s0"),
+                        ).alias("sp"),
+                        F.greatest(
+                            F.lit(0.0),
+                            acc["sn"]
+                            + F.col("mu0")
+                            - x["m"]
+                            - F.lit(_CUSUM_K_SD) * F.col("s0"),
+                        ).alias("sn"),
+                    )
+                ),
+            ).alias("out"),
+            F.greatest(
+                F.lit(0.0),
+                acc["sp"] + x["m"] - F.col("mu0") - F.lit(_CUSUM_K_SD) * F.col("s0"),
+            ).alias("sp"),
+            F.greatest(
+                F.lit(0.0),
+                acc["sn"] + F.col("mu0") - x["m"] - F.lit(_CUSUM_K_SD) * F.col("s0"),
+            ).alias("sn"),
+        ),
+    )["out"]
+    return packed.select(F.explode(walk).alias("r"), F.col("s0")).select(
+        F.col("r.day").alias("day"),
+        F.col("r.m").alias("m"),
+        F.col("r.sp").alias("sp"),
+        F.col("r.sn").alias("sn"),
+        "s0",
+    )
+
+
+def cusum_decisions(rows: DataFrame) -> DataFrame:
+    """The shared output contract over raw (day, m, sp, sn, s0) walk
+    rows: 9-dp rounded readouts, alarms compared on the unrounded
+    doubles."""
+    return rows.select(
+        "day",
+        (F.round(F.col("m"), 9) + F.lit(0.0)).alias("day_mean"),
+        (F.round(F.col("sp"), 9) + F.lit(0.0)).alias("s_pos"),
+        (F.round(F.col("sn"), 9) + F.lit(0.0)).alias("s_neg"),
+        F.when(F.col("sp") > F.lit(_CUSUM_H_SD) * F.col("s0"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("alarm_pos"),
+        F.when(F.col("sn") > F.lit(_CUSUM_H_SD) * F.col("s0"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("alarm_neg"),
+    )
+
+
 @query(
     "q_cusum_drift",
     oracle=f"""
@@ -265,112 +408,17 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(28,12) (order-free); the recursion is the identical IEEE
     add/max chain in both engines (Spark aggregate fold vs DuckDB
     recursive CTE — the q_ewma equivalence), outputs rounded at 9 dp;
-    alarms compare the same unrounded doubles."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
-            / F.count("value"),
-            12,
-        ).alias("m")
-    )
-    wd = Window.orderBy("day")
-    daily = daily.select(
-        "day", "m", F.row_number().over(wd).alias("rn")
-    ).localCheckpoint(eager=True)  # <= |days| rows; feeds base, sd, tail
-    base7 = daily.filter(F.col("rn") <= _CUSUM_BASE_DAYS)
-    base = base7.agg(
-        (
-            F.sum(F.col("m").cast(_D2812)).cast("double") / F.lit(_CUSUM_BASE_DAYS)
-        ).alias("mu0")
-    )
-    sd = (
-        base7.crossJoin(F.broadcast(base))  # 7x1 scalar fold
-        .agg(
-            F.sqrt(
-                F.sum(
-                    F.round(
-                        (F.col("m") - F.col("mu0")) * (F.col("m") - F.col("mu0")),
-                        12,
-                    ).cast(_D2812)
-                ).cast("double")
-                / F.lit(_CUSUM_BASE_DAYS - 1)
-            ).alias("s0")
-        )
-    )
+    alarms compare the same unrounded doubles.
+
+    Shared spelling: the daily frame, baseline, recursion, and output
+    contract are the cusum_* helpers above — ONE spelling with the
+    streaming monitor (streaming/cusum_monitor.py), the q_sketch_drift
+    shared-helper discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = cusum_daily_frame(ev)
+    base, sd = cusum_baseline_frames(daily)
     tail = daily.filter(F.col("rn") > _CUSUM_BASE_DAYS)
-    # ONE row: the day-sorted (day, m) array plus the baseline scalars —
-    # the recursion folds engine-side (the q_rerank_mmr device)
-    packed = (
-        tail.agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("day"), F.col("m")))
-            ).alias("arr")
-        )
-        .crossJoin(F.broadcast(base))
-        .crossJoin(F.broadcast(sd))
-    )
-    walk = F.aggregate(
-        F.col("arr"),
-        F.struct(
-            F.expr(
-                "CAST(array() AS ARRAY<STRUCT<day: TIMESTAMP, m: DOUBLE,"
-                " sp: DOUBLE, sn: DOUBLE>>)"
-            ).alias("out"),
-            F.lit(0.0).alias("sp"),
-            F.lit(0.0).alias("sn"),
-        ),
-        lambda acc, x: F.struct(
-            F.concat(
-                acc["out"],
-                F.array(
-                    F.struct(
-                        x["day"].alias("day"),
-                        x["m"].alias("m"),
-                        F.greatest(
-                            F.lit(0.0),
-                            acc["sp"]
-                            + x["m"]
-                            - F.col("mu0")
-                            - F.lit(_CUSUM_K_SD) * F.col("s0"),
-                        ).alias("sp"),
-                        F.greatest(
-                            F.lit(0.0),
-                            acc["sn"]
-                            + F.col("mu0")
-                            - x["m"]
-                            - F.lit(_CUSUM_K_SD) * F.col("s0"),
-                        ).alias("sn"),
-                    )
-                ),
-            ).alias("out"),
-            F.greatest(
-                F.lit(0.0),
-                acc["sp"] + x["m"] - F.col("mu0") - F.lit(_CUSUM_K_SD) * F.col("s0"),
-            ).alias("sp"),
-            F.greatest(
-                F.lit(0.0),
-                acc["sn"] + F.col("mu0") - x["m"] - F.lit(_CUSUM_K_SD) * F.col("s0"),
-            ).alias("sn"),
-        ),
-    )["out"]
-    rows = packed.select(
-        F.explode(walk).alias("r"), F.col("s0")
-    )
-    return rows.select(
-        F.col("r.day").alias("day"),
-        (F.round(F.col("r.m"), 9) + F.lit(0.0)).alias("day_mean"),
-        (F.round(F.col("r.sp"), 9) + F.lit(0.0)).alias("s_pos"),
-        (F.round(F.col("r.sn"), 9) + F.lit(0.0)).alias("s_neg"),
-        F.when(F.col("r.sp") > F.lit(_CUSUM_H_SD) * F.col("s0"), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("alarm_pos"),
-        F.when(F.col("r.sn") > F.lit(_CUSUM_H_SD) * F.col("s0"), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("alarm_neg"),
-    )
+    return cusum_decisions(cusum_walk(tail, base, sd))
 
 
 # ---------------------------------------------------------------------------

@@ -93,23 +93,24 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_sliding_window",
     "q_map_ops",
     "q_integrity_check",
-    # Round-4 staleness fills beyond the planned 36 (displaced one-by-one
-    # as new round-9 ids register; final state = 36 round-4 + 14 new)
-    "q_zscore",
-    "q_feature_hash",
-    "q_profile",
-    "q_zorder",
-    "q_percent_of_total",
-    "q_lateral_topn",
-    "q_copurchase",
-    "q_dsir_weights_hires",
-    "q_sim_ann_opq",
-    # Round-5 staleness fills (stalest standing rows, registration order)
-    "q_agg_stats",
-    "q_attribution",
-    "q_autocorr",
-    "q_behavior_entropy",
-    "q_benford",
+    # NEW round-9 operators (each new id lands in its own round's
+    # window): the distributional/trend test family, the
+    # experimentation-design family, and the tokenizer/corpus-statistics
+    # family (VERDICT r8 item 3)
+    "q_cramer_von_mises",
+    "q_anderson_darling",
+    "q_mood_median",
+    "q_runs_test",
+    "q_mann_kendall",
+    "q_group_sequential",
+    "q_mantel_haenszel",
+    "q_permutation_test",
+    "q_page_hinkley",
+    "q_bpe_merges",
+    "q_ngram_novelty",
+    "q_zipf_fit",
+    "q_chao1_vocab",
+    "q_good_turing",
 )
 
 

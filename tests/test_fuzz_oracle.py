@@ -84,6 +84,16 @@ FUZZED_QUERIES = (
     "q_ewma",
     "q_quantile_sketch_rollup",
     "q_trimmed_mean",
+    # round-9 events-based dist/experiment test family
+    "q_cramer_von_mises",
+    "q_anderson_darling",
+    "q_mood_median",
+    "q_runs_test",
+    "q_mann_kendall",
+    "q_group_sequential",
+    "q_mantel_haenszel",
+    "q_permutation_test",
+    "q_page_hinkley",
     # round-8 events-based statistics/monitoring family
     "q_anova_f",
     "q_wilcoxon_signed_rank",
@@ -277,6 +287,12 @@ DOC_QUERIES = (
     "q_dup_flow_matrix",
     "q_dup_fraction",
     "q_dup_spans",
+    # round-9 documents-based corpus-statistics family
+    "q_bpe_merges",
+    "q_ngram_novelty",
+    "q_zipf_fit",
+    "q_chao1_vocab",
+    "q_good_turing",
     # round-8 documents-based statistics/dedup family
     "q_cohens_d",
     "q_kruskal_wallis",

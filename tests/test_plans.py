@@ -199,6 +199,20 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_jackknife_variance",
         "q_woe_iv",
         "q_sketch_drift",
+        # round-9 statistics: the same 1-row scalar-fold broadcasts
+        # (pooled totals, grand median, min entry day, observed delta,
+        # corpus total) onto bounded aggregate frames; q_mann_kendall
+        # additionally self-joins its <=|days| daily frame (435 pairs
+        # at 30 days, bounded by the calendar at ANY corpus size)
+        "q_cramer_von_mises",
+        "q_anderson_darling",
+        "q_mood_median",
+        "q_runs_test",
+        "q_mann_kendall",
+        "q_group_sequential",
+        "q_mantel_haenszel",
+        "q_permutation_test",
+        "q_good_turing",
     }
     offenders = {}
     for name, plan in _all_plans(spark, sf_dir).items():
@@ -483,6 +497,20 @@ SINGLE_PARTITION_BUDGET = {
     "q_friedman_test": 3,  # k-row R_j fold + 1-row A4 fold + k scalar
     "q_sprt_monitor": 1,  # cumulative walk over ≤|days| rows
     "q_cusum_drift": 4,  # day window + 7-row baseline folds + 1-row recursion
+    # Round-9 dist/experiment tests: cumulative windows and scalar folds
+    # over bounded frames only (distinct-value cells, <=|days| daily
+    # means, |days|^2/2 day pairs, K-look spine, |strata| rows)
+    "q_cramer_von_mises": 2,  # value-domain cum window + 1-row totals
+    "q_anderson_darling": 2,  # same two as q_cramer_von_mises
+    "q_mood_median": 3,  # value cum window + median fold + 2xk chi fold
+    "q_runs_test": 3,  # mean-rank window + day-lag window + summary fold
+    "q_mann_kendall": 4,  # day rank + 435-pair rank + 3 scalar folds
+    "q_group_sequential": 1,  # 1-row min-entry-day fold
+    "q_mantel_haenszel": 2,  # min-day fold + |strata|-row summary fold
+    "q_permutation_test": 2,  # observed fold + 32-row permutation fold
+    "q_page_hinkley": 1,  # three windows over the <=|days| daily frame
+    "q_chao1_vocab": 1,  # one count-of-counts summary fold
+    "q_good_turing": 1,  # 1-row corpus-total fold onto the 10-row spine
     "q_jackknife_variance": 7,  # 32-bucket folds: totals/theta/dot/dev chains
     "q_woe_iv": 1,  # 10-bin totals fold
     "q_sketch_drift": 3,  # min-week + day-grid folds over days x K summary rows

@@ -53,6 +53,22 @@ ROUND9_MUST_COVER = {
     "q_sliding_window",
     "q_map_ops",
     "q_integrity_check",
+    # round-9 additions (distributional/trend tests, experimentation
+    # design, tokenizer/corpus statistics)
+    "q_cramer_von_mises",
+    "q_anderson_darling",
+    "q_mood_median",
+    "q_runs_test",
+    "q_mann_kendall",
+    "q_group_sequential",
+    "q_mantel_haenszel",
+    "q_permutation_test",
+    "q_page_hinkley",
+    "q_bpe_merges",
+    "q_ngram_novelty",
+    "q_zipf_fit",
+    "q_chao1_vocab",
+    "q_good_turing",
 }
 
 

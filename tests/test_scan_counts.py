@@ -159,6 +159,25 @@ FULL_SURFACE_SCANS = {
     "q_contamination_drift": 3,
     "q_dup_span_ladder": 1,
     "q_sketch_drift": 0,
+    # Round-9 families: the dist/experiment tests fold over checkpointed
+    # bounded frames (daily means, distinct-value cells, per-user frame)
+    # — 0 scans in the executed plan; the corpus-statistics ops make one
+    # structural documents pass each (q_ngram_novelty's gram frame is
+    # checkpointed, measured 3 → 0)
+    "q_cramer_von_mises": 0,
+    "q_anderson_darling": 0,
+    "q_mood_median": 0,
+    "q_runs_test": 0,
+    "q_mann_kendall": 0,
+    "q_group_sequential": 0,
+    "q_mantel_haenszel": 0,
+    "q_permutation_test": 0,
+    "q_page_hinkley": 1,
+    "q_bpe_merges": 1,
+    "q_ngram_novelty": 0,
+    "q_zipf_fit": 1,
+    "q_chao1_vocab": 1,
+    "q_good_turing": 1,
     "q_cochran_q": 1,
     "q_cramers_v": 0,
     "q_agg_approx_quantile": 1,
