@@ -208,9 +208,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py — one spelling with q_dup_spans and
     q_dup_span_ladder): construction is scan-local, shuffles carry only
     8-byte hashes, text never moves.  The candidate side is small by
-    construction; the anti join keys on the hash (shuffle-joinable at
-    any corpus size — the reference side is NEVER broadcast or
-    collected).  Engine grams by hash while the oracle grams by string:
+    construction; the anti join keys on the hash — shuffle-joinable at
+    any corpus size, with the broadcast-vs-shuffle choice left to AQE's
+    size estimate (at fixture scale AQE broadcasts the tiny reference
+    gram set; at 100 TB the same plan shuffles on the 8-byte hash — the
+    reference side is never collected driver-side either way).  Engine
+    grams by hash while the oracle grams by string:
     identical counts modulo 2^-64 collisions, the documented
     q_dup_spans device.
 
