@@ -11,7 +11,8 @@ fixed-horizon z-test (q_ab_test) or a fully-sequential walk
 * **q_mantel_haenszel** — the Cochran-Mantel-Haenszel stratified 2×2
   test and MH common odds ratio (Mantel & Haenszel 1959): the
   Simpson's-paradox guard q_ab_test lacks when arm allocation skews
-  across strata (here entry-week cohorts);
+  across strata (here a 4-way user_id-modulus site stand-in — the
+  q_partition_demux bucketing);
 * **q_permutation_test** — a deterministic-label permutation test for
   the variant difference in per-user mean metric: the
   assumption-free p-value when neither normality nor equal variance
@@ -290,9 +291,7 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_GS_ASSIGN_SQL},
         strata AS (
-          SELECT date_diff('day',
-                   (SELECT CAST(MIN(first_day) AS DATE) FROM assign),
-                   CAST(first_day AS DATE)) // 7 AS stratum,
+          SELECT user_id % 4 AS stratum,
                  CAST(SUM(CASE WHEN variant = 'A' AND converted = 1
                                THEN 1 ELSE 0 END) AS BIGINT) AS a,
                  CAST(SUM(CASE WHEN variant = 'A' AND converted = 0
@@ -337,7 +336,8 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran-Mantel-Haenszel test and common odds ratio over
-    entry-week strata (Mantel & Haenszel 1959): each enrollment week is
+    4 site strata (user_id % 4, the q_partition_demux bucket stand-in;
+    Mantel & Haenszel 1959): each site is
     its own 2×2 (variant × converted) table; the CMH statistic
     (|Σa − ΣE| − ½)²/ΣV pools evidence ACROSS strata while the MH odds
     ratio Σ(a·d/N)/Σ(b·c/N) estimates the common effect — the
@@ -353,14 +353,13 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield NULL via exact conditions.
 
     Scale shape: one per-user aggregate, then everything folds on
-    ≤|strata| rows — bounded by the calendar, not the corpus."""
+    ≤|strata| rows — bounded by the stratum modulus, not the corpus."""
     ev = load_table(spark, sf_dir, "events")
     first_hex = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
     assign = (
         ev.filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.min(F.date_trunc("day", "ts")).alias("first_day"),
             F.when(
                 F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 4
                 > F.count(F.lit(1)),
@@ -370,16 +369,10 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("converted"),
             F.first(F.when(first_hex % 2 == 0, "A").otherwise("B")).alias("variant"),
         )
-        .localCheckpoint(eager=True)
     )
-    d0 = assign.agg(F.min(F.col("first_day").cast("date")).alias("d0"))
     strata = (
-        assign.crossJoin(F.broadcast(d0))
-        .groupBy(
-            F.floor(
-                F.datediff(F.col("first_day").cast("date"), F.col("d0")) / 7
-            ).alias("stratum")
-        )
+        assign
+        .groupBy((F.col("user_id") % 4).alias("stratum"))
         .agg(
             F.sum(
                 F.when((F.col("variant") == "A") & (F.col("converted") == 1), 1)
