@@ -628,6 +628,65 @@ _PH_DELTA = 0.5  # per-day drift allowance (metric units)
 _PH_LAMBDA = 5.0  # alarm when m_t leaves its running minimum by this much
 
 
+def ph_walk(
+    daily: DataFrame,
+    t0: int = 0,
+    sum_m0=None,
+    sum_add0=None,
+    min0: float | None = None,
+) -> DataFrame:
+    """(day, m, t, sum_m, sum_add, ph, ph_min) rows: the Page-Hinkley
+    prefix-sum walk over a (day, m) frame, continuing from prior state —
+    the ONE spelling shared by q_page_hinkley (zero offsets) and the
+    streaming monitor (streaming/page_hinkley.py, offsets recovered from
+    its own output).
+
+    Because the walk is pure prefix sums (no max-clamp recursion), the
+    carried state can be EXACT: t is an integer, sum_m / sum_add are the
+    cumulative DECIMAL(28,12) sums themselves (parquet round-trips
+    decimals losslessly), and ph_min is a previously-emitted double —
+    so a continued walk is bit-identical to a single-shot walk."""
+    from decimal import Decimal
+
+    wd = Window.orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    zero = Decimal(0)
+    t = (F.lit(int(t0)) + F.row_number().over(wd)).cast("bigint")
+    sum_m = (
+        F.lit(sum_m0 if sum_m0 is not None else zero).cast(_D2812)
+        + F.sum(F.col("m").cast(_D2812)).over(wcum)
+    ).cast(_D2812)
+    idx = daily.select("day", "m", t.alias("t"), sum_m.alias("sum_m"))
+    xbar = F.round(F.col("sum_m").cast("double") / F.col("t"), 12)
+    addend = F.round(F.col("m") - xbar - F.lit(_PH_DELTA), 12).cast(_D2812)
+    sum_add = (
+        F.lit(sum_add0 if sum_add0 is not None else zero).cast(_D2812)
+        + F.sum(addend).over(wcum)
+    ).cast(_D2812)
+    walk = idx.select(
+        "day", "m", "t", "sum_m", sum_add.alias("sum_add")
+    ).withColumn("ph", F.col("sum_add").cast("double"))
+    run_min = F.min("ph").over(wcum)
+    ph_min = (
+        run_min if min0 is None else F.least(F.lit(float(min0)), run_min)
+    )
+    return walk.withColumn("ph_min", ph_min)
+
+
+def ph_decisions(rows: DataFrame) -> DataFrame:
+    """The shared q_page_hinkley output contract over raw walk rows."""
+    return rows.select(
+        "day",
+        (F.round(F.col("m"), 9) + F.lit(0.0)).alias("day_mean"),
+        (F.round(F.col("ph"), 9) + F.lit(0.0)).alias("ph_m"),
+        (F.round(F.col("ph") - F.col("ph_min"), 9) + F.lit(0.0)).alias("deficit"),
+        F.when(F.col("ph") - F.col("ph_min") > F.lit(_PH_LAMBDA), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("alarm"),
+    )
+
+
 @query(
     "q_page_hinkley",
     oracle=f"""
@@ -680,39 +739,9 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles to the literal λ.
 
     Scale shape: one map-side-combined daily aggregate; the monitor
-    itself is three windows over the bounded ≤|days| frame."""
-    daily = _daily_means(spark, sf_dir)
-    wd = Window.orderBy("day")
-    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
-    idx = daily.select(
-        "day",
-        "m",
-        F.round(
-            F.sum(F.col("m").cast(_D2812)).over(wcum).cast("double")
-            / F.row_number().over(wd),
-            12,
-        ).alias("xbar"),
-    )
-    walk = idx.select(
-        "day",
-        "m",
-        F.sum(
-            F.round(F.col("m") - F.col("xbar") - F.lit(_PH_DELTA), 12).cast(_D2812)
-        )
-        .over(wcum)
-        .cast("double")
-        .alias("ph"),
-    )
-    mins = walk.select(
-        "day", "m", "ph", F.min("ph").over(wcum).alias("ph_min")
-    )
-    return mins.select(
-        "day",
-        (F.round(F.col("m"), 9) + F.lit(0.0)).alias("day_mean"),
-        (F.round(F.col("ph"), 9) + F.lit(0.0)).alias("ph_m"),
-        (F.round(F.col("ph") - F.col("ph_min"), 9) + F.lit(0.0)).alias("deficit"),
-        F.when(F.col("ph") - F.col("ph_min") > F.lit(_PH_LAMBDA), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("alarm"),
-    )
+    itself is three windows over the bounded ≤|days| frame.
+
+    Shared spelling: the walk and output contract are the ph_walk /
+    ph_decisions helpers above — ONE spelling with the streaming monitor
+    (streaming/page_hinkley.py), the cusum_walk discipline."""
+    return ph_decisions(ph_walk(_daily_means(spark, sf_dir)))
