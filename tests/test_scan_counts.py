@@ -170,7 +170,9 @@ FULL_SURFACE_SCANS = {
     "q_runs_test": 0,
     "q_mann_kendall": 0,
     "q_group_sequential": 0,
-    "q_mantel_haenszel": 0,
+    # single consumer since the site-stratum change dropped the min-day
+    # fold (and with it the checkpoint): one structural events scan
+    "q_mantel_haenszel": 1,
     "q_permutation_test": 0,
     "q_page_hinkley": 1,
     "q_bpe_merges": 1,
