@@ -41,9 +41,27 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert df.schema.fieldNames()  # stable, non-empty schema
 
 
-# Queries whose r3 driver rows could have been vacuously green (empty result
+# Queries whose driver rows could be vacuously green (empty result
 # matches empty result).  Pin non-vacuity so the adapted constants keep
 # selecting rows as fixtures evolve (VERDICT r3 "What's wrong" item 1).
-@pytest.mark.parametrize("name", ["q_tpch22", "q_join_anti"])
+# Round-9 additions guard their degenerate-input zero-row contracts
+# (empty sample, no candidates, single stratum) staying NON-degenerate
+# on the real fixture.
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_tpch22",
+        "q_join_anti",
+        "q_cramer_von_mises",
+        "q_anderson_darling",
+        "q_mood_median",
+        "q_runs_test",
+        "q_mann_kendall",
+        "q_mantel_haenszel",
+        "q_permutation_test",
+        "q_ngram_novelty",
+        "q_bpe_merges",
+    ],
+)
 def test_window_queries_non_vacuous(spark, sf_dir, name):
     assert registry.queries()[name](spark, sf_dir).count() > 0
