@@ -354,10 +354,15 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_seq_pattern",
     oracle="""
         WITH seqs AS (
+          -- NULL-typed events carry no symbol: string_agg would skip them
+          -- while Spark's array_join folds an all-NULL user to '' instead
+          -- of NULL — excluded up front on BOTH engines (fuzzer catch,
+          -- round 10)
           SELECT user_id,
                  string_agg(substr(event_type, 1, 1), ''
                             ORDER BY ts, event_id) AS seq
           FROM events
+          WHERE event_type IS NOT NULL
           GROUP BY user_id
         )
         SELECT user_id,
@@ -379,7 +384,9 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically for this backref-free pattern.  The (ts, event_id) sort
     key is unique → the symbol string, and hence the count, is exactly
     deterministic."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     sym = F.struct(
         F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("ini")
     )

@@ -69,8 +69,14 @@ def _value_cells(spark, sf_dir):
         )
         .groupBy("v")
         .agg(
-            F.sum("a").alias("ca"),
-            F.sum(F.lit(1) - F.col("a")).alias("cb"),
+            # COALESCE, not bare SUM: the 0/1 flag is NULL when event_type
+            # is NULL, so a value whose events ALL have NULL event_type
+            # sums to NULL on both flags where the oracle's COUNT(*)
+            # FILTER yields 0 — the q_mood_median NULL-poison class
+            # (ADVICE r9).  With the coalesce both engines keep the cell
+            # as (ca=0, cb=0).
+            F.coalesce(F.sum("a"), F.lit(0)).alias("ca"),
+            F.coalesce(F.sum(F.lit(1) - F.col("a")), F.lit(0)).alias("cb"),
         )
         .localCheckpoint(eager=True)  # consumed by cum-window AND totals
     )
@@ -202,22 +208,31 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ca + cb AS h
           FROM cum
         ),
+        -- DECIMAL(38,0) before the products (mirrors the engine): BIGINT
+        -- nn*ma2 / ba2*(2nn-ba2) would overflow at pooled N >~ 1.5e9
         terms AS (
           SELECT na, nb, nn,
-                 round(h * CAST(CAST(nn * ma2 - na * ba2 AS DECIMAL(38,0))
-                                * CAST(nn * ma2 - na * ba2 AS DECIMAL(38,0))
+                 round(h * CAST((CAST(nn AS DECIMAL(38,0)) * ma2
+                                 - na * CAST(ba2 AS DECIMAL(38,0)))
+                                * (CAST(nn AS DECIMAL(38,0)) * ma2
+                                   - na * CAST(ba2 AS DECIMAL(38,0)))
                                 AS DOUBLE)
                        / (CAST(nn AS DOUBLE)
-                          * CAST(ba2 * (2 * nn - ba2) - nn * h AS DOUBLE)),
+                          * CAST(CAST(ba2 AS DECIMAL(38,0)) * (2 * nn - ba2)
+                                 - CAST(nn AS DECIMAL(38,0)) * h AS DOUBLE)),
                        12) AS ta,
-                 round(h * CAST(CAST(nn * mb2 - nb * ba2 AS DECIMAL(38,0))
-                                * CAST(nn * mb2 - nb * ba2 AS DECIMAL(38,0))
+                 round(h * CAST((CAST(nn AS DECIMAL(38,0)) * mb2
+                                 - nb * CAST(ba2 AS DECIMAL(38,0)))
+                                * (CAST(nn AS DECIMAL(38,0)) * mb2
+                                   - nb * CAST(ba2 AS DECIMAL(38,0)))
                                 AS DOUBLE)
                        / (CAST(nn AS DOUBLE)
-                          * CAST(ba2 * (2 * nn - ba2) - nn * h AS DOUBLE)),
+                          * CAST(CAST(ba2 AS DECIMAL(38,0)) * (2 * nn - ba2)
+                                 - CAST(nn AS DECIMAL(38,0)) * h AS DOUBLE)),
                        12) AS tb
           FROM mids
-          WHERE ba2 * (2 * nn - ba2) - nn * h > 0
+          WHERE CAST(ba2 AS DECIMAL(38,0)) * (2 * nn - ba2)
+                - CAST(nn AS DECIMAL(38,0)) * h > 0
         )
         SELECT CAST(na AS BIGINT) AS n_a,
                CAST(nb AS BIGINT) AS n_b,
@@ -276,13 +291,21 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ca") + F.col("cb")).alias("h"),
         )
     )
-    denom = F.col("ba2") * (2 * F.col("nn") - F.col("ba2")) - F.col("nn") * F.col("h")
+    # DECIMAL(38,0) BEFORE the products (the q_cramer_von_mises spelling,
+    # ADVICE r9): nn*ma2 and ba2*(2nn−ba2) formed in BIGINT wrap silently
+    # at pooled N ≳ 1.5e9 in non-ANSI Spark while DuckDB raises — a
+    # scale-parity cliff.  Casting the factors first keeps every product
+    # exact to 38 digits (num² ≤ (2N²)² needs N ≲ 1.2e9 digits-wise only
+    # at N ~ 1e9·√10; far beyond any per-window pooled sample).
+    denom = F.col("ba2").cast(_D38) * (2 * F.col("nn") - F.col("ba2")).cast(
+        _D38
+    ) - F.col("nn").cast(_D38) * F.col("h")
 
     def addend(m2, ni):
-        num = F.col("nn") * m2 - ni * F.col("ba2")
+        num = F.col("nn").cast(_D38) * m2 - ni * F.col("ba2").cast(_D38)
         return F.round(
             F.col("h")
-            * (num.cast(_D38) * num.cast(_D38)).cast("double")
+            * (num * num).cast("double")
             / (F.col("nn").cast("double") * denom.cast("double")),
             12,
         )

@@ -325,8 +325,12 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n_strata, sum_a,
                round(sum_e, 9) + 0.0 AS e_a,
+               -- clamped continuity correction (ADVICE r9): the textbook
+               -- form is max(0, |d| - 0.5)^2 — an unclamped square would
+               -- report 0.25/SUM_V on perfectly-null data
                CASE WHEN sum_v > 0 THEN
-                 round((abs(sum_a - sum_e) - 0.5) * (abs(sum_a - sum_e) - 0.5)
+                 round(GREATEST(0.0, abs(sum_a - sum_e) - 0.5)
+                       * GREATEST(0.0, abs(sum_a - sum_e) - 0.5)
                        / sum_v, 9) + 0.0
                END AS chi2_mh,
                CASE WHEN sum_s > 0 THEN round(sum_r / sum_s, 9) + 0.0
@@ -339,7 +343,8 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 site strata (user_id % 4, the q_partition_demux bucket stand-in;
     Mantel & Haenszel 1959): each site is
     its own 2×2 (variant × converted) table; the CMH statistic
-    (|Σa − ΣE| − ½)²/ΣV pools evidence ACROSS strata while the MH odds
+    max(0, |Σa − ΣE| − ½)²/ΣV (continuity correction CLAMPED at zero,
+    the textbook form) pools evidence ACROSS strata while the MH odds
     ratio Σ(a·d/N)/Σ(b·c/N) estimates the common effect — the
     Simpson's-paradox guard q_ab_test lacks when arm allocation or base
     rates skew across cohorts (VERDICT r8 item 3b).
@@ -426,7 +431,13 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rr").cast(_D2812)).cast("double").alias("sum_r"),
         F.sum(F.col("ss").cast(_D2812)).cast("double").alias("sum_s"),
     ).filter(F.col("n_strata") > 0)
-    dev = F.abs(F.col("sum_a") - F.col("sum_e")) - F.lit(0.5)
+    # Clamp the continuity correction at zero (ADVICE r9): squaring a
+    # NEGATIVE deviation when |Σa − ΣE| < 0.5 would inflate a
+    # perfectly-null table to 0.25/ΣV; the textbook form is
+    # max(0, |d| − ½)².
+    dev = F.greatest(
+        F.lit(0.0), F.abs(F.col("sum_a") - F.col("sum_e")) - F.lit(0.5)
+    )
     return agg.select(
         "n_strata",
         "sum_a",

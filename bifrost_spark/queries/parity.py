@@ -221,12 +221,19 @@ def q_object_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounds.select(
         "topic",
         "partition",
-        F.format_string(
-            "%s/%s/partition=%d/%010d.baldr.gz",
-            F.lit("bifrost-group"),
-            F.col("topic"),
-            F.col("partition"),
-            F.col("first_offset"),
+        # NULL-guarded: format_string renders a NULL topic as the string
+        # "null" where the oracle's printf yields NULL — a topicless
+        # message has no well-formed object key on either engine
+        # (fuzzer catch, round 10)
+        F.when(
+            F.col("topic").isNotNull(),
+            F.format_string(
+                "%s/%s/partition=%d/%010d.baldr.gz",
+                F.lit("bifrost-group"),
+                F.col("topic"),
+                F.col("partition"),
+                F.col("first_offset"),
+            ),
         ).alias("object_key"),
     )
 

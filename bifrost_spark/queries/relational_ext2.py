@@ -473,8 +473,13 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_ops",
     oracle="""
         WITH c AS (
+          -- a map cannot carry a NULL key (Spark raises NULL_MAP_KEY), and
+          -- string_agg would drop the NULL key but KEEP its count —
+          -- misaligned lists; NULL-typed events are excluded on BOTH
+          -- engines (fuzzer catch, round 10)
           SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
-          FROM events GROUP BY user_id, event_type
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY user_id, event_type
         )
         SELECT user_id,
                string_agg(event_type, ',' ORDER BY event_type) AS type_keys,
@@ -496,7 +501,11 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation.  Two shuffles: the (user, type) count and the per-user
     assembly."""
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     m = counts.groupBy("user_id").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("event_type", "n")))

@@ -92,9 +92,9 @@ def _prior_state(
     first-batch case resets to (0, 0, None); any other read error
     propagates so the micro-batch retries (the sprt_monitor ADVICE-r8
     contract)."""
-    from bifrost_spark.streaming.sprt_monitor import _output_exists
+    from bifrost_spark.streaming._sink import output_exists
 
-    if not _output_exists(spark, output_path):
+    if not output_exists(spark, output_path):
         return 0.0, 0.0, None
     prior = spark.read.parquet(output_path).filter(F.col("batch_id") < batch_id)
     row = prior.orderBy(F.desc("day")).limit(1).collect()

@@ -66,9 +66,9 @@ def _prior_state(spark, output_path: str, batch_id: int):
     output partitions with batch_id strictly below the current one.
     Only the missing-path first-batch case resets the walk; other read
     errors propagate (the sprt_monitor ADVICE-r8 contract)."""
-    from bifrost_spark.streaming.sprt_monitor import _output_exists
+    from bifrost_spark.streaming._sink import output_exists
 
-    if not _output_exists(spark, output_path):
+    if not output_exists(spark, output_path):
         return 0, None, None, None, None
     prior = spark.read.parquet(output_path).filter(F.col("batch_id") < batch_id)
     row = prior.orderBy(F.desc("day")).limit(1).collect()

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from bifrost_spark.queries.monitor_ops import arm_b_daily_enrollments, sprt_walk
+from bifrost_spark.streaming._sink import output_exists
 
 
 def batch_sprt_update(
@@ -46,27 +47,13 @@ def batch_sprt_update(
     return sprt_walk(arm_b_daily_enrollments(batch), n_offset, c_offset)
 
 
-def _output_exists(spark, output_path: str) -> bool:
-    """Explicit existence probe for the monitor's own output directory.
-
-    The missing-path case (first batch ever) is the ONLY read failure
-    that may legally reset the cumulative walk to (0, 0); any other read
-    error (transient FS fault, corrupt file) must propagate so the
-    micro-batch fails and retries instead of silently restarting the
-    SPRT from zero and persisting wrong llr/decision rows (ADVICE r8)."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(output_path)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(path))
-
-
 def _prior_state(
     spark, output_path: str, batch_id: int
 ) -> tuple[int, int, object]:
     """(n, c, max_day) over output partitions with batch_id strictly
     below the current one — re-running batch N therefore never reads its
     own partial output."""
-    if not _output_exists(spark, output_path):  # first batch: no output yet
+    if not output_exists(spark, output_path):  # first batch: no output yet
         return 0, 0, None
     row = (
         spark.read.parquet(output_path)

@@ -207,6 +207,16 @@ def _write_fixture_dir(tmpdir: str, events) -> str:
             (1, "click", 0, None, ""), (1, "view", 60, 50, None),
             (2, "view", 0, 50, "[]"), (2, "view", 60, 50, '{"k": 7}')]
 )
+@example(  # NULL event_type (schema permits it; the fixture never has
+    # one): a metric value seen ONLY under NULL type is the SUM-flag
+    # NULL-poison cell (ADVICE r9 / q_mood_median class); users whose
+    # events are ALL NULL-typed probe every type-keyed groupBy/map/
+    # symbol fold for drop-vs-keep agreement (round-10 fuzzer catch:
+    # q_map_ops NULL_MAP_KEY crash, q_object_keys printf-vs-format_string,
+    # q_seq_pattern ''-vs-NULL fold)
+    events=[(0, None, 0, 100), (0, "view", 0, 100), (1, None, 86400, 50),
+            (2, None, 3600, None), (3, "purchase", 7200, 200)]
+)
 @example(events=[(0, "click", 0, 100)])  # one cohort empty (KS guard)
 @example(events=[(0, "purchase", 0, 100)])  # organic purchase, no click
 @example(  # constant daily series: zero-variance autocorr -> NULL

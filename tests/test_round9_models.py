@@ -269,7 +269,7 @@ def test_mantel_haenszel_matches_stratified_model(spark, events):
     assert (r["n_strata"], r["sum_a"]) == (n_strata, sum_a)
     assert abs(r["e_a"] - sum_e) < TOL
     if sum_v > 0:
-        chi2 = (abs(sum_a - sum_e) - 0.5) ** 2 / sum_v
+        chi2 = max(0.0, abs(sum_a - sum_e) - 0.5) ** 2 / sum_v
         assert abs(r["chi2_mh"] - chi2) < TOL
     else:
         assert r["chi2_mh"] is None
