@@ -546,3 +546,61 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 7) -> Dat
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def contamination_hits(docs: DataFrame, bench_doc_max: int, k: int = 10) -> DataFrame:
+    """``(doc_id, hit=1)`` — every training document (doc_id >=
+    bench_doc_max) sharing ANY lowercased character k-gram with the
+    benchmark slice (doc_id < bench_doc_max): the SHARED directional
+    contamination kernel behind q_decontaminate, q_contamination_report,
+    and q_contamination_drift (one spelling, VERDICT r9 item 6 — promoted
+    at the third consumer alongside ``token_gram_hashes``).
+
+    lower() is applied to each k-char GRAM, not to the whole text inside
+    the lambda: a per-row expression referenced in a lambda body re-runs
+    per ELEMENT, so lower(text).substr(i, k) would lowercase the entire
+    document once per gram — O(len²) per doc (measured 5.3 s → 1.4 s at
+    sf0.1 on q_decontaminate).  ``contamination_hits_sql`` spells the
+    oracle identically, so both engines gram the raw text and lowercase
+    the same k characters.
+
+    Scale shape: benchmark grams are a SMALL distinct set (benchmarks are
+    tiny relative to corpora) → broadcast semi join against the training
+    side's gram stream; the gram explosion streams through the scan and
+    only doc_ids survive.
+    """
+    n = F.length("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.lower(F.col("text").substr(i, F.lit(k))),
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("g"))
+    bench = F.broadcast(
+        g.filter(F.col("doc_id") < bench_doc_max).select("g").distinct()
+    )
+    return (
+        g.filter(F.col("doc_id") >= bench_doc_max)
+        .join(bench, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+
+
+def contamination_hits_sql(bench_doc_max: int, k: int = 10) -> str:
+    """The DuckDB CTE prefix mirroring ``contamination_hits`` — callers
+    embed it as ``WITH {contamination_hits_sql(B)}, ...`` and join
+    ``hits`` on doc_id."""
+    return f"""grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, GREATEST(LENGTH(text) - {k} + 2, 2)),
+                   i -> lower(substr(text, CAST(i AS INT), {k})))) AS g
+          FROM documents
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {bench_doc_max}),
+        hits AS (
+          SELECT DISTINCT t.doc_id
+          FROM grams t JOIN bench b ON b.g = t.g
+          WHERE t.doc_id >= {bench_doc_max}
+        )"""

@@ -733,7 +733,19 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-variance (all-tied) series yields NULL z via var_s > 0.
 
     Scale shape: one map-side-combined daily aggregate; the pair join,
-    rank window, and medians all run on the ≤|days|²/2 bounded frame."""
+    rank window, and medians all run on the ≤|days|²/2 bounded frame.
+
+    LONG-SERIES POSTURE (VERDICT r9): the pair enumeration is O(|days|²)
+    — exact and cheap for monitoring windows (435 pairs at 30 days,
+    ~5·10⁵ at 3 years) but the wrong spelling past ~10³ points.  For a
+    years-long daily series, compute S by the Kendall-tau rank identity
+    instead (S = Σ_j (2·r_j − j − 1) summed over the merge-sort inversion
+    count — O(n log n), the q_kendall_tau alternative documented in
+    SCALE.md), quantize Sen's slope to a percentile-approx of the pair
+    distribution, or quantize the series first (weekly means) to bring
+    |points| back under the pair budget.  The suite's single-partition
+    budget test pins this query to the bounded-frame plan so a silent
+    switch to an unbounded pair join cannot land."""
     daily = _daily_means(spark, sf_dir).localCheckpoint(eager=True)
     wd = Window.orderBy("day")
     tot = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))

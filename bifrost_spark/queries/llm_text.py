@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bifrost_spark.operators.dedup import contamination_hits, contamination_hits_sql
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -471,19 +472,7 @@ BENCH_DOC_MAX = 20  # doc_id < 20 stand in for the held-out benchmark set
 @query(
     "q_decontaminate",
     oracle=f"""
-        WITH grams AS (
-          SELECT doc_id,
-                 unnest(list_transform(
-                   range(1, GREATEST(LENGTH(text) - 10 + 2, 2)),
-                   i -> lower(substr(text, CAST(i AS INT), 10)))) AS g
-          FROM documents
-        ),
-        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {BENCH_DOC_MAX}),
-        hits AS (
-          SELECT DISTINCT t.doc_id
-          FROM grams t JOIN bench b ON b.g = t.g
-          WHERE t.doc_id >= {BENCH_DOC_MAX}
-        )
+        WITH {contamination_hits_sql(BENCH_DOC_MAX)}
         SELECT d.doc_id,
                CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
@@ -500,30 +489,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny relative to corpora) → broadcast semi join against the training
     side's gram stream; training docs shuffle nothing, and the gram
     explosion streams through the scan.  Exact char-grams (not sketches):
-    contamination wants zero false negatives."""
+    contamination wants zero false negatives.  The gram/bench/hits kernel
+    is the SHARED operators/dedup.contamination_hits (one spelling across
+    q_decontaminate / q_contamination_report / q_contamination_drift)."""
     d = load_table(spark, sf_dir, "documents")
-    # lower() is applied to each 10-char GRAM, not to the whole text inside
-    # the lambda: a per-row expression referenced in a lambda body re-runs
-    # per ELEMENT, so lower(text).substr(i, 10) lowercased the entire
-    # document once per gram — O(len²) per doc, measured 5.3 s → 1.4 s at
-    # sf0.1.  Oracle spelled identically (lower(substr(text, i, 10))) so
-    # both engines gram the raw text and lowercase the same 10 chars.
-    n = F.length("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 9, F.lit(1))),
-        lambda i: F.lower(F.col("text").substr(i, F.lit(10))),
-    )
-    g = d.select("doc_id", F.explode(grams).alias("g"))
-    bench = F.broadcast(
-        g.filter(F.col("doc_id") < BENCH_DOC_MAX).select("g").distinct()
-    )
-    hits = (
-        g.filter(F.col("doc_id") >= BENCH_DOC_MAX)
-        .join(bench, "g", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    hits = contamination_hits(d, BENCH_DOC_MAX)
     return (
         d.filter(F.col("doc_id") >= BENCH_DOC_MAX)
         .join(hits, "doc_id", "left")

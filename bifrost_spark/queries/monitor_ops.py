@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bifrost_spark.operators.dedup import contamination_hits, contamination_hits_sql
 from bifrost_spark.queries.llm_text import BENCH_DOC_MAX
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
@@ -674,19 +675,7 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_contamination_drift",
     oracle=f"""
-        WITH grams AS (
-          SELECT doc_id,
-                 unnest(list_transform(
-                   range(1, GREATEST(LENGTH(text) - 10 + 2, 2)),
-                   i -> lower(substr(text, CAST(i AS INT), 10)))) AS g
-          FROM documents
-        ),
-        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {BENCH_DOC_MAX}),
-        hits AS (
-          SELECT DISTINCT t.doc_id
-          FROM grams t JOIN bench b ON b.g = t.g
-          WHERE t.doc_id >= {BENCH_DOC_MAX}
-        ),
+        WITH {contamination_hits_sql(BENCH_DOC_MAX)},
         rolled AS (
           SELECT d.source,
                  (d.doc_id % 4 = 0) AS cur,
@@ -732,22 +721,7 @@ def q_contamination_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift one subtraction — bit-stable; snapshots with an empty side
     yield NULL drift by exact condition."""
     d = load_table(spark, sf_dir, "documents")
-    n = F.length("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 9, F.lit(1))),
-        lambda i: F.lower(F.col("text").substr(i, F.lit(10))),
-    )
-    g = d.select("doc_id", F.explode(grams).alias("g"))
-    bench = F.broadcast(
-        g.filter(F.col("doc_id") < BENCH_DOC_MAX).select("g").distinct()
-    )
-    hits = (
-        g.filter(F.col("doc_id") >= BENCH_DOC_MAX)
-        .join(bench, "g", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    hits = contamination_hits(d, BENCH_DOC_MAX)
     rolled = (
         d.filter(F.col("doc_id") >= BENCH_DOC_MAX)
         .select("doc_id", "source", (F.col("doc_id") % 4 == 0).alias("cur"))
