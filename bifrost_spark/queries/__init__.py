@@ -21,3 +21,4 @@ import bifrost_spark.queries.monitor_ops  # noqa: F401
 import bifrost_spark.queries.dist_tests  # noqa: F401
 import bifrost_spark.queries.experiment_ops  # noqa: F401
 import bifrost_spark.queries.corpus_stats  # noqa: F401
+import bifrost_spark.queries.survival_ops  # noqa: F401

@@ -84,6 +84,10 @@ FUZZED_QUERIES = (
     "q_ewma",
     "q_quantile_sketch_rollup",
     "q_trimmed_mean",
+    # round-10 events-based survival family
+    "q_kaplan_meier",
+    "q_nelson_aalen",
+    "q_logrank_test",
     # round-9 events-based dist/experiment test family
     "q_cramer_von_mises",
     "q_anderson_darling",
