@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bifrost_spark.operators.dedup import token_gram_hashes, word_array
+from bifrost_spark.queries.llm_text import VOCAB_GROWTH_SQL
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -525,4 +526,264 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_r", F.lit(0)).cast("bigint").alias("n_r"),
         F.when(ok, F.round(rstar, 9) + F.lit(0.0)).alias("r_star"),
         F.when(ok, F.round(rstar / F.col("n"), 12) + F.lit(0.0)).alias("p_gt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_train — multi-iteration BPE trainer (VERDICT r9 item 2)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_K = 5
+# Oracle symbol wrappers (chr(1)/chr(2)): the DuckDB side applies each
+# merge with replace() over individually-wrapped symbols, so adjacent
+# matches share no characters and left-to-right non-overlapping
+# replacement is EXACTLY the greedy BPE application the engine's array
+# fold performs.  Words containing either wrapper byte are excluded from
+# training on BOTH engines (a declared tokenizer-corpus contract; real
+# text never carries 0x01/0x02).
+_W1, _W2 = "\x01", "\x02"
+
+
+def _bpe_train_oracle(k: int) -> str:
+    parts = [
+        f"""w0 AS (
+          SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wc
+          FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS w
+            FROM documents
+          )
+          WHERE NOT contains(w, chr(1)) AND NOT contains(w, chr(2))
+          GROUP BY w
+        ),
+        v0 AS (
+          SELECT wc,
+                 list_aggregate(
+                   list_transform(range(1, len(word) + 1),
+                                  i -> chr(1) || substr(word, CAST(i AS INT), 1)
+                                       || chr(2))
+                   || [chr(1) || '{_BPE_EOW}' || chr(2)],
+                   'string_agg', '') AS s
+          FROM w0
+        )"""
+    ]
+    for i in range(k):
+        parts.append(
+            f"""syms{i} AS (
+          SELECT wc, string_split(trim(s, chr(1) || chr(2)),
+                                  chr(2) || chr(1)) AS l
+          FROM v{i}
+        ),
+        p{i} AS (
+          SELECT l[CAST(j AS INT)] AS p1, l[CAST(j AS INT) + 1] AS p2, wc
+          FROM syms{i}, UNNEST(range(1, len(l))) AS t(j)
+        ),
+        m{i} AS (
+          SELECT p1, p2, CAST(SUM(wc) AS BIGINT) AS f
+          FROM p{i} GROUP BY p1, p2
+          ORDER BY f DESC, p1, p2 LIMIT 1
+        ),
+        v{i + 1} AS (
+          SELECT wc,
+                 replace(s, chr(1) || m.p1 || chr(2) || chr(1) || m.p2 || chr(2),
+                            chr(1) || m.p1 || m.p2 || chr(2)) AS s
+          FROM v{i}, m{i} m
+        )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, p1, p2, f AS pair_freq FROM m{i}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n        ".join(parts) + "\n        " + union
+
+
+@query("q_bpe_train", oracle=_bpe_train_oracle(_BPE_TRAIN_K))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-iteration BPE trainer (Sennrich, Haddow & Birch 2016;
+    VERDICT r9 item 2): learn the first {K} merges — at each step, count
+    adjacent symbol pairs over the word-frequency table, take the most
+    frequent pair (freq DESC, p1, p2 total order), and rewrite every
+    word's symbol sequence with the merged symbol applied GREEDILY
+    left-to-right non-overlapping (the reference BPE application rule) —
+    the output is the learned merge list itself, the artifact a
+    tokenizer-training pipeline persists.
+
+    The Spark shape is the real trainer's shape: the corpus is read ONCE
+    (word-count aggregate, map-side combined); every iteration runs on
+    the DISTINCT-vocabulary table (Heaps-bounded, localCheckpointed so
+    the loop's lineage stays flat) as a driver-side loop of K bounded
+    JVM jobs — pair explode, one hash aggregate, a 1-row TakeOrdered
+    collect (the house bounded-model-fold pattern), and an in-row array
+    fold applying the merge.  Nothing per-iteration touches text.
+
+    Merge application is a fold over the symbol array: append each
+    symbol, or replace the accumulator's tail with the merged symbol
+    when (tail, current) equals the learned pair — greedy left-to-right
+    by construction ("aaaa" + merge(a,a) → [aa, aa], never [aa, a, a]).
+    The DuckDB oracle unrolls the same K iterations over wrapped-symbol
+    strings where replace() performs the identical greedy rewrite.
+
+    Determinism: exact integer counts, total-order merge selection,
+    exact string symbols; ties in pair frequency resolve by the same
+    (p1, p2) binary order on both engines.  An exhausted vocabulary
+    (no pairs left) simply stops emitting steps on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    words = (
+        d.select(F.explode(toks).alias("word"))
+        .filter(
+            ~F.col("word").contains(_W1) & ~F.col("word").contains(_W2)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    ln = F.length("word")
+    init_syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), ln),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ),
+        F.array(F.lit(_BPE_EOW)),
+    )
+    vocab = words.select("wc", init_syms.alias("syms")).localCheckpoint(
+        eager=True
+    )
+    empty_arr = F.expr("CAST(array() AS ARRAY<STRING>)")
+
+    def adjacent_pairs(col):
+        return F.when(
+            F.size(col) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(col) - 1),
+                lambda i: F.struct(
+                    F.get(col, i - 1).alias("p1"), F.get(col, i).alias("p2")
+                ),
+            ),
+        ).otherwise(
+            F.expr(
+                "CAST(array() AS ARRAY<STRUCT<p1: STRING, p2: STRING>>)"
+            )
+        )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, _BPE_TRAIN_K + 1):
+        top = (
+            vocab.select(
+                "wc", F.explode(adjacent_pairs(F.col("syms"))).alias("p")
+            )
+            .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+            .agg(F.sum("wc").cast("bigint").alias("f"))
+            .orderBy(F.desc("f"), "p1", "p2")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        p1, p2, f = top[0]["p1"], top[0]["p2"], int(top[0]["f"])
+        merges.append((step, p1, p2, f))
+        merged = F.lit(p1 + p2)
+
+        def apply_merge(col, a=p1, b=p2):
+            return F.aggregate(
+                col,
+                empty_arr,
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(merged),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+
+        vocab = vocab.select(
+            "wc", apply_merge(F.col("syms")).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, schema="step bigint, p1 string, p2 string, pair_freq bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_heaps_fit — Heaps-law power fit over the vocabulary-growth curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_heaps_fit",
+    oracle=f"""
+        WITH curve AS ({VOCAB_GROWTH_SQL}),
+        pts AS (
+          SELECT round(ln(CAST(tokens_cum AS DOUBLE)), 12) AS x,
+                 round(ln(CAST(vocab_cum AS DOUBLE)), 12) AS y
+          FROM curve WHERE tokens_cum > 0 AND vocab_cum > 0
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS sxx
+          FROM pts
+        )
+        SELECT n AS n_points,
+               CASE WHEN n * sxx - sx * sx > 0 THEN
+                 round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) + 0.0
+               END AS beta,
+               CASE WHEN n * sxx - sx * sx > 0 THEN
+                 round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n, 9) + 0.0
+               END AS ln_k
+        FROM agg WHERE n > 0
+    """,
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law fit V(n) ≈ K·n^β: log-log OLS over the q_vocab_growth
+    decile curve (one shared curve spelling — the engine calls the
+    registered q_vocab_growth plan, the oracle embeds its SQL as a CTE),
+    the companion to q_zipf_fit on the type side — natural corpora fit
+    β ≈ 0.4–0.6; β near 0 means the vocabulary has saturated (a fixed
+    vocab is safe), β near 1 flags an open-ended type inventory
+    (IDs/hashes/boilerplate churn).
+
+    Determinism: x/y are ln of exact integers rounded at 12 dp; the
+    cross-terms round at 12 dp and all four sums accumulate order-free
+    in DECIMAL(28,12) over the ≤10-row decile frame; β and ln K are
+    identically-spelled IEEE trees rounded at 9 dp.  A degenerate curve
+    (single distinct x — all tokens in one decile) yields NULL via the
+    exact denominator condition; an empty corpus yields no row."""
+    from bifrost_spark.queries.llm_text import q_vocab_growth
+
+    curve = q_vocab_growth(spark, sf_dir)
+    pts = curve.filter(
+        (F.col("tokens_cum") > 0) & (F.col("vocab_cum") > 0)
+    ).select(
+        F.round(F.log(F.col("tokens_cum").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("vocab_cum").cast("double")), 12).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(_D2812)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_D2812)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(_D2812))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(_D2812))
+        .cast("double")
+        .alias("sxx"),
+    ).filter(F.col("n") > 0)
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return agg.select(
+        F.col("n").alias("n_points"),
+        F.when(denom > 0, F.round(beta, 9) + F.lit(0.0)).alias("beta"),
+        F.when(
+            denom > 0,
+            F.round((F.col("sy") - beta * F.col("sx")) / F.col("n"), 9)
+            + F.lit(0.0),
+        ).alias("ln_k"),
     )

@@ -1187,9 +1187,9 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_vocab_growth",
-    oracle="""
+# The vocabulary-growth curve SQL, shared with q_heaps_fit
+# (corpus_stats.py), which fits the Heaps power law over this curve.
+VOCAB_GROWTH_SQL = """
         WITH tok AS (
           SELECT doc_id,
                  unnest(list_filter(string_split(lower(text), ' '),
@@ -1220,8 +1220,10 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(COALESCE(v.n_new_types, 0)) OVER (ORDER BY t.decile)
                     AS BIGINT) AS vocab_cum
         FROM tok_dec t LEFT JOIN voc_dec v USING (decile)
-    """,
-)
+"""
+
+
+@query("q_vocab_growth", oracle=VOCAB_GROWTH_SQL)
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve: cumulative distinct token types
     vs cumulative tokens after each doc_id decile of the corpus — the

@@ -301,6 +301,9 @@ DOC_QUERIES = (
     "q_dup_flow_matrix",
     "q_dup_fraction",
     "q_dup_spans",
+    # round-10 documents-based tokenizer-training family
+    "q_bpe_train",
+    "q_heaps_fit",
     # round-9 documents-based corpus-statistics family
     "q_bpe_merges",
     "q_ngram_novelty",
@@ -399,6 +402,12 @@ def _write_documents_dir(tmpdir: str, docs) -> str:
 @example(docs=[("", "en", "web")])  # zero-word doc (gopher divide guard)
 @example(docs=[("x", "en", "web")])  # single-char doc (entropy -0.0)
 @example(docs=[("x", "en", "web"), ("", "de", "wiki")])  # zero-token lang
+@example(  # BPE hazards: 0x01/0x02 wrapper bytes inside words (excluded
+    # from tokenizer training by contract on BOTH engines) next to the
+    # "aaaa" overlapping-pair word (greedy left-to-right application)
+    docs=[("a\x01b c aaaa", "en", "web"), ("aaaa aaaa of the", "en", "wiki"),
+          ("c\x02d aaaa", None, "web")]
+)
 @example(  # two NULL-text docs: xxhash64(NULL) = 42 made a phantom
     # Jaccard pair where NULL string keys never equi-join (round-5 find)
     docs=[(None, None, None), (None, None, None)]

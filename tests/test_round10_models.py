@@ -150,3 +150,107 @@ def test_logrank_matches_hypergeometric_model(spark, events):
         assert abs(r["chi2_logrank"] - (o1 - e1) ** 2 / v1) < TOL
     else:
         assert r["chi2_logrank"] is None
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_train — literal dict-of-tuples BPE trainer
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_train(texts, k=5):
+    vocab = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.lower().split(" "):
+            if w and "\x01" not in w and "\x02" not in w:
+                vocab[w] += 1
+    seqs = {w: tuple(w) + ("</w>",) for w in vocab}
+    merges = []
+    for step in range(1, k + 1):
+        pairs = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        # max by (freq DESC, p1 asc, p2 asc) — the engines' total order
+        (p1, p2), f = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, p1, p2, f))
+        new_seqs = {}
+        for w, syms in seqs.items():
+            out = []
+            for s in syms:  # greedy left-to-right fold, same as the engine
+                if out and out[-1] == p1 and s == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(s)
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return merges
+
+
+def test_bpe_train_matches_python_trainer(spark, docs):
+    model = _py_bpe_train(docs.text.tolist(), k=5)
+    rows = sorted(
+        registry.queries()["q_bpe_train"](spark, SF_DIR).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [(r["step"], r["p1"], r["p2"], r["pair_freq"]) for r in rows] == model
+    assert len(rows) == 5  # non-vacuous on the fixture
+
+
+def test_bpe_train_greedy_overlap_rule():
+    # "aaaa" + merge(a,a) must yield [aa, aa], never [aa, a, a]: the
+    # greedy non-overlapping application both engines implement
+    merges = _py_bpe_train(["aaaa aaaa"], k=2)
+    assert merges[0] == (1, "a", "a", 6)
+    # after merge 1 the word is (aa, aa, </w>): the step-2 candidates are
+    # (aa, aa) and (aa, </w>) both at freq 2, and '<' sorts before 'a' so
+    # the tie resolves to (aa, </w>).  A WRONG overlap rule ([aa, a, a])
+    # would surface p1='a' candidates and pick (a, </w>) instead.
+    assert merges[1] == (2, "aa", "</w>", 2)
+
+
+# ---------------------------------------------------------------------------
+# q_heaps_fit — numpy log-log OLS over the recomputed growth curve
+# ---------------------------------------------------------------------------
+
+
+def test_heaps_fit_matches_numpy_ols(spark, docs):
+    m = int(docs.doc_id.max()) + 1
+    tok_cum = Counter()
+    first_seen = {}
+    for _, row in docs.iterrows():
+        dec = int(row.doc_id * 10.0 // m)
+        toks = [t for t in (row.text or "").lower().split(" ") if t]
+        tok_cum[dec] += len(toks)
+        for t in toks:
+            d0 = first_seen.get(t)
+            if d0 is None or dec < d0:
+                first_seen[t] = dec
+    voc_cum = Counter(first_seen.values())
+    xs, ys = [], []
+    tc = vc = 0
+    for dec in sorted(tok_cum):
+        tc += tok_cum[dec]
+        vc += voc_cum.get(dec, 0)
+        if tc > 0 and vc > 0:
+            xs.append(math.log(tc))
+            ys.append(math.log(vc))
+    x, y = np.array(xs), np.array(ys)
+    n = len(x)
+    beta = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    ln_k = (y.sum() - beta * x.sum()) / n
+    [r] = registry.queries()["q_heaps_fit"](spark, SF_DIR).collect()
+    assert r["n_points"] == n > 1
+    assert abs(r["beta"] - beta) < TOL
+    assert abs(r["ln_k"] - ln_k) < TOL
+    # the sf0.001 synthetic corpus draws from a FIXED word pool, so its
+    # vocabulary saturates in decile 0 and beta is exactly 0 — the
+    # saturated end of the Heaps range; natural corpora sit in (0, 1)
+    assert 0.0 <= r["beta"] < 1.0
