@@ -14,7 +14,7 @@ Scale shapes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bifrost_spark.operators.dedup import (
@@ -1100,5 +1100,183 @@ def q_dup_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.coalesce(F.max("lvl"), F.lit(0)).cast("bigint").alias("max_dup_len"),
             F.count_distinct("lvl").cast("bigint").alias("n_levels_hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_span_exact — EXACT maximal cross-document duplicated span
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # anchor gram length (the q_dup_spans base)
+
+
+@query(
+    "q_dup_span_exact",
+    oracle=f"""
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        a8 AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(w[CAST(i AS INT):CAST(i AS INT) + {_SPAN_K - 1}],
+                                 ' ') AS gm
+          FROM ws, UNNEST(range(1, len(w) - {_SPAN_K} + 2)) AS t(i)
+          WHERE len(w) >= {_SPAN_K}
+        ),
+        pr AS (
+          SELECT x.doc_id AS da, y.doc_id AS db,
+                 x.pos - y.pos AS diag, x.pos AS pa
+          FROM a8 x JOIN a8 y ON y.gm = x.gm AND x.doc_id < y.doc_id
+        ),
+        runs AS (
+          SELECT da, db, diag, grp, CAST(COUNT(*) AS BIGINT) AS m
+          FROM (
+            SELECT da, db, diag, pa,
+                   pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag
+                                           ORDER BY pa) AS grp
+            FROM (SELECT DISTINCT da, db, diag, pa FROM pr)
+          ) GROUP BY da, db, diag, grp
+        ),
+        s8 AS (
+          SELECT doc_id, MAX(m) + {_SPAN_K - 1} AS s
+          FROM (
+            SELECT da AS doc_id, m FROM runs
+            UNION ALL SELECT db AS doc_id, m FROM runs
+          ) GROUP BY doc_id
+        ),
+        lv AS (SELECT unnest([{", ".join(str(x) for x in range(1, _SPAN_K))}])
+                 AS l),
+        gsm AS (
+          SELECT ws.doc_id, lv.l,
+                 unnest(list_transform(
+                   range(1, len(w) - lv.l + 2),
+                   i -> array_to_string(w[CAST(i AS INT):CAST(i AS INT) + lv.l - 1],
+                                        ' '))) AS gm
+          FROM ws, lv WHERE len(w) >= lv.l
+        ),
+        dup_sm AS (
+          SELECT l, gm FROM gsm GROUP BY l, gm
+          HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        sm AS (
+          SELECT g.doc_id, CAST(MAX(g.l) AS BIGINT) AS s
+          FROM gsm g JOIN dup_sm USING (l, gm)
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               GREATEST(COALESCE(s8.s, 0), COALESCE(sm.s, 0)) AS max_dup_span
+        FROM ws d
+        LEFT JOIN s8 ON s8.doc_id = d.doc_id
+        LEFT JOIN sm ON sm.doc_id = d.doc_id
+    """,
+)
+def q_dup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximal cross-document duplicated token-span length per
+    document (VERDICT r9 item 3) — the exact answer q_dup_span_ladder
+    brackets within 2×, without a suffix array and without a
+    length-search loop, via the ANCHOR-DIAGONAL-RUN identity: any common
+    token substring of length L ≥ k contains exactly L−k+1 consecutive
+    k-gram anchor matches on ONE alignment diagonal (pos_a − pos_b), so
+    the longest common span between two documents is
+    (longest consecutive anchor run on any diagonal) + k − 1.  Runs are
+    gaps-and-islands (pos − row_number per (docA, docB, diagonal)); one
+    pass, fully distributed, exact.  Spans shorter than k (documents
+    sharing only common words/phrases) come from a 1..k−1 gram ladder —
+    exact there by direct membership.  Together: the Lee et al. 2022
+    longest-duplicate statistic, Spark-first.
+
+    Scale shape: anchors are (doc, pos, 8-byte hash) rows — text never
+    moves; the anchor equi-join fans out per shared gram like
+    q_dup_spans (boilerplate-heavy corpora should pre-drop ultra-common
+    grams — same posture as the dedup family, SCALE.md); the run window
+    partitions by (docA, docB, diagonal) — real keys, no global sort;
+    the small-gram ladder is ≤ 7 scan-local gram levels.
+
+    Determinism: everything is exact integer positions and counts; the
+    engine anchors on xxhash64 token-slice hashes while the oracle joins
+    the gram STRINGS — identical spans modulo 2^-64 collisions (the
+    q_dup_spans accepted risk).  Documents with no cross-doc overlap at
+    all report 0."""
+    from bifrost_spark.operators.dedup import token_gram_hashes, word_array
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select("doc_id", word_array().alias("ws"))
+    anchors = (
+        base.select(
+            "doc_id", F.explode(token_gram_hashes("ws", _SPAN_K)).alias("g")
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+        .localCheckpoint(eager=True)  # joined to itself below
+    )
+    a = anchors.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gh"
+    )
+    b = anchors.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gh"
+    )
+    pr = (
+        a.join(b, "gh")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "pa")
+        .distinct()
+    )
+    wrun = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = (
+        pr.withColumn("grp", F.col("pa") - F.row_number().over(wrun))
+        .groupBy("da", "db", "diag", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    s8 = (
+        runs.select(
+            F.explode(F.array(F.col("da"), F.col("db"))).alias("doc_id"),
+            F.col("m"),
+        )
+        .groupBy("doc_id")
+        .agg((F.max("m") + F.lit(_SPAN_K - 1)).cast("bigint").alias("s8"))
+    )
+
+    def _small_grams(lvl):
+        def relabel(s):
+            return F.struct(
+                F.lit(lvl).cast("int").alias("lvl"), s["gh"].alias("gh")
+            )
+
+        return F.transform(token_gram_hashes("ws", lvl), relabel)
+
+    gsm = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.concat(*[_small_grams(lvl) for lvl in range(1, _SPAN_K)])
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.lvl").alias("lvl"), F.col("g.gh").alias("gh"))
+        .localCheckpoint(eager=True)  # dup build + probe, one scan
+    )
+    dup_sm = (
+        gsm.groupBy("lvl", "gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("lvl", "gh")
+    )
+    sm = (
+        gsm.join(dup_sm, ["lvl", "gh"], "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.max("lvl").cast("bigint").alias("sm"))
+    )
+    return (
+        base.select("doc_id")
+        .join(s8, "doc_id", "left")
+        .join(sm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(
+                F.coalesce("s8", F.lit(0)), F.coalesce("sm", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("max_dup_span"),
         )
     )

@@ -302,6 +302,7 @@ DOC_QUERIES = (
     "q_dup_fraction",
     "q_dup_spans",
     # round-10 documents-based tokenizer-training family
+    "q_dup_span_exact",
     "q_bpe_train",
     "q_heaps_fit",
     # round-9 documents-based corpus-statistics family

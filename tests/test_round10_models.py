@@ -254,3 +254,91 @@ def test_heaps_fit_matches_numpy_ols(spark, docs):
     # vocabulary saturates in decile 0 and beta is exactly 0 — the
     # saturated end of the Heaps range; natural corpora sit in (0, 1)
     assert 0.0 <= r["beta"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# q_dup_span_exact — independent 1-gram diagonal-run recomputation
+# ---------------------------------------------------------------------------
+
+
+def _exact_spans_model(docs: pd.DataFrame) -> dict:
+    """Exact max cross-doc common token substring per doc, computed
+    DIRECTLY from unigram position matches (no 8-gram anchor identity,
+    no small-gram ladder — a genuinely different decomposition than the
+    engine's)."""
+    from collections import defaultdict
+
+    toks = {
+        int(r.doc_id): [t for t in r.text.split(" ") if t]
+        for _, r in docs[docs.text.notna()].iterrows()
+    }
+    pos = defaultdict(list)
+    for d, ws in toks.items():
+        for i, w in enumerate(ws):
+            pos[w].append((d, i))
+    match = defaultdict(set)
+    for w, plist in pos.items():
+        for d1, i1 in plist:
+            for d2, i2 in plist:
+                if d1 < d2:
+                    match[(d1, d2)].add((i1 - i2, i1))
+    best = defaultdict(int)
+    for (d1, d2), s in match.items():
+        by_diag = defaultdict(list)
+        for diag, pa in s:
+            by_diag[diag].append(pa)
+        m = 0
+        for pas in by_diag.values():
+            pas.sort()
+            run = 1
+            m = max(m, 1)
+            for prev, cur in zip(pas, pas[1:]):
+                run = run + 1 if cur == prev + 1 else 1
+                m = max(m, run)
+        best[d1] = max(best[d1], m)
+        best[d2] = max(best[d2], m)
+    return {d: best.get(d, 0) for d in toks}
+
+
+def test_dup_span_exact_matches_unigram_run_model(spark, docs):
+    model = _exact_spans_model(docs)
+    rows = registry.queries()["q_dup_span_exact"](spark, SF_DIR).collect()
+    got = {int(r["doc_id"]): int(r["max_dup_span"]) for r in rows}
+    assert got == model
+    assert max(model.values()) >= 8  # the 8-anchor path is exercised
+    assert 0 < min(model.values()) < 8  # ...and the small-gram ladder too
+
+
+def test_dup_span_model_agrees_with_quadratic_dp():
+    # tiny crafted corpus: the unigram-run model itself is checked a
+    # THIRD way against the O(n*m) common-substring DP
+    texts = [
+        "a b c d e f g h i j",
+        "x y c d e f g h i q",  # shares 'c..i' (7 tokens)
+        "a b z", "q q q", "p a b c d e f g h i j p",  # full 10-token span
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+
+    def dp(a, b):
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    toks = [t.split(" ") for t in texts]
+    expect = {}
+    for i in range(len(texts)):
+        expect[i] = max(
+            (dp(toks[i], toks[j]) for j in range(len(texts)) if j != i),
+            default=0,
+        )
+    assert _exact_spans_model(docs) == expect
+    assert expect[0] == 10 and expect[1] == 7 and expect[4] == 10
