@@ -756,3 +756,126 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph_decisions helpers above — ONE spelling with the streaming monitor
     (streaming/page_hinkley.py), the cusum_walk discipline."""
     return ph_decisions(ph_walk(_daily_means(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# q_poisson_rate — two-arm event-rate ratio test (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_poisson_rate",
+    oracle="""
+        WITH exposure AS (
+          SELECT CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                            % 2) = 0 THEN 'A' ELSE 'B' END AS variant,
+                 user_id, date_trunc('day', ts) AS day,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS c
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2, 3
+        ),
+        arms AS (
+          SELECT variant,
+                 CAST(COUNT(*) AS BIGINT) AS expo,
+                 CAST(SUM(c) AS BIGINT) AS c
+          FROM exposure GROUP BY variant
+        ),
+        wide AS (
+          SELECT MAX(CASE WHEN variant = 'A' THEN c END) AS c_a,
+                 MAX(CASE WHEN variant = 'A' THEN expo END) AS e_a,
+                 MAX(CASE WHEN variant = 'B' THEN c END) AS c_b,
+                 MAX(CASE WHEN variant = 'B' THEN expo END) AS e_b
+          FROM arms
+        )
+        SELECT CAST(c_a AS BIGINT) AS events_a,
+               CAST(e_a AS BIGINT) AS exposure_a,
+               CAST(c_b AS BIGINT) AS events_b,
+               CAST(e_b AS BIGINT) AS exposure_b,
+               CASE WHEN c_a > 0 AND c_b > 0 AND e_a > 0 AND e_b > 0 THEN
+                 round(CAST(c_a AS DOUBLE) * e_b
+                       / (CAST(c_b AS DOUBLE) * e_a), 9) + 0.0
+               END AS rate_ratio,
+               CASE WHEN c_a > 0 AND c_b > 0 AND e_a > 0 AND e_b > 0 THEN
+                 round(round(ln(CAST(c_a AS DOUBLE) * e_b
+                                / (CAST(c_b AS DOUBLE) * e_a)), 12)
+                       / sqrt(1.0 / c_a + 1.0 / c_b), 9) + 0.0
+               END AS z
+        FROM wide
+        WHERE c_a IS NOT NULL OR c_b IS NOT NULL
+    """,
+)
+def q_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm Poisson rate-ratio test over purchases per active
+    user-day: exposure is each arm's count of distinct (user, day)
+    active pairs, the event count is its purchases, and the Wald
+    statistic on the log rate ratio is z = ln(λ_A/λ_B)/sqrt(1/c_A +
+    1/c_B) — the COUNT-metric companion to q_ab_test's proportion z
+    (a user can purchase many times a day; a conversion flag throws
+    that away) and the constant-exposure special case of a Poisson
+    regression arm contrast.
+
+    Determinism: counts and exposures are exact integers from one
+    (user, day) aggregate; the rate ratio is one integer-ratio IEEE
+    tree; its runtime ln rounds at 12 dp before the division (the
+    q_collocations measured-identical device) and the outputs round at
+    9 dp with +0.0.  An arm with zero events or zero exposure yields
+    NULL statistics via exact integer conditions; a corpus with no
+    attributable users yields no row.
+
+    Scale shape: one map-side-combined (user, day) aggregate (the only
+    shuffle), an arm rollup to ≤2 rows, and a 1-row fold.  At 100 TB the
+    exposure count never materializes user-day rows beyond the
+    aggregate's partials."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    first_hex = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
+    exposure = ev.groupBy(
+        F.when(first_hex % 2 == 0, "A").otherwise("B").alias("variant"),
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c")
+    )
+    arms = exposure.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("expo"),
+        F.sum("c").cast("bigint").alias("c"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("expo"))).alias("e_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("c"))).alias("c_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("expo"))).alias("e_b"),
+    ).filter(F.col("c_a").isNotNull() | F.col("c_b").isNotNull())
+    ok = (
+        (F.col("c_a") > 0)
+        & (F.col("c_b") > 0)
+        & (F.col("e_a") > 0)
+        & (F.col("e_b") > 0)
+    )
+    rr = (
+        F.col("c_a").cast("double")
+        * F.col("e_b")
+        / (F.col("c_b").cast("double") * F.col("e_a"))
+    )
+    return wide.select(
+        F.col("c_a").cast("bigint").alias("events_a"),
+        F.col("e_a").cast("bigint").alias("exposure_a"),
+        F.col("c_b").cast("bigint").alias("events_b"),
+        F.col("e_b").cast("bigint").alias("exposure_b"),
+        F.when(ok, F.round(rr, 9) + F.lit(0.0)).alias("rate_ratio"),
+        F.when(
+            ok,
+            F.round(
+                F.round(F.log(rr), 12)
+                / F.sqrt(
+                    F.lit(1.0) / F.col("c_a") + F.lit(1.0) / F.col("c_b")
+                ),
+                9,
+            )
+            + F.lit(0.0),
+        ).alias("z"),
+    )

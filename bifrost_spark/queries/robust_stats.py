@@ -997,3 +997,121 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _MAD_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_tukey_hsd — post-hoc pairwise comparisons after q_anova_f
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tukey_hsd",
+    oracle="""
+        WITH g AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(value AS DECIMAL(28,6))) AS s,
+                 SUM(CAST(value * value AS DECIMAL(28,6))) AS ss
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type
+        ),
+        msw AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n) AS BIGINT) AS nn,
+                 CAST(SUM(ss) AS DOUBLE) AS ss_all,
+                 CAST(SUM(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                     / n, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS between_raw
+          FROM g
+        ),
+        means AS (
+          SELECT event_type, n,
+                 round(CAST(s AS DOUBLE) / n, 12) AS m
+          FROM g
+        )
+        SELECT a.event_type AS group_a, b.event_type AS group_b,
+               a.n AS n_a, b.n AS n_b,
+               round(a.m - b.m, 9) + 0.0 AS mean_diff,
+               CASE WHEN w.nn > w.k AND (w.ss_all - w.between_raw) > 0 THEN
+                 round(abs(a.m - b.m)
+                       / sqrt((w.ss_all - w.between_raw) / (w.nn - w.k)
+                              / 2.0 * (1.0 / a.n + 1.0 / b.n)), 9) + 0.0
+               END AS q_stat
+        FROM means a JOIN means b ON a.event_type < b.event_type, msw w
+    """,
+)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc table (Tukey 1949): after q_anova_f says "the
+    k event types differ", WHICH pairs differ?  For every group pair the
+    studentized-range statistic q = |m_i − m_j| / sqrt(MSW/2·(1/n_i +
+    1/n_j)) using the pooled within-group mean square from the SAME
+    sum-of-squares identities as q_anova_f — the honest follow-up that
+    controls the family-wise error a fan of pairwise t-tests would
+    inflate (q is compared against the studentized-range quantile
+    q_{k,N−k,α}, a table lookup the caller applies; the statistic and
+    its inputs are the engine's job).
+
+    Determinism: per-group s/ss are exact decimal sums (the q_anova_f
+    contract); group means and the s²/n addends round at 12 dp; MSW and
+    q are identically-spelled IEEE trees rounded at 9 dp.  Zero within-
+    variance or N ≤ k yields NULL q by exact conditions; the pair frame
+    orders by (group_a < group_b), a total key.
+
+    Scale shape: ONE map-side-combined hash aggregate to k group rows;
+    the pair self-join and the MSW fold run on ≤ k and 1 rows — nothing
+    past the scan grows with the corpus."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)")).alias("ss"),
+    )
+    g = g.localCheckpoint(eager=True)  # msw fold + both pair sides
+    sd = F.col("s").cast("double")
+    msw = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("ss").cast("double").alias("ss_all"),
+        F.sum(F.round(sd * sd / F.col("n"), 12).cast(_D2812))
+        .cast("double")
+        .alias("between_raw"),
+    )
+    means = g.select(
+        "event_type", "n", F.round(sd / F.col("n"), 12).alias("m")
+    )
+    a = means.select(
+        F.col("event_type").alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+    )
+    b = means.select(
+        F.col("event_type").alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b")).crossJoin(
+        F.broadcast(msw)
+    )
+    mswv = (F.col("ss_all") - F.col("between_raw")) / (F.col("nn") - F.col("k"))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        (F.round(F.col("m_a") - F.col("m_b"), 9) + F.lit(0.0)).alias(
+            "mean_diff"
+        ),
+        F.when(
+            (F.col("nn") > F.col("k"))
+            & ((F.col("ss_all") - F.col("between_raw")) > 0),
+            F.round(
+                F.abs(F.col("m_a") - F.col("m_b"))
+                / F.sqrt(
+                    mswv / F.lit(2.0)
+                    * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+                ),
+                9,
+            )
+            + F.lit(0.0),
+        ).alias("q_stat"),
+    )

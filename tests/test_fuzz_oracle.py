@@ -84,7 +84,9 @@ FUZZED_QUERIES = (
     "q_ewma",
     "q_quantile_sketch_rollup",
     "q_trimmed_mean",
-    # round-10 events-based survival family
+    # round-10 events-based survival + experiment families
+    "q_tukey_hsd",
+    "q_poisson_rate",
     "q_kaplan_meier",
     "q_nelson_aalen",
     "q_logrank_test",

@@ -342,3 +342,49 @@ def test_dup_span_model_agrees_with_quadratic_dp():
         )
     assert _exact_spans_model(docs) == expect
     assert expect[0] == 10 and expect[1] == 7 and expect[4] == 10
+
+
+# ---------------------------------------------------------------------------
+# q_tukey_hsd / q_poisson_rate — numpy recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_tukey_hsd_matches_numpy_model(spark, events):
+    e = events[events.value.notna()]
+    groups = {g: v.value.to_numpy(dtype=float) for g, v in e.groupby("event_type")}
+    nn = sum(len(v) for v in groups.values())
+    k = len(groups)
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    msw = ssw / (nn - k)
+    rows = registry.queries()["q_tukey_hsd"](spark, SF_DIR).collect()
+    assert len(rows) == k * (k - 1) // 2 > 0
+    for r in rows:
+        va, vb = groups[r["group_a"]], groups[r["group_b"]]
+        assert (r["n_a"], r["n_b"]) == (len(va), len(vb))
+        diff = va.mean() - vb.mean()
+        q = abs(diff) / math.sqrt(msw / 2 * (1 / len(va) + 1 / len(vb)))
+        assert abs(r["mean_diff"] - diff) < TOL
+        assert abs(r["q_stat"] - q) < 1e-5  # MSW via a different identity
+        assert r["group_a"] < r["group_b"]
+
+
+def test_poisson_rate_matches_pandas_model(spark, events):
+    e = events[events.user_id.notna() & events.ts.notna()].copy()
+    e["day"] = e.ts.dt.floor("D")
+    e["variant"] = e.user_id.map(
+        lambda u: "A" if _md5_bucket(str(int(u))) == 0 else "B"
+    )
+    stats = {}
+    for v, g in e.groupby("variant"):
+        stats[v] = (
+            len(g[["user_id", "day"]].drop_duplicates()),
+            int((g.event_type == "purchase").sum()),
+        )
+    (ea, ca), (eb, cb) = stats["A"], stats["B"]
+    [r] = registry.queries()["q_poisson_rate"](spark, SF_DIR).collect()
+    assert (r["events_a"], r["exposure_a"]) == (ca, ea)
+    assert (r["events_b"], r["exposure_b"]) == (cb, eb)
+    rr = (ca / ea) / (cb / eb)
+    z = math.log(rr) / math.sqrt(1 / ca + 1 / cb)
+    assert abs(r["rate_ratio"] - rr) < TOL
+    assert abs(r["z"] - z) < TOL
