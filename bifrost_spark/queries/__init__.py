@@ -22,3 +22,4 @@ import bifrost_spark.queries.dist_tests  # noqa: F401
 import bifrost_spark.queries.experiment_ops  # noqa: F401
 import bifrost_spark.queries.corpus_stats  # noqa: F401
 import bifrost_spark.queries.survival_ops  # noqa: F401
+import bifrost_spark.queries.calibration_ops  # noqa: F401

@@ -303,7 +303,9 @@ DOC_QUERIES = (
     "q_dup_flow_matrix",
     "q_dup_fraction",
     "q_dup_spans",
-    # round-10 documents-based tokenizer-training family
+    # round-10 documents-based tokenizer-training + calibration families
+    "q_brier_decomp",
+    "q_lift_gains",
     "q_dup_span_exact",
     "q_bpe_train",
     "q_heaps_fit",

@@ -388,3 +388,69 @@ def test_poisson_rate_matches_pandas_model(spark, events):
     z = math.log(rr) / math.sqrt(1 / ca + 1 / cb)
     assert abs(r["rate_ratio"] - rr) < TOL
     assert abs(r["z"] - z) < TOL
+
+
+# ---------------------------------------------------------------------------
+# q_brier_decomp / q_lift_gains — numpy recomputation over raw scores
+# ---------------------------------------------------------------------------
+
+
+def _scored(docs: pd.DataFrame):
+    rows = []
+    for _, r in docs[docs.text.notna()].iterrows():
+        toks = [t for t in r.text.lower().split(" ") if t]
+        if not toks:
+            continue
+        score = len(set(toks)) / len(toks)
+        rows.append((min(int(score * 10), 9), score, int(r.lang == "en")))
+    return rows
+
+
+def test_brier_decomp_matches_numpy_model(spark, docs):
+    rows = _scored(docs)
+    n = len(rows)
+    ob = sum(y for _, _, y in rows) / n
+    brier = sum((s - y) ** 2 for _, s, y in rows) / n
+    rel = res = 0.0
+    for b in set(b for b, _, _ in rows):
+        grp = [(s, y) for bb, s, y in rows if bb == b]
+        fb = sum(s for s, _ in grp) / len(grp)
+        obb = sum(y for _, y in grp) / len(grp)
+        rel += len(grp) * (fb - obb) ** 2 / n
+        res += len(grp) * (obb - ob) ** 2 / n
+    [r] = registry.queries()["q_brier_decomp"](spark, SF_DIR).collect()
+    assert r["n"] == n > 0
+    assert abs(r["brier"] - brier) < TOL
+    assert abs(r["reliability"] - rel) < TOL
+    assert abs(r["resolution"] - res) < TOL
+    assert abs(r["uncertainty"] - ob * (1 - ob)) < TOL
+    # Murphy identity: Brier = REL - RES + UNC + mean within-bin forecast
+    # variance; the residual must therefore be the (nonnegative) variance
+    assert r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"]) > -TOL
+
+
+def test_lift_gains_matches_numpy_model(spark, docs):
+    rows = _scored(docs)
+    n = len(rows)
+    pos = sum(y for _, _, y in rows)
+    per_bin = {}
+    for b, _, y in rows:
+        nb, pb = per_bin.get(b, (0, 0))
+        per_bin[b] = (nb + 1, pb + y)
+    out = sorted(
+        registry.queries()["q_lift_gains"](spark, SF_DIR).collect(),
+        key=lambda r: -r["bin"],
+    )
+    assert len(out) == len(per_bin) > 1
+    cum_n = cum_pos = 0
+    for r, b in zip(out, sorted(per_bin, reverse=True)):
+        nb, pb = per_bin[b]
+        cum_n += nb
+        cum_pos += pb
+        assert (r["bin"], r["n_b"], r["pos_b"]) == (b, nb, pb)
+        assert (r["cum_n"], r["cum_pos"]) == (cum_n, cum_pos)
+        assert abs(r["cum_gain"] - cum_pos / pos) < TOL
+        assert abs(r["lift"] - (cum_pos / cum_n) / (pos / n)) < TOL
+    # the curve must end at gain 1 and lift 1 (the whole corpus)
+    assert abs(out[-1]["cum_gain"] - 1.0) < TOL
+    assert abs(out[-1]["lift"] - 1.0) < TOL
