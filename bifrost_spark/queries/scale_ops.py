@@ -1213,3 +1213,86 @@ def q_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scoring = skw.filter(F.col("week") > F.col("min_week"))
     return score_days_against_baseline(scoring, bl)
+
+
+# ---------------------------------------------------------------------------
+# q_rendezvous_shard — highest-random-weight shard assignment (round 10)
+# ---------------------------------------------------------------------------
+
+_RDV_SHARDS = 8
+
+
+@query(
+    "q_rendezvous_shard",
+    oracle=f"""
+        WITH assigned AS (
+          SELECT d.doc_id, LENGTH(COALESCE(d.text, '')) AS nc,
+                 arg_max(s.s, md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                  || CAST(s.s AS VARCHAR))) AS shard
+          FROM documents d,
+               (SELECT UNNEST(range({_RDV_SHARDS})) AS s) s
+          GROUP BY d.doc_id, LENGTH(COALESCE(d.text, ''))
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assigned)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nc) AS BIGINT) AS n_chars,
+               round(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 9)
+                 + 0.0 AS doc_share
+        FROM assigned GROUP BY shard
+    """,
+)
+def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    shard assignment with a balance report: every document hashes
+    against each of {S} shard ids and lands on the shard with the
+    lexicographically-largest md5(doc_id:shard) weight.  Rendezvous
+    beats `hash(doc) % S` for corpus management because resizing to
+    S+1 shards moves only ~1/(S+1) of documents (only those whose NEW
+    shard wins their rendezvous) instead of reshuffling (S−1)/S of the
+    corpus — the property that makes incremental shard splits and
+    shard-affine caches cheap at 100 TB.  The report is the balance
+    audit: per shard, document count, byte load, and share.
+
+    Determinism: md5 is the engine-portable hash (the q_sample_mixture
+    device); the per-document argmax is a max over {S} (weight, shard)
+    structs — md5 collisions across the {S} candidates would need a
+    128-bit collision, so the winner is total.  Counts exact; the share
+    is one int/int division rounded at 9 dp.
+
+    Scale shape: the argmax is an in-row fold over a {S}-element array
+    (scan-local, no explode reaches the shuffle); ONE hash aggregate to
+    ≤{S} shard rows; the share fold broadcasts a 1-row total."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = F.transform(
+        F.sequence(F.lit(0), F.lit(_RDV_SHARDS - 1)),
+        lambda s: F.struct(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    s.cast("string"),
+                )
+            ).alias("w"),
+            s.alias("s"),
+        ),
+    )
+    assigned = d.select(
+        F.array_max(cand)["s"].cast("bigint").alias("shard"),
+        F.length(F.coalesce("text", F.lit(""))).alias("nc"),
+    )
+    shards = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+    )
+    shards = shards.localCheckpoint(eager=True)  # totals fold + output
+    tot = shards.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    return shards.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_chars",
+        (
+            F.round(F.col("n_docs").cast("double") / F.col("n"), 9)
+            + F.lit(0.0)
+        ).alias("doc_share"),
+    )

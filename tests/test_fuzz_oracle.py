@@ -305,6 +305,7 @@ DOC_QUERIES = (
     "q_dup_spans",
     # round-10 documents-based tokenizer-training + calibration families
     "q_brier_decomp",
+    "q_rendezvous_shard",
     "q_lift_gains",
     "q_dup_span_exact",
     "q_bpe_train",

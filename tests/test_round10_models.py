@@ -454,3 +454,43 @@ def test_lift_gains_matches_numpy_model(spark, docs):
     # the curve must end at gain 1 and lift 1 (the whole corpus)
     assert abs(out[-1]["cum_gain"] - 1.0) < TOL
     assert abs(out[-1]["lift"] - 1.0) < TOL
+
+
+# ---------------------------------------------------------------------------
+# q_rendezvous_shard — hashlib recomputation + minimal-movement property
+# ---------------------------------------------------------------------------
+
+
+def _rdv_shard(doc_id: int, n_shards: int) -> int:
+    return max(
+        range(n_shards),
+        key=lambda s: hashlib.md5(f"{doc_id}:{s}".encode()).hexdigest(),
+    )
+
+
+def test_rendezvous_shard_matches_hashlib_model(spark, docs):
+    counts = Counter()
+    chars = Counter()
+    for _, r in docs.iterrows():
+        sh = _rdv_shard(int(r.doc_id), 8)
+        counts[sh] += 1
+        chars[sh] += len(r.text or "")
+    rows = registry.queries()["q_rendezvous_shard"](spark, SF_DIR).collect()
+    got = {int(r["shard"]): (r["n_docs"], r["n_chars"]) for r in rows}
+    assert got == {s: (counts[s], chars[s]) for s in counts}
+    n = sum(counts.values())
+    for r in rows:
+        assert abs(r["doc_share"] - counts[int(r["shard"])] / n) < TOL
+
+
+def test_rendezvous_resize_moves_one_over_s_plus_one():
+    # THE rendezvous property: growing 8 -> 9 shards must only move docs
+    # whose NEW shard wins — ~1/9 of them — never a wholesale reshuffle
+    ids = range(2000)
+    moved = sum(1 for i in ids if _rdv_shard(i, 8) != _rdv_shard(i, 9))
+    assert 0 < moved / 2000 < 0.2  # expected ~0.111
+    # and every moved doc moved TO the new shard 8, nowhere else
+    for i in ids:
+        a, b = _rdv_shard(i, 8), _rdv_shard(i, 9)
+        if a != b:
+            assert b == 8
