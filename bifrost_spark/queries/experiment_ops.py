@@ -168,9 +168,20 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one per-user aggregate (shuffle on user_id), a
     ≤2K-cell rollup, and windows over the K-row spine — the readout
     costs two aggregates regardless of event volume."""
-    ev = load_table(spark, sf_dir, "events")
+    assign = gs_assignments(load_table(spark, sf_dir, "events"))
+    d0 = assign.agg(F.min(F.col("first_day").cast("date")).alias("d0"))
+    looks = gs_look_cells(assign, d0)
+    return gs_decision_frame(spark, looks)
+
+
+def gs_assignments(ev: DataFrame) -> DataFrame:
+    """Per-user (first_day, converted, variant) enrollment frame — the
+    SHARED input of q_group_sequential and the streaming GST monitor
+    (streaming/gst_monitor.py), factored so both consume identical
+    enrollments (the arm_b_daily_enrollments pairing device, both
+    arms)."""
     first_hex = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
-    assign = (
+    return (
         ev.filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
@@ -186,8 +197,13 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # feeds min-day scalar AND the cells
     )
-    d0 = assign.agg(F.min(F.col("first_day").cast("date")).alias("d0"))
-    looks = (
+
+
+def gs_look_cells(assign: DataFrame, d0: DataFrame) -> DataFrame:
+    """(variant, look, n, c) enrollment counts per look, anchored at the
+    1-row ``d0`` frame (the experiment start day).  Additive across
+    user-complete batches — the streaming twin sums these increments."""
+    return (
         assign.crossJoin(F.broadcast(d0))
         .groupBy(
             "variant",
@@ -205,6 +221,13 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("bigint").alias("c"),
         )
     )
+
+
+def gs_decision_frame(spark: SparkSession, looks: DataFrame) -> DataFrame:
+    """The K-look decision table from per-(variant, look) count cells:
+    full spine, cumulative enrollment, pooled z, OBF/Pocock boundaries —
+    ONE spelling consumed by both the batch query and the streaming
+    monitor, so their decisions agree by construction."""
     spine = (
         spark.range(1, _GS_LOOKS + 1)
         .select(F.col("id").alias("look"))
