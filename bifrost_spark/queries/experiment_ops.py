@@ -308,12 +308,10 @@ def gs_decision_frame(spark: SparkSession, looks: DataFrame) -> DataFrame:
 # q_mantel_haenszel — stratified 2×2 CMH test + common odds ratio
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "q_mantel_haenszel",
-    oracle=f"""
-        WITH {_GS_ASSIGN_SQL},
-        strata AS (
+# Shared oracle fragment: the 4-way site-stratified 2×2 cell table over
+# the md5 arm assignment — consumed by q_mantel_haenszel and
+# q_breslow_day (one spelling).
+_CMH_STRATA_SQL = """strata AS (
           SELECT user_id % 4 AS stratum,
                  CAST(SUM(CASE WHEN variant = 'A' AND converted = 1
                                THEN 1 ELSE 0 END) AS BIGINT) AS a,
@@ -324,7 +322,52 @@ def gs_decision_frame(spark: SparkSession, looks: DataFrame) -> DataFrame:
                  CAST(SUM(CASE WHEN variant = 'B' AND converted = 0
                                THEN 1 ELSE 0 END) AS BIGINT) AS d
           FROM assign GROUP BY 1
-        ),
+        )"""
+
+
+def cmh_strata(ev: DataFrame) -> DataFrame:
+    """(stratum, a, b, c, d) — the 4-way site-stratified 2×2 cells over
+    the md5 arm assignment: the SHARED input of q_mantel_haenszel and
+    q_breslow_day (one spelling, mirrored by ``_CMH_STRATA_SQL``)."""
+    first_hex = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
+    assign = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 4
+                > F.count(F.lit(1)),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+            F.first(F.when(first_hex % 2 == 0, "A").otherwise("B")).alias("variant"),
+        )
+    )
+
+    def cell(v, conv):
+        return (
+            F.sum(
+                F.when((F.col("variant") == v) & (F.col("converted") == conv), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+        )
+
+    return assign.groupBy((F.col("user_id") % 4).alias("stratum")).agg(
+        cell("A", 1).alias("a"),
+        cell("A", 0).alias("b"),
+        cell("B", 1).alias("c"),
+        cell("B", 0).alias("d"),
+    )
+
+
+
+@query(
+    "q_mantel_haenszel",
+    oracle=f"""
+        WITH {_GS_ASSIGN_SQL},
+        {_CMH_STRATA_SQL},
         terms AS (
           SELECT a,
                  round(CAST((a + b) AS DOUBLE) * (a + c)
@@ -382,52 +425,7 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one per-user aggregate, then everything folds on
     ≤|strata| rows — bounded by the stratum modulus, not the corpus."""
-    ev = load_table(spark, sf_dir, "events")
-    first_hex = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
-    assign = (
-        ev.filter(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.when(
-                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 4
-                > F.count(F.lit(1)),
-                1,
-            )
-            .otherwise(0)
-            .alias("converted"),
-            F.first(F.when(first_hex % 2 == 0, "A").otherwise("B")).alias("variant"),
-        )
-    )
-    strata = (
-        assign
-        .groupBy((F.col("user_id") % 4).alias("stratum"))
-        .agg(
-            F.sum(
-                F.when((F.col("variant") == "A") & (F.col("converted") == 1), 1)
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("a"),
-            F.sum(
-                F.when((F.col("variant") == "A") & (F.col("converted") == 0), 1)
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("b"),
-            F.sum(
-                F.when((F.col("variant") == "B") & (F.col("converted") == 1), 1)
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("c"),
-            F.sum(
-                F.when((F.col("variant") == "B") & (F.col("converted") == 0), 1)
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("d"),
-        )
-    )
+    strata = cmh_strata(load_table(spark, sf_dir, "events"))
     nt = F.col("a") + F.col("b") + F.col("c") + F.col("d")
     terms = strata.filter(nt > 1).select(
         "a",
@@ -901,4 +899,186 @@ def q_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0),
         ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_breslow_day — homogeneity of the stratum odds ratios (round 10)
+# ---------------------------------------------------------------------------
+
+_BD_ELIGIBLE_SQL = "a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0"
+
+
+@query(
+    "q_breslow_day",
+    oracle=f"""
+        WITH {_GS_ASSIGN_SQL},
+        {_CMH_STRATA_SQL},
+        psi AS (
+          SELECT CAST(SUM(CAST(round(CAST(a AS DOUBLE) * d
+                                     / (a + b + c + d), 12)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(SUM(CAST(round(CAST(b AS DOUBLE) * c
+                                       / (a + b + c + d), 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS psi
+          FROM strata WHERE a + b + c + d > 1
+          HAVING SUM(CAST(round(CAST(b AS DOUBLE) * c
+                                / (a + b + c + d), 12)
+                          AS DECIMAL(28,12))) > 0
+             AND SUM(CAST(round(CAST(a AS DOUBLE) * d
+                                / (a + b + c + d), 12)
+                          AS DECIMAL(28,12))) > 0
+        ),
+        solved AS (
+          SELECT a,
+                 CASE WHEN psi = 1.0 THEN r1 * c1 / nt
+                      WHEN (-bq + sqrt(GREATEST(bq * bq
+                             + 4.0 * (1.0 - psi) * psi * r1 * c1, 0.0)))
+                             / (2.0 * (1.0 - psi)) > lo
+                       AND (-bq + sqrt(GREATEST(bq * bq
+                             + 4.0 * (1.0 - psi) * psi * r1 * c1, 0.0)))
+                             / (2.0 * (1.0 - psi)) < hi
+                      THEN (-bq + sqrt(GREATEST(bq * bq
+                             + 4.0 * (1.0 - psi) * psi * r1 * c1, 0.0)))
+                             / (2.0 * (1.0 - psi))
+                      WHEN (-bq - sqrt(GREATEST(bq * bq
+                             + 4.0 * (1.0 - psi) * psi * r1 * c1, 0.0)))
+                             / (2.0 * (1.0 - psi)) > lo
+                       AND (-bq - sqrt(GREATEST(bq * bq
+                             + 4.0 * (1.0 - psi) * psi * r1 * c1, 0.0)))
+                             / (2.0 * (1.0 - psi)) < hi
+                      THEN (-bq - sqrt(GREATEST(bq * bq
+                             + 4.0 * (1.0 - psi) * psi * r1 * c1, 0.0)))
+                             / (2.0 * (1.0 - psi))
+                 END AS ee,
+                 r1, c1, nt, psi
+          FROM (
+            SELECT a, psi,
+                   CAST(a + b AS DOUBLE) AS r1,
+                   CAST(a + c AS DOUBLE) AS c1,
+                   CAST(a + b + c + d AS DOUBLE) AS nt,
+                   (CAST(a + b + c + d AS DOUBLE) - (a + b) - (a + c))
+                     + psi * ((a + b) + (a + c)) AS bq,
+                   GREATEST(0.0, CAST(a + b AS DOUBLE) + (a + c)
+                            - (a + b + c + d)) AS lo,
+                   LEAST(CAST(a + b AS DOUBLE), CAST(a + c AS DOUBLE)) AS hi
+            FROM strata, psi
+            WHERE {_BD_ELIGIBLE_SQL}
+          )
+        ),
+        terms AS (
+          SELECT psi,
+                 round((a - ee) * (a - ee)
+                       * (1.0 / ee + 1.0 / (r1 - ee) + 1.0 / (c1 - ee)
+                          + 1.0 / (nt - r1 - c1 + ee)), 12) AS t
+          FROM solved WHERE ee IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               round(psi, 9) + 0.0 AS or_mh,
+               round(CAST(SUM(CAST(t AS DECIMAL(28,12))) AS DOUBLE), 9)
+                 + 0.0 AS bd_chi2
+        FROM terms GROUP BY psi HAVING COUNT(*) > 0
+    """,
+)
+def q_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day test of odds-ratio HOMOGENEITY across the CMH strata
+    (Breslow & Day 1980, §IV.4): q_mantel_haenszel assumes one common
+    odds ratio pools legitimately — this is the test of that
+    assumption.  Per stratum the expected count ã under the MH common
+    odds ratio ψ solves the quadratic (1−ψ)ã² + Bã − ψ·r1·c1 = 0 (the
+    in-range root with B = (N−r1−c1) + ψ(r1+c1)); the statistic
+    Σ (a−ã)²·(1/ã + 1/(r1−ã) + 1/(c1−ã) + 1/(N−r1−c1+ã)) is χ² with
+    n_strata−1 df under homogeneity.  Large values mean the "common"
+    odds ratio is a fiction and the stratified report should be read
+    per-stratum.
+
+    Determinism: the 2×2 cells are exact integers; ψ is the identical
+    MH fold both engines already share (12-dp addends, DECIMAL(28,12)
+    sums, one IEEE division — used UNROUNDED so both engines branch and
+    solve identically); the quadratic root selection is an exact-range
+    CASE on one shared IEEE tree (the ψ = 1 branch is the exact linear
+    case), strata with a zero margin or no in-range root are excluded
+    by identical conditions; per-stratum terms round at 12 dp into
+    DECIMAL(28,12); finals round at 9 dp with +0.0.
+
+    Scale shape: the same one per-user aggregate as q_mantel_haenszel,
+    then everything folds on ≤|strata| rows crossed with the 1-row ψ."""
+    strata = cmh_strata(load_table(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
+    nt = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    mh = strata.filter(nt > 1).agg(
+        F.sum(F.round(F.col("a").cast("double") * F.col("d") / nt, 12).cast(_D2812))
+        .alias("sum_r"),
+        F.sum(F.round(F.col("b").cast("double") * F.col("c") / nt, 12).cast(_D2812))
+        .alias("sum_s"),
+    )
+    psi_frame = mh.filter((F.col("sum_r") > 0) & (F.col("sum_s") > 0)).select(
+        (F.col("sum_r").cast("double") / F.col("sum_s").cast("double")).alias(
+            "psi"
+        )
+    )
+    eligible = strata.filter(
+        (F.col("a") + F.col("b") > 0)
+        & (F.col("c") + F.col("d") > 0)
+        & (F.col("a") + F.col("c") > 0)
+        & (F.col("b") + F.col("d") > 0)
+    ).crossJoin(F.broadcast(psi_frame))
+    r1 = (F.col("a") + F.col("b")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")
+    ntd = nt.cast("double")
+    prep = eligible.select(
+        "a",
+        "psi",
+        r1.alias("r1"),
+        c1.alias("c1"),
+        ntd.alias("nt"),
+        ((ntd - r1 - c1) + F.col("psi") * (r1 + c1)).alias("bq"),
+        F.greatest(F.lit(0.0), r1 + c1 - ntd).alias("lo"),
+        F.least(r1, c1).alias("hi"),
+    )
+    sq = F.sqrt(
+        F.greatest(
+            F.col("bq") * F.col("bq")
+            + F.lit(4.0)
+            * (F.lit(1.0) - F.col("psi"))
+            * F.col("psi")
+            * F.col("r1")
+            * F.col("c1"),
+            F.lit(0.0),
+        )
+    )
+    e1 = (-F.col("bq") + sq) / (F.lit(2.0) * (F.lit(1.0) - F.col("psi")))
+    e2 = (-F.col("bq") - sq) / (F.lit(2.0) * (F.lit(1.0) - F.col("psi")))
+    in_range = lambda e: (e > F.col("lo")) & (e < F.col("hi"))  # noqa: E731
+    ee = (
+        F.when(F.col("psi") == 1.0, F.col("r1") * F.col("c1") / F.col("nt"))
+        .when(in_range(e1), e1)
+        .when(in_range(e2), e2)
+    )
+    solved = prep.select("a", "psi", "r1", "c1", "nt", ee.alias("ee")).filter(
+        F.col("ee").isNotNull()
+    )
+    dev = F.col("a") - F.col("ee")
+    inv_v = (
+        F.lit(1.0) / F.col("ee")
+        + F.lit(1.0) / (F.col("r1") - F.col("ee"))
+        + F.lit(1.0) / (F.col("c1") - F.col("ee"))
+        + F.lit(1.0) / (F.col("nt") - F.col("r1") - F.col("c1") + F.col("ee"))
+    )
+    terms = solved.select(
+        "psi", F.round(dev * dev * inv_v, 12).alias("t")
+    )
+    return (
+        terms.groupBy("psi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+            F.sum(F.col("t").cast(_D2812)).cast("double").alias("bd_raw"),
+        )
+        .filter(F.col("n_strata") > 0)
+        .select(
+            "n_strata",
+            (F.round(F.col("psi"), 9) + F.lit(0.0)).alias("or_mh"),
+            (F.round(F.col("bd_raw"), 9) + F.lit(0.0)).alias("bd_chi2"),
+        )
     )

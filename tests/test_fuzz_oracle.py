@@ -87,6 +87,7 @@ FUZZED_QUERIES = (
     # round-10 events-based survival + experiment families
     "q_tukey_hsd",
     "q_poisson_rate",
+    "q_breslow_day",
     "q_kaplan_meier",
     "q_nelson_aalen",
     "q_logrank_test",

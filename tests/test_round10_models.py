@@ -494,3 +494,94 @@ def test_rendezvous_resize_moves_one_over_s_plus_one():
         a, b = _rdv_shard(i, 8), _rdv_shard(i, 9)
         if a != b:
             assert b == 8
+
+
+# ---------------------------------------------------------------------------
+# q_breslow_day — numpy homogeneity model on a crafted stratified corpus
+# ---------------------------------------------------------------------------
+
+
+def _bd_model(cells):
+    """cells: list of (a, b, c, d).  Returns (n_strata, psi, T) or None."""
+    sum_r = sum(a * d / (a + b + c + d) for a, b, c, d in cells if a + b + c + d > 1)
+    sum_s = sum(b * c / (a + b + c + d) for a, b, c, d in cells if a + b + c + d > 1)
+    if sum_r <= 0 or sum_s <= 0:
+        return None
+    psi = sum_r / sum_s
+    n_used = 0
+    t = 0.0
+    for a, b, c, d in cells:
+        if min(a + b, c + d, a + c, b + d) <= 0:
+            continue
+        r1, c1, n = float(a + b), float(a + c), float(a + b + c + d)
+        if psi == 1.0:
+            e = r1 * c1 / n
+        else:
+            bq = (n - r1 - c1) + psi * (r1 + c1)
+            disc = max(bq * bq + 4 * (1 - psi) * psi * r1 * c1, 0.0)
+            roots = [
+                (-bq + math.sqrt(disc)) / (2 * (1 - psi)),
+                (-bq - math.sqrt(disc)) / (2 * (1 - psi)),
+            ]
+            lo, hi = max(0.0, r1 + c1 - n), min(r1, c1)
+            e = next((x for x in roots if lo < x < hi), None)
+            if e is None:
+                continue
+        inv_v = 1 / e + 1 / (r1 - e) + 1 / (c1 - e) + 1 / (n - r1 - c1 + e)
+        t += (a - e) ** 2 * inv_v
+        n_used += 1
+    return n_used, psi, t
+
+
+def _bd_crafted_events():
+    # 40 users, entry days staggered, every third user converted: a
+    # corpus whose 4 strata all carry nonzero margins (asserted below)
+    events = []
+    for u in range(40):
+        base_s = (u % 10) * 86400
+        events.append((u, "view", base_s, 100))
+        if u % 3 == 0:
+            events.append((u, "purchase", base_s + 3600, 200))
+        else:
+            events.append((u, "view", base_s + 3600, 50))
+    return events
+
+
+def test_breslow_day_matches_numpy_model(spark, tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_fuzz_oracle import _write_fixture_dir
+
+    events = _bd_crafted_events()
+    tmpdir = _write_fixture_dir(
+        str(tmp_path_factory.mktemp("bdfix")), events
+    )
+    # recompute the strata from scratch (variant via md5, conversion via
+    # the purchase-share rule)
+    from collections import defaultdict
+
+    users = defaultdict(lambda: [0, 0])  # user -> [purchases, n]
+    for u, t, _, _ in events:
+        users[u][1] += 1
+        users[u][0] += t == "purchase"
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for u, (p, n) in users.items():
+        conv = int(p * 4 > n)
+        va = _md5_bucket(str(u)) == 0
+        idx = (0 if conv else 1) if va else (2 if conv else 3)
+        cells[u % 4][idx] += 1
+    model = _bd_model([tuple(v) for v in cells.values()])
+    assert model is not None
+    n_used, psi, t = model
+    [r] = registry.queries()["q_breslow_day"](spark, tmpdir).collect()
+    assert r["n_strata"] == n_used == 4
+    assert abs(r["or_mh"] - psi) < TOL
+    assert abs(r["bd_chi2"] - t) < TOL
+
+
+def test_breslow_day_fixture_outcome(spark):
+    # sf0.001's strata never populate both off-diagonal cells, so psi is
+    # undefined and the test correctly reports nothing (same exact
+    # condition as q_mantel_haenszel's NULL or_mh there)
+    assert registry.queries()["q_breslow_day"](spark, SF_DIR).collect() == []
