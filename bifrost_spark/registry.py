@@ -50,67 +50,76 @@ REGISTRY: dict[str, QuerySpec] = {}
 # round 10 are the tail below the oracle core: q_zscore, q_feature_hash,
 # q_profile, q_zorder, q_percent_of_total, q_lateral_topn, q_copurchase,
 # q_dsir_weights_hires, and rows-only q_sim_ann_opq.
-# ROUND-10 WINDOW PLAN: those 9 deferred round-4 ids first, then new
-# round-10 ids, then the stalest round-5 rows (the whole round-5 cohort
-# of 50 — q_agg_stats … q_window_range_frame — becomes the backlog) to
+# ROUND-10 WINDOW (VERDICT r9 item 1): the 9 deferred round-4 ids
+# FIRST, then all 12 new round-10 ids, then the 29 stalest round-5 rows
+# (CORRECTNESS_r05 order) to fill 50.
+# ROUND-11 WINDOW PLAN: the 21 remaining round-5 ids (in CORRECTNESS_r05
+# order: q_join_range, q_pivot, q_grouping_sets, q_explode_tokens,
+# q_agg_stats, q_window_range_frame, q_window_lead_lag, q_ntile,
+# q_median, q_composite_report, q_subquery_scalar, q_udf_pandas,
+# q_histogram, q_json_schema, q_corr, q_dedup_keep_best,
+# q_subquery_exists, q_subquery_not_in, q_unpivot,
+# q_window_distribution, q_cond_agg)
+# FIRST, then every new round-11 id, then the stalest round-6 rows to
 # fill 50.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Round-4 cohort: relational core (oracle ids)
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_agg_hash",
-    "q_agg_distinct",
-    "q_rollup",
-    "q_cube",
-    "q_window_rank",
-    "q_window_running",
-    "q_sort_limit",
-    "q_set_ops",
-    "q_scalar_funcs",
-    "q_json_extract",
-    "q_array_ops",
-    # Round-4 cohort: LLM-pipeline + analytics oracle ids
-    "q_dedup_exact",
-    "q_sim_topk",
-    "q_text_stats",
-    "q_tpch22",
-    "q_dsir_weights",
-    "q_dsir_resample",
-    "q_bm25",
-    "q_snapshot_diff",
-    "q_url_dedup",
-    "q_dedup_paragraph",
-    "q_dedup_incremental",
-    "q_hard_negatives",
-    "q_quality_classifier",
-    "q_lm_bigram",
-    "q_join_asof_tol",
-    "q_rolling_median",
-    "q_time_weighted_avg",
-    "q_bitwise_agg",
-    "q_sliding_window",
-    "q_map_ops",
-    "q_integrity_check",
-    # NEW round-9 operators (each new id lands in its own round's
-    # window): the distributional/trend test family, the
-    # experimentation-design family, and the tokenizer/corpus-statistics
-    # family (VERDICT r8 item 3)
-    "q_cramer_von_mises",
-    "q_anderson_darling",
-    "q_mood_median",
-    "q_runs_test",
-    "q_mann_kendall",
-    "q_group_sequential",
-    "q_mantel_haenszel",
-    "q_permutation_test",
-    "q_page_hinkley",
-    "q_bpe_merges",
-    "q_ngram_novelty",
-    "q_zipf_fit",
-    "q_chao1_vocab",
-    "q_good_turing",
+    # 9 round-4 ids deferred from the round-9 window (the pre-written plan)
+    "q_zscore",
+    "q_feature_hash",
+    "q_profile",
+    "q_zorder",
+    "q_percent_of_total",
+    "q_lateral_topn",
+    "q_copurchase",
+    "q_dsir_weights_hires",
+    "q_sim_ann_opq",
+    # NEW round-10 operators (each new id lands in its own round's
+    # window): the survival family, the experiment-design extensions,
+    # the tokenizer-training/corpus ops, and the calibration/sharding ops
+    "q_kaplan_meier",
+    "q_nelson_aalen",
+    "q_logrank_test",
+    "q_tukey_hsd",
+    "q_poisson_rate",
+    "q_breslow_day",
+    "q_bpe_train",
+    "q_heaps_fit",
+    "q_dup_span_exact",
+    "q_brier_decomp",
+    "q_lift_gains",
+    "q_rendezvous_shard",
+    # stalest round-5 standing rows (CORRECTNESS_r05 order) to fill 50;
+    # the remaining 21 round-5 ids (q_pivot .. q_cond_agg cohort) are the
+    # ROUND-11 backlog, then the round-6 cohort
+    "q_ks_drift",
+    "q_psi_drift",
+    "q_attribution",
+    "q_mode_per_group",
+    "q_compaction_plan",
+    "q_pareto_frontier",
+    "q_markov_transitions",
+    "q_benford",
+    "q_seasonal_baseline",
+    "q_behavior_entropy",
+    "q_split_balance",
+    "q_top_anomalies",
+    "q_collocations",
+    "q_qlm",
+    "q_rrf_fusion",
+    "q_tokenizer_fertility",
+    "q_vocab_growth",
+    "q_dup_fraction",
+    "q_jaccard_ppjoin",
+    "q_autocorr",
+    "q_heavy_hitters_exact",
+    "q_negative_sampling",
+    "q_temporal_split",
+    "q_skew_report",
+    "q_classifier_report",
+    "q_multimodal_patches",
+    "q_embedding_pca",
+    "q_join_full",
+    "q_join_asof",
 )
 
 

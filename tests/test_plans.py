@@ -213,6 +213,19 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_mantel_haenszel",
         "q_permutation_test",
         "q_good_turing",
+        # round-10: the same 1-row scalar-fold broadcasts (shard/bin
+        # totals, the MH psi, the MSW fold) onto bounded frames (<=10
+        # bins, <=8 shards, <=|strata| rows, k groups); q_tukey_hsd
+        # additionally pairs its k-row group frame (inequality join on
+        # a bounded frame, the q_kendall_tau shape); q_logrank_test
+        # crosses the distinct-lifetime frame with a 2-row group
+        # literal (calendar-bounded x 2)
+        "q_logrank_test",
+        "q_tukey_hsd",
+        "q_breslow_day",
+        "q_brier_decomp",
+        "q_lift_gains",
+        "q_rendezvous_shard",
     }
     offenders = {}
     for name, plan in _all_plans(spark, sf_dir).items():
@@ -514,6 +527,19 @@ SINGLE_PARTITION_BUDGET = {
     "q_jackknife_variance": 7,  # 32-bucket folds: totals/theta/dot/dev chains
     "q_woe_iv": 1,  # 10-bin totals fold
     "q_sketch_drift": 3,  # min-week + day-grid folds over days x K summary rows
+    # Round-10: cumulative windows and scalar folds over bounded frames
+    # only (distinct-lifetime frame <= calendar days, k groups, <=10
+    # bins, <=8 shards, <=|strata| rows, 10-row decile curve)
+    "q_kaplan_meier": 1,  # lifetime-frame cum windows + risk suffix sum
+    "q_nelson_aalen": 1,  # same bounded lifetime windows
+    "q_logrank_test": 1,  # lifetime spine windows + 1-row summary fold
+    "q_tukey_hsd": 1,  # k-row MSW fold
+    "q_poisson_rate": 1,  # 2-arm fold
+    "q_breslow_day": 1,  # 1-row psi fold onto |strata| rows
+    "q_heaps_fit": 1,  # 10-row decile curve window + OLS fold
+    "q_brier_decomp": 1,  # 10-bin totals fold
+    "q_lift_gains": 2,  # 10-bin totals fold + 10-bin cumulative walk
+    "q_rendezvous_shard": 1,  # 8-shard totals fold
 }
 
 

@@ -10,65 +10,61 @@ from bifrost_spark import registry
 
 WINDOW = 50
 
-# Round-9 hard targets (VERDICT r8 "Next round" item 1): the round-4
-# cohort — the ids whose standing driver rows date from round 4 (the
-# relational core, q_tpch22, the dsir ids, the web-dedup family) — PLUS
-# every round-9 addition (a new id must land in its own round's window so
-# the driver-unchecked backlog never re-grows).  9 round-4 ids spill to
-# round 10 to make room for the 14 round-9 additions.
-ROUND9_MUST_COVER = {
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_agg_hash",
-    "q_agg_distinct",
-    "q_rollup",
-    "q_cube",
-    "q_window_rank",
-    "q_window_running",
-    "q_sort_limit",
-    "q_set_ops",
-    "q_scalar_funcs",
-    "q_json_extract",
-    "q_array_ops",
-    "q_dedup_exact",
-    "q_sim_topk",
-    "q_text_stats",
-    "q_tpch22",
-    "q_dsir_weights",
-    "q_dsir_resample",
-    "q_bm25",
-    "q_snapshot_diff",
-    "q_url_dedup",
-    "q_dedup_paragraph",
-    "q_dedup_incremental",
-    "q_hard_negatives",
-    "q_quality_classifier",
-    "q_lm_bigram",
-    "q_join_asof_tol",
-    "q_rolling_median",
-    "q_time_weighted_avg",
-    "q_bitwise_agg",
-    "q_sliding_window",
-    "q_map_ops",
-    "q_integrity_check",
-    # round-9 additions (distributional/trend tests, experimentation
-    # design, tokenizer/corpus statistics)
-    "q_cramer_von_mises",
-    "q_anderson_darling",
-    "q_mood_median",
-    "q_runs_test",
-    "q_mann_kendall",
-    "q_group_sequential",
-    "q_mantel_haenszel",
-    "q_permutation_test",
-    "q_page_hinkley",
-    "q_bpe_merges",
-    "q_ngram_novelty",
-    "q_zipf_fit",
-    "q_chao1_vocab",
-    "q_good_turing",
+# Round-10 hard targets (VERDICT r9 "Next round" item 1): the 9
+# round-4 ids deferred from the round-9 window, every round-10 addition
+# (a new id must land in its own round's window so the driver-unchecked
+# backlog never re-grows), and the 29 stalest round-5 standing rows.
+ROUND10_MUST_COVER = {
+    "q_zscore",
+    "q_feature_hash",
+    "q_profile",
+    "q_zorder",
+    "q_percent_of_total",
+    "q_lateral_topn",
+    "q_copurchase",
+    "q_dsir_weights_hires",
+    "q_sim_ann_opq",
+    "q_kaplan_meier",
+    "q_nelson_aalen",
+    "q_logrank_test",
+    "q_tukey_hsd",
+    "q_poisson_rate",
+    "q_breslow_day",
+    "q_bpe_train",
+    "q_heaps_fit",
+    "q_dup_span_exact",
+    "q_brier_decomp",
+    "q_lift_gains",
+    "q_rendezvous_shard",
+    "q_ks_drift",
+    "q_psi_drift",
+    "q_attribution",
+    "q_mode_per_group",
+    "q_compaction_plan",
+    "q_pareto_frontier",
+    "q_markov_transitions",
+    "q_benford",
+    "q_seasonal_baseline",
+    "q_behavior_entropy",
+    "q_split_balance",
+    "q_top_anomalies",
+    "q_collocations",
+    "q_qlm",
+    "q_rrf_fusion",
+    "q_tokenizer_fertility",
+    "q_vocab_growth",
+    "q_dup_fraction",
+    "q_jaccard_ppjoin",
+    "q_autocorr",
+    "q_heavy_hitters_exact",
+    "q_negative_sampling",
+    "q_temporal_split",
+    "q_skew_report",
+    "q_classifier_report",
+    "q_multimodal_patches",
+    "q_embedding_pca",
+    "q_join_full",
+    "q_join_asof",
 }
 
 
@@ -88,9 +84,9 @@ def test_window_is_check_priority_in_order():
     assert first == list(registry.CHECK_PRIORITY)
 
 
-def test_round9_targets_inside_window():
+def test_round10_targets_inside_window():
     window = set(list(registry.queries())[:WINDOW])
-    assert ROUND9_MUST_COVER <= window
+    assert ROUND10_MUST_COVER <= window
 
 
 def test_registered_outputs_are_scalar_only(spark, sf_dir):

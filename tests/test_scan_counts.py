@@ -116,6 +116,20 @@ def test_executed_plan_scan_count(spark, sf_dir, name):
 # whose count RISES above this table lost a shared subtree to Catalyst's
 # no-dedup rule — checkpoint it or justify it in the curated table.
 FULL_SURFACE_SCANS = {
+    # Round-10 additions (measured executed plans):
+    "q_kaplan_meier": 1,  # one events scan through the lifetime frame
+    "q_nelson_aalen": 1,
+    "q_logrank_test": 2,  # lifetime frame feeds spine + per-group cells
+    "q_tukey_hsd": 0,  # group moments checkpointed; MSW + pairs reuse
+    "q_poisson_rate": 1,  # one (user, day) exposure aggregate
+    "q_breslow_day": 0,  # strata checkpointed; psi fold + solve reuse
+    "q_bpe_train": 0,  # merges collected in the driver loop; result literal
+    "q_heaps_fit": 2,  # the q_vocab_growth curve (token + first-seen sides)
+    "q_dup_span_exact": 1,  # anchors checkpointed; one documents scan
+    "q_brier_decomp": 0,  # bin frame checkpointed; totals + addends reuse
+    "q_lift_gains": 0,  # bin frame checkpointed; totals + walk reuse
+    "q_rendezvous_shard": 0,  # shard rollup checkpointed; totals reuse
+
     "q_ab_test": 1,
     "q_agg_approx": 1,
     # Round-7 curation/sketch family: drift + flow-matrix read their two
