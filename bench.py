@@ -121,6 +121,13 @@ HEADLINE = [
     "q_anderson_darling",
     "q_bpe_merges",
     "q_permutation_test",
+    # round-10 entries over the 0.3 s headline floor (sweep, sf0.1), plus
+    # the BPE trainer whose cost is its driver-side iteration loop
+    "q_dup_span_exact",
+    "q_logrank_test",
+    "q_kaplan_meier",
+    "q_heaps_fit",
+    "q_bpe_train",
 ]
 
 

@@ -22,6 +22,15 @@ runs before (and after) building an LLM dataset:
   the count-of-counts table: the adjusted mass a language model should
   assign to r-count tokens, and the classic smoothing sanity report.
 
+Round-10 additions (VERDICT r9 item 2 + the type-side fit):
+
+* **q_bpe_train** — the multi-iteration BPE trainer: K=5 learned merges
+  via a driver-side loop of bounded JVM jobs over the Heaps-bounded
+  vocabulary table (q_bpe_merges is its single-step candidate queue);
+* **q_heaps_fit** — the Heaps-law V(n) ≈ K·n^β log-log OLS over the
+  shared q_vocab_growth decile curve — q_zipf_fit's companion on the
+  type-inventory side.
+
 Determinism discipline (house rules): all frequencies are exact
 integers; the only floats are log2 of integer counts rounded at 12 dp
 into DECIMAL(28,12) order-free sums (the q_collocations device —

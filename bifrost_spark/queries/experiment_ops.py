@@ -25,6 +25,19 @@ fixed-horizon z-test (q_ab_test) or a fully-sequential walk
   leaves its historical minimum by more than λ — the self-calibrating
   cousin of q_cusum_drift that needs no baseline week.
 
+Round-10 additions:
+
+* **q_poisson_rate** — the two-arm Poisson rate-ratio Wald z over
+  purchases per active user-day: the COUNT-metric companion to
+  q_ab_test's proportion z;
+* **q_breslow_day** — the Breslow-Day (1980) test that the CMH common
+  odds ratio is real: per-stratum expected cells under the MH ψ via the
+  in-range quadratic root, χ² on n_strata−1 df.
+
+The group-sequential helpers (gs_assignments / gs_look_cells /
+gs_decision_frame) are shared with the streaming GST monitor
+(streaming/gst_monitor.py, the sixth batch↔streaming pairing).
+
 Determinism discipline (house rules): counts are exact integers;
 boundary constants and permutation counts are PRECOMPUTED literals
 shared by both engines; per-stratum and per-day deep-fraction addends
