@@ -2,7 +2,7 @@
 
 Time-to-event readouts over user activity — the censoring-aware lens a
 retention or reliability pipeline needs where naive "days active"
-averages are biased by users still alive at the observation horizon:
+averages are biased by users still unconverted when observation ends:
 
 * **q_kaplan_meier** — the Kaplan-Meier product-limit survival curve
   (Kaplan & Meier 1958) with Greenwood (1926) standard errors: the
@@ -38,7 +38,8 @@ columns (driver canonicalization).
 
 Scale shape (all three): one per-user aggregate (shuffle on user_id),
 then everything folds on the DISTINCT-LIFETIME frame — bounded by the
-observation calendar (≤ horizon−min(first) days), not the user count;
+observation calendar (≤ max observed tenure in days), not the user
+count;
 the cumulative windows run on that bounded frame (the q_ks_drift
 distinct-value-frame device).  At 100 TB of events this is one
 map-side-combined aggregate plus constant-size window work.
@@ -184,9 +185,10 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier product-limit survival estimate over user lifetimes:
     S(t) = Π_(t_j ≤ t) (1 − d_j/n_j) across distinct death times, with
     the Greenwood standard error S(t)·sqrt(Σ d_j/(n_j(n_j−d_j))) — the
-    censoring-correct retention curve ("what fraction of users survive
-    past day t?") that a naive mean-lifetime readout gets wrong whenever
-    anyone is still active at the horizon.
+    censoring-correct conversion curve ("what fraction of users remain
+    unconverted past day t of their tenure?") that a naive
+    mean-time-to-convert readout gets wrong whenever anyone has not
+    converted by their last observed activity.
 
     The product is computed as exp of the DECIMAL(28,12) running sum of
     12-dp-rounded ln((n−d)/n) factors (order-free, engine-identical; the
