@@ -128,6 +128,7 @@ HEADLINE = [
     "q_kaplan_meier",
     "q_heaps_fit",
     "q_bpe_train",
+    "q_rmst",
 ]
 
 

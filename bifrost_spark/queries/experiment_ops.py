@@ -32,7 +32,10 @@ Round-10 additions:
   q_ab_test's proportion z;
 * **q_breslow_day** — the Breslow-Day (1980) test that the CMH common
   odds ratio is real: per-stratum expected cells under the MH ψ via the
-  in-range quadratic root, χ² on n_strata−1 df.
+  in-range quadratic root, χ² on n_strata−1 df;
+* **q_cochran_armitage** — the Cochran-Armitage trend z across the
+  ordered site strata, completing the stratified triple (association /
+  homogeneity / outcome trend).
 
 The group-sequential helpers (gs_assignments / gs_look_cells /
 gs_decision_frame) are shared with the streaming GST monitor
@@ -1094,4 +1097,100 @@ def q_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("psi"), 9) + F.lit(0.0)).alias("or_mh"),
             (F.round(F.col("bd_raw"), 9) + F.lit(0.0)).alias("bd_chi2"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cochran_armitage — trend in conversion across ordered entry cohorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cochran_armitage",
+    oracle=f"""
+        WITH {_GS_ASSIGN_SQL},
+        weeks AS (
+          SELECT user_id % 4 AS w,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(converted) AS BIGINT) AS r
+          FROM assign GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n) AS BIGINT) AS nn,
+                 CAST(SUM(r) AS BIGINT) AS rr,
+                 CAST(SUM(w * n) AS BIGINT) AS sxn,
+                 CAST(SUM(w * w * n) AS BIGINT) AS sxxn,
+                 CAST(SUM(w * r) AS BIGINT) AS sxr
+          FROM weeks
+        )
+        SELECT k AS n_cohorts, nn AS n_users, rr AS n_converted,
+               CASE WHEN rr > 0 AND rr < nn AND k > 1
+                         AND nn * sxxn - sxn * sxn > 0 THEN
+                 round((CAST(sxr AS DOUBLE) - CAST(rr AS DOUBLE) * sxn / nn)
+                       / sqrt(CAST(rr AS DOUBLE) / nn
+                              * (1 - CAST(rr AS DOUBLE) / nn)
+                              * (CAST(sxxn AS DOUBLE)
+                                 - CAST(sxn AS DOUBLE) * sxn / nn)), 9) + 0.0
+               END AS z_trend
+        FROM tot WHERE nn > 0
+    """,
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955) for a
+    MONOTONE drift in conversion across the ORDERED site strata (the
+    q_mantel_haenszel / q_breslow_day 4-way user_id-modulus site index
+    as the ordinal score): T = Σ x_w(r_w − n_w·p̄) with
+    Var = p̄(1−p̄)(Σx²n − (Σxn)²/N), z = T/sqrt(Var) — completing the
+    stratified triple: CMH asks "is there an arm effect controlling for
+    site?", Breslow-Day asks "is that effect homogeneous?", and
+    Cochran-Armitage asks "does the OUTCOME ITSELF trend across the
+    ordered site index?" — the ordered-alternative test a k-site
+    chi-square (which ignores the ordering) underpowers.
+
+    Determinism: site counts and all score moments are exact integers
+    (scores are the raw 0..3 site indexes, so Σxn / Σx²n / Σxr stay
+    BIGINT-exact); p̄ is one int/int division and z one identical IEEE
+    tree rounded at 9 dp with +0.0.  All-converted, none-converted,
+    single-site, or zero-score-variance corpora yield NULL z by exact
+    integer conditions; an empty corpus yields no row.
+
+    Scale shape: one per-user aggregate (shared gs_assignments
+    spelling), a 4-row rollup, a 1-row fold."""
+    assign = gs_assignments(load_table(spark, sf_dir, "events"))
+    weeks = assign.groupBy((F.col("user_id") % 4).alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("r"),
+    )
+    tot = weeks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("r").cast("bigint").alias("rr"),
+        F.sum(F.col("w") * F.col("n")).cast("bigint").alias("sxn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).cast("bigint").alias("sxxn"),
+        F.sum(F.col("w") * F.col("r")).cast("bigint").alias("sxr"),
+    ).filter(F.col("nn") > 0)
+    pbar = F.col("rr").cast("double") / F.col("nn")
+    ok = (
+        (F.col("rr") > 0)
+        & (F.col("rr") < F.col("nn"))
+        & (F.col("k") > 1)
+        & (F.col("nn") * F.col("sxxn") - F.col("sxn") * F.col("sxn") > 0)
+    )
+    z = (
+        F.col("sxr").cast("double")
+        - F.col("rr").cast("double") * F.col("sxn") / F.col("nn")
+    ) / F.sqrt(
+        pbar
+        * (1 - pbar)
+        * (
+            F.col("sxxn").cast("double")
+            - F.col("sxn").cast("double") * F.col("sxn") / F.col("nn")
+        )
+    )
+    return tot.select(
+        F.col("k").alias("n_cohorts"),
+        F.col("nn").alias("n_users"),
+        F.col("rr").alias("n_converted"),
+        F.when(ok, F.round(z, 9) + F.lit(0.0)).alias("z_trend"),
     )

@@ -14,7 +14,11 @@ averages are biased by users still unconverted when observation ends:
 * **q_logrank_test** — the two-group log-rank test (Mantel 1966): do
   the A/B assignment arms (the q_ab_test md5 device) have the same
   survival distribution? — the hypergeometric observed-vs-expected fold
-  over event times, the survival twin of q_mantel_haenszel.
+  over event times, the survival twin of q_mantel_haenszel;
+* **q_rmst** — the restricted mean survival time to τ = 14 days: the
+  area under the KM curve with its large-sample variance — the
+  censoring-correct "average conversion-free days" summary recommended
+  over hazard ratios when proportionality is doubtful.
 
 Lifetime derivation (shared frame): TIME-TO-CONVERSION.  A user ENTERS
 at their first event day; the event of interest is their FIRST purchase
@@ -505,4 +509,222 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_dec") > 0,
             F.round(dev * dev / F.col("v_dec").cast("double"), 9) + F.lit(0.0),
         ).alias("chi2_logrank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rmst — restricted mean survival (conversion-free) time
+# ---------------------------------------------------------------------------
+
+_RMST_TAU = 14  # days: the restriction horizon (a plan literal)
+
+
+@query(
+    "q_rmst",
+    oracle=f"""
+        WITH {_SURV_USERS_SQL},
+        {_RISK_SQL},
+        steps AS (
+          SELECT t, n_risk, d,
+                 CASE WHEN d < n_risk
+                      THEN round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 12)
+                 END AS lnf,
+                 CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+          FROM risk WHERE d > 0
+        ),
+        curve0 AS (
+          SELECT t, n_risk, d,
+                 MAX(z) OVER (ORDER BY t) AS dead,
+                 CASE WHEN MAX(z) OVER (ORDER BY t) = 1 THEN 0.0
+                      ELSE round(exp(CAST(SUM(CAST(lnf AS DECIMAL(28,12)))
+                                          OVER (ORDER BY t) AS DOUBLE)), 9)
+                           + 0.0 END AS s
+          FROM steps
+        ),
+        curve AS (
+          SELECT t, n_risk, d, dead, s,
+                 COALESCE(LAG(s) OVER (ORDER BY t), 1.0) AS s_prev,
+                 COALESCE(LAG(t) OVER (ORDER BY t), 0) AS t_prev
+          FROM curve0
+        ),
+        segs AS (
+          SELECT t, n_risk, d, dead, s,
+                 CAST(round(s_prev * (LEAST(CAST(t AS DOUBLE), {_RMST_TAU}.0)
+                            - LEAST(CAST(t_prev AS DOUBLE), {_RMST_TAU}.0)),
+                            12) AS DECIMAL(28,12)) AS seg
+          FROM curve
+        ),
+        folded AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+                 CAST(SUM(seg) AS DECIMAL(28,12)) AS area_in,
+                 CAST(round(MAX_BY(s, t)
+                            * ({_RMST_TAU}.0
+                               - LEAST(CAST(MAX(t) AS DOUBLE), {_RMST_TAU}.0)),
+                            12) AS DECIMAL(28,12)) AS tail
+          FROM segs
+        ),
+        vterms AS (
+          SELECT g.t,
+                 round(CAST(f.area_in + f.tail
+                            - SUM(g.seg) OVER (ORDER BY g.t) AS DOUBLE)
+                       * CAST(f.area_in + f.tail
+                              - SUM(g.seg) OVER (ORDER BY g.t) AS DOUBLE)
+                       * g.d / (CAST(g.n_risk AS DOUBLE)
+                                * (g.n_risk - g.d)), 12) AS vt
+          FROM segs g, folded f
+          WHERE g.d < g.n_risk AND g.t < {_RMST_TAU}
+        ),
+        users_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lifetimes)
+        SELECT CAST({_RMST_TAU} AS BIGINT) AS tau,
+               u.n AS n_users,
+               COALESCE(f.n_times, 0) AS n_times,
+               CASE WHEN f.n_times IS NULL OR f.n_times = 0
+                    THEN {_RMST_TAU}.0 + 0.0
+                    ELSE round(CAST(f.area_in + f.tail AS DOUBLE), 9) + 0.0
+               END AS rmst,
+               CASE WHEN f.n_times IS NULL OR f.n_times = 0 THEN 0.0
+                    ELSE round(sqrt(COALESCE(
+                           (SELECT CAST(SUM(CAST(vt AS DECIMAL(28,12)))
+                                        AS DOUBLE) FROM vterms), 0.0)), 9)
+                         + 0.0
+               END AS se_rmst
+        FROM users_n u LEFT JOIN folded f ON TRUE
+        WHERE u.n > 0
+    """,
+)
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (RMST) to τ = {T} days: the area
+    under the Kaplan-Meier curve on [0, τ] — "how many conversion-free
+    days does an average user spend in their first τ days?", the
+    censoring-correct summary the clinical literature recommends over
+    hazard ratios when proportionality is doubtful (Royston & Parmar
+    2013), with the standard large-sample variance
+    Σ_j A_j²·d_j/(n_j(n_j−d_j)) where A_j is the REMAINING area after
+    death time t_j (Klein & Moeschberger §4.5).
+
+    The step integral folds on the same distinct-lifetime KM frame:
+    each death time contributes s_(j−1)·(min(t_j,τ) − min(t_(j−1),τ))
+    (lag windows with (0, 1) defaults), plus the s_k tail to τ; A_j is
+    the exact DECIMAL difference between the total area and the
+    ascending segment prefix.  Corner cases by exact condition on both
+    engines: no users → no row; users but no deaths → rmst = τ, se = 0;
+    a death time exhausting its risk set inside τ → the KM zero flag
+    pins S = 0 (the area stays exact) and that time's variance term is
+    its A_j → 0 limit, i.e. ZERO — the d < n filter realizes the limit,
+    so se stays defined (unlike pointwise Greenwood, the AREA after the
+    zero point is exactly 0 and contributes no uncertainty).
+
+    Determinism: s is the ROUNDED 9-dp KM value (one spelling with
+    q_kaplan_meier); segments and variance terms round at 12 dp into
+    DECIMAL(28,12) (order-free); finals round at 9 dp with +0.0.""".replace(
+        "{T}", str(_RMST_TAU)
+    )
+    users = _surv_users(spark, sf_dir)
+    users = users.localCheckpoint(eager=True)  # risk frame + user count
+    tau = F.lit(float(_RMST_TAU))
+    steps = (
+        _risk_frame(users)
+        .filter(F.col("d") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "d",
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.round(
+                    F.log(
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk")
+                    ),
+                    12,
+                ),
+            ).alias("lnf"),
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("z"),
+        )
+    )
+    wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wlag = Window.orderBy("t")
+    s_col = F.when(F.max("z").over(wasc) == 1, F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(F.sum(F.col("lnf").cast(_D2812)).over(wasc).cast("double")),
+            9,
+        )
+        + F.lit(0.0)
+    )
+    curve = steps.select(
+        "t",
+        "n_risk",
+        "d",
+        F.max("z").over(wasc).alias("dead"),
+        s_col.alias("s"),
+        F.coalesce(F.lag(s_col).over(wlag), F.lit(1.0)).alias("s_prev"),
+        F.coalesce(F.lag("t").over(wlag), F.lit(0)).alias("t_prev"),
+    )
+    segs = curve.select(
+        "t",
+        "n_risk",
+        "d",
+        "dead",
+        "s",
+        F.round(
+            F.col("s_prev")
+            * (
+                F.least(F.col("t").cast("double"), tau)
+                - F.least(F.col("t_prev").cast("double"), tau)
+            ),
+            12,
+        )
+        .cast(_D2812)
+        .alias("seg"),
+    ).localCheckpoint(eager=True)  # totals fold + variance walk
+    folded = segs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_times"),
+        F.sum("seg").cast(_D2812).alias("area_in"),
+        F.round(
+            F.max_by("s", "t")
+            * (tau - F.least(F.max("t").cast("double"), tau)),
+            12,
+        )
+        .cast(_D2812)
+        .alias("tail"),
+    )
+    total_area = F.col("area_in") + F.col("tail")
+    vterms = (
+        segs.crossJoin(F.broadcast(folded))
+        .filter((F.col("d") < F.col("n_risk")) & (F.col("t") < _RMST_TAU))
+        .select(
+            F.round(
+                (total_area - F.sum("seg").over(wasc)).cast("double")
+                * (total_area - F.sum("seg").over(wasc)).cast("double")
+                * F.col("d")
+                / (
+                    F.col("n_risk").cast("double")
+                    * (F.col("n_risk") - F.col("d"))
+                ),
+                12,
+            ).alias("vt")
+        )
+    )
+    vsum = vterms.agg(
+        F.coalesce(F.sum(F.col("vt").cast(_D2812)).cast("double"), F.lit(0.0))
+        .alias("v")
+    )
+    users_n = users.agg(F.count(F.lit(1)).cast("bigint").alias("n")).filter(
+        F.col("n") > 0
+    )
+    out = (
+        users_n.crossJoin(F.broadcast(folded))
+        .crossJoin(F.broadcast(vsum))
+    )
+    empty_curve = F.col("n_times").isNull() | (F.col("n_times") == 0)
+    return out.select(
+        F.lit(_RMST_TAU).cast("bigint").alias("tau"),
+        F.col("n").alias("n_users"),
+        F.coalesce("n_times", F.lit(0)).cast("bigint").alias("n_times"),
+        F.when(empty_curve, F.lit(float(_RMST_TAU)) + F.lit(0.0))
+        .otherwise(F.round(total_area.cast("double"), 9) + F.lit(0.0))
+        .alias("rmst"),
+        F.when(empty_curve, F.lit(0.0))
+        .otherwise(F.round(F.sqrt(F.col("v")), 9) + F.lit(0.0))
+        .alias("se_rmst"),
     )

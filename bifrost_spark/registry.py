@@ -51,9 +51,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 # q_profile, q_zorder, q_percent_of_total, q_lateral_topn, q_copurchase,
 # q_dsir_weights_hires, and rows-only q_sim_ann_opq.
 # ROUND-10 WINDOW (VERDICT r9 item 1): the 9 deferred round-4 ids
-# FIRST, then all 12 new round-10 ids, then the 29 stalest round-5 rows
+# FIRST, then all 14 new round-10 ids, then the 27 stalest round-5 rows
 # (CORRECTNESS_r05 order) to fill 50.
-# ROUND-11 WINDOW PLAN: the 21 remaining round-5 ids (in CORRECTNESS_r05
+# ROUND-11 WINDOW PLAN: the 23 remaining round-5 ids (q_join_full and
+# q_join_asof rotated back to the backlog front, then in CORRECTNESS_r05
 # order: q_join_range, q_pivot, q_grouping_sets, q_explode_tokens,
 # q_agg_stats, q_window_range_frame, q_window_lead_lag, q_ntile,
 # q_median, q_composite_report, q_subquery_scalar, q_udf_pandas,
@@ -88,6 +89,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_brier_decomp",
     "q_lift_gains",
     "q_rendezvous_shard",
+    "q_rmst",
+    "q_cochran_armitage",
     # stalest round-5 standing rows (CORRECTNESS_r05 order) to fill 50;
     # the remaining 21 round-5 ids (q_pivot .. q_cond_agg cohort) are the
     # ROUND-11 backlog, then the round-6 cohort
@@ -118,8 +121,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_classifier_report",
     "q_multimodal_patches",
     "q_embedding_pca",
-    "q_join_full",
-    "q_join_asof",
 )
 
 

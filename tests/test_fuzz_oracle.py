@@ -88,6 +88,8 @@ FUZZED_QUERIES = (
     "q_tukey_hsd",
     "q_poisson_rate",
     "q_breslow_day",
+    "q_rmst",
+    "q_cochran_armitage",
     "q_kaplan_meier",
     "q_nelson_aalen",
     "q_logrank_test",

@@ -226,6 +226,7 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "q_brier_decomp",
         "q_lift_gains",
         "q_rendezvous_shard",
+        "q_rmst",  # 1-row area-total + variance-sum folds onto the curve
     }
     offenders = {}
     for name, plan in _all_plans(spark, sf_dir).items():
@@ -540,6 +541,8 @@ SINGLE_PARTITION_BUDGET = {
     "q_brier_decomp": 1,  # 10-bin totals fold
     "q_lift_gains": 2,  # 10-bin totals fold + 10-bin cumulative walk
     "q_rendezvous_shard": 1,  # 8-shard totals fold
+    "q_rmst": 4,  # KM-curve windows + area/variance walks, all <=|lifetimes|
+    "q_cochran_armitage": 1,  # 1-row score-moment fold
 }
 
 

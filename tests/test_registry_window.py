@@ -36,6 +36,8 @@ ROUND10_MUST_COVER = {
     "q_brier_decomp",
     "q_lift_gains",
     "q_rendezvous_shard",
+    "q_rmst",
+    "q_cochran_armitage",
     "q_ks_drift",
     "q_psi_drift",
     "q_attribution",
@@ -63,8 +65,6 @@ ROUND10_MUST_COVER = {
     "q_classifier_report",
     "q_multimodal_patches",
     "q_embedding_pca",
-    "q_join_full",
-    "q_join_asof",
 }
 
 

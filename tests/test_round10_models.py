@@ -585,3 +585,68 @@ def test_breslow_day_fixture_outcome(spark):
     # undefined and the test correctly reports nothing (same exact
     # condition as q_mantel_haenszel's NULL or_mh there)
     assert registry.queries()["q_breslow_day"](spark, SF_DIR).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# q_rmst — explicit step-integral recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_rmst_matches_step_integral_model(spark, events):
+    lt = _lifetimes(events)
+    tau = 14.0
+    km = _km_model(lt)  # [(t, n, d, S_after, se), ...]
+    rmst = 0.0
+    prev_t, prev_s = 0.0, 1.0
+    for t, n, d, s, _ in km:
+        rmst += prev_s * (min(t, tau) - min(prev_t, tau))
+        prev_t, prev_s = t, s
+    rmst += prev_s * (tau - min(prev_t, tau))
+    var = 0.0
+    for j, (t, n, d, s, _) in enumerate(km):
+        if d >= n or t >= tau:
+            continue
+        a, pt, ps = 0.0, t, s  # remaining area after t_j
+        for t2, _, _, s2, _ in km[j + 1 :]:
+            a += ps * (min(t2, tau) - min(pt, tau))
+            pt, ps = t2, s2
+        a += ps * (tau - min(pt, tau))
+        var += a * a * d / (n * (n - d))
+    [r] = registry.queries()["q_rmst"](spark, SF_DIR).collect()
+    assert r["tau"] == 14 and r["n_users"] == len(lt)
+    assert r["n_times"] == len(km) > 0
+    assert abs(r["rmst"] - rmst) < TOL
+    assert abs(r["se_rmst"] - math.sqrt(var)) < TOL
+    assert 0.0 < r["rmst"] < tau  # non-vacuous on the fixture
+    assert r["se_rmst"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# q_cochran_armitage — explicit score-moment recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_cochran_armitage_matches_score_model(spark, events):
+    e = events[events.user_id.notna()]
+    agg = e.groupby("user_id").agg(
+        purchases=("event_type", lambda s: (s == "purchase").sum()),
+        n=("event_type", "size"),
+    )
+    agg["converted"] = (agg.purchases * 4 > agg.n).astype(int)
+    agg["w"] = [int(u) % 4 for u in agg.index]
+    n_users, n_conv = len(agg), int(agg.converted.sum())
+    t = v = 0.0
+    pbar = n_conv / n_users
+    sxn = sum(w * len(g) for w, g in agg.groupby("w"))
+    sxxn = sum(w * w * len(g) for w, g in agg.groupby("w"))
+    sxr = sum(w * int(g.converted.sum()) for w, g in agg.groupby("w"))
+    t = sxr - n_conv * sxn / n_users
+    v = pbar * (1 - pbar) * (sxxn - sxn * sxn / n_users)
+    [r] = registry.queries()["q_cochran_armitage"](spark, SF_DIR).collect()
+    assert (r["n_cohorts"], r["n_users"], r["n_converted"]) == (
+        agg.w.nunique(),
+        n_users,
+        n_conv,
+    )
+    assert v > 0  # non-vacuous on the fixture
+    assert abs(r["z_trend"] - t / math.sqrt(v)) < TOL

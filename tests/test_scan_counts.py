@@ -129,6 +129,8 @@ FULL_SURFACE_SCANS = {
     "q_brier_decomp": 0,  # bin frame checkpointed; totals + addends reuse
     "q_lift_gains": 0,  # bin frame checkpointed; totals + walk reuse
     "q_rendezvous_shard": 0,  # shard rollup checkpointed; totals reuse
+    "q_rmst": 0,  # lifetimes + segments checkpointed; area/var walks reuse
+    "q_cochran_armitage": 0,  # gs_assignments checkpoint; 4-row rollup
 
     "q_ab_test": 1,
     "q_agg_approx": 1,
