@@ -1102,57 +1102,89 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM(w) > 0 — reachable for singleton groups, where ~37% of
     replicates zero out).  The sorted-means percentile picks by INTEGER
     index, so no float threshold compares."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    base = e.select("event_type", "event_id", "value")
-    # all 32 UNIFORMS built BEFORE the explode, 8 per md5 (4 md5 calls per
-    # row, CSE'd by codegen); posexplode's position IS the replicate id
-    # r = group*8 + slot, matching the oracle's (r // 8, r % 8)
-    # decomposition.  The Poisson CASE applies AFTER the explode, once per
-    # (row, replicate), on the u COLUMN — inlining it into the array
-    # elements duplicated the whole digit-decode six times per threshold
-    # and blew codegen into interpreted mode (measured 105 s at sf0.1;
-    # this shape runs in ~5 s, which is the inherent 32× resampling work:
-    # per-replicate-row cost matches the plain agg's per-row cost, and a
-    # 64-column pivot-agg alternative measured only 3.7 s for far more
-    # shape complexity — rejected)
-    uarr = []
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        # NULL event_type groups never survive the oracle's stats⋈ci
+        # USING(event_type) inner join (NULL joins nothing); the fused
+        # single-aggregate shape has no join, so the drop is spelled as
+        # an explicit filter — same rows out, and it pushes to the scan.
+        & F.col("event_type").isNotNull()
+    )
+    # Spread the md5/decode-heavy projection across cores BEFORE computing
+    # it: a small corpus file arrives as ONE input split, serializing the
+    # whole CPU-bound weight build on a single task (q_jaccard_ppjoin's
+    # measured hazard).  The shuffle moves only the 3 narrow columns; the
+    # partition count is pinned (defaultParallelism, i.e. the cluster's
+    # core budget) because AQE would coalesce a few-MB shuffle back to one
+    # partition and re-serialize the compute (guide §2.5).
+    base = e.select("event_type", "event_id", "value").repartition(
+        spark.sparkContext.defaultParallelism, F.col("event_id")
+    )
+    # all 32 UNIFORMS built as COLUMNS, 8 per md5 (4 md5 calls per row,
+    # CSE'd by codegen); column r = group*8 + slot matches the oracle's
+    # (r // 8, r % 8) decomposition.  The Poisson CASE applies in a SECOND
+    # projection on the u COLUMNS — inlining it into the decode expression
+    # duplicated the whole digit-decode six times per threshold and blew
+    # codegen into interpreted mode (measured 105 s at sf0.1; CollapseProject
+    # keeps the two projections apart because the 6-reference CASE input is
+    # non-cheap).  No explode: the replicate dimension lives in 64 aggregate
+    # accumulators of ONE event_type hash aggregate (the same exact decimal
+    # sums, grouped differently — decimal addition is associative), which
+    # removes the 32× row stream, the (event_type, r) shuffle, the second
+    # collect_list shuffle, and the stats join outright (guide §2.3/§2.4;
+    # measured 6.7 → ~2.5 s at sf0.1).
+    ucols = []
     for g in range(_BOOT_REPS // 8):
         h = F.md5(
             F.concat(F.col("event_id").cast("string"), F.lit(f":{g}"))
         )
         for s in range(8):
-            uarr.append(_u4_col(h, s))
-    unif = base.select(
+            ucols.append(_u4_col(h, s).alias(f"u{g * 8 + s}"))
+    unif = base.select("event_type", "value", *ucols)
+    wtd = unif.select(
         "event_type",
         "value",
-        F.posexplode(F.array(*uarr)).alias("r", "u"),
+        *[
+            _pois_col(F.col(f"u{r}")).alias(f"w{r}")
+            for r in range(_BOOT_REPS)
+        ],
     )
-    wtd = unif.select(
-        "event_type", "r", "value", _pois_col(F.col("u")).alias("w")
-    )
-    m = (
-        wtd.groupBy("event_type", "r")
-        .agg(
-            (
-                F.sum((F.col("w") * F.col("value")).cast("decimal(28,6)"))
-                .cast("double")
-                / F.sum("w")
-            ).alias("mean_r"),
-            F.sum("w").alias("sw"),
-        )
-        .filter(F.col("sw") > 0)
-    )
-    ci = m.groupBy("event_type").agg(
-        F.sort_array(F.collect_list("mean_r")).alias("arr"),
-        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
-    )
-    stats = base.groupBy("event_type").agg(
+    aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        (
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("sv"),
+    ]
+    for r in range(_BOOT_REPS):
+        aggs.append(
+            F.sum(
+                (F.col(f"w{r}") * F.col("value")).cast("decimal(28,6)")
+            ).alias(f"s{r}")
+        )
+        aggs.append(F.sum(F.col(f"w{r}")).alias(f"c{r}"))
+    g = wtd.groupBy("event_type").agg(*aggs)
+    # replicate means: identical arithmetic to the exploded spelling —
+    # SUM(decimal)::double / SUM(int w), replicates with zero total weight
+    # excluded (the HAVING SUM(w) > 0 twin); sorted ascending as before.
+    reps = F.array(
+        *[
+            F.struct(
+                F.col(f"s{r}").alias("s"), F.col(f"c{r}").alias("c")
+            )
+            for r in range(_BOOT_REPS)
+        ]
     )
+    surv = F.filter(reps, lambda x: x["c"] > 0)
+    arr = F.sort_array(
+        F.transform(surv, lambda x: x["s"].cast("double") / x["c"])
+    )
+    shaped = g.select(
+        "event_type",
+        "n_rows",
+        (F.col("sv").cast("double") / F.col("n_rows")).alias("mean"),
+        F.size(surv).cast("bigint").alias("n_replicates"),
+        arr.alias("arr"),
+        # groups whose 32 replicates ALL zeroed out dropped via the old
+        # inner stats⋈ci join; the filter below keeps that behavior
+    ).filter(F.col("n_replicates") > 0)
     # trim one extreme per side only with ≥4 surviving replicates — the
     # least/greatest clamps alone invert the interval at n = 2 (review
     # finding; reachable only when 30 of 32 deterministic weights zero
@@ -1161,7 +1193,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi_idx = F.when(
         F.col("n_replicates") >= 4, F.col("n_replicates") - 1
     ).otherwise(F.col("n_replicates"))
-    return stats.join(ci, "event_type").select(
+    return shaped.select(
         "event_type",
         "n_rows",
         F.round("mean", 9).alias("mean"),

@@ -1203,7 +1203,17 @@ def q_dup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bifrost_spark.operators.dedup import token_gram_hashes, word_array
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base = d.select("doc_id", word_array().alias("ws"))
+    # One tokenization pass, spread across cores BEFORE the gram builds: a
+    # small corpus file is ONE input split, so without the repartition the
+    # anchor hash explode AND the 7-level ladder both serialize on a single
+    # task (q_jaccard_ppjoin's measured hazard; guide §2.5).  The checkpoint
+    # makes the token arrays the shared input of all three consumers
+    # (anchors, ladder, final doc list) instead of three text scans.
+    base = (
+        d.select("doc_id", word_array().alias("ws"))
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     anchors = (
         base.select(
             "doc_id", F.explode(token_gram_hashes("ws", _SPAN_K)).alias("g")
@@ -1217,11 +1227,17 @@ def q_dup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = anchors.select(
         F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gh"
     )
+    # no .distinct(): (da, pa) carries exactly ONE anchor hash and anchor
+    # positions are unique per doc, so join rows are already unique on
+    # (da, db, diag, pa) — the oracle's SELECT DISTINCT dedups its
+    # string-keyed spelling, ours is structurally duplicate-free (pinned by
+    # tests/test_round10_models.py's DP cross-check and the uniqueness
+    # regression there); dropping it removes a full exchange of the
+    # fanned-out candidate stream on a key the run window can't reuse.
     pr = (
         a.join(b, "gh")
         .filter(F.col("da") < F.col("db"))
         .select("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "pa")
-        .distinct()
     )
     wrun = Window.partitionBy("da", "db", "diag").orderBy("pa")
     runs = (

@@ -309,6 +309,33 @@ def test_dup_span_exact_matches_unigram_run_model(spark, docs):
     assert 0 < min(model.values()) < 8  # ...and the small-gram ladder too
 
 
+def test_dup_span_anchor_pairs_are_structurally_distinct(spark, docs):
+    """The r11 optimization dropped the .distinct() on the anchor-join
+    candidate frame, arguing (da, db, diag, pa) rows are unique because
+    each (doc, pos) carries exactly one anchor hash.  Pin that invariant:
+    rebuild the candidate frame exactly as the query does and assert no
+    duplicates exist on the fixture."""
+    from pyspark.sql import functions as F
+
+    from bifrost_spark.operators.dedup import token_gram_hashes, word_array
+
+    d = spark.createDataFrame(docs[docs.text.notna()][["doc_id", "text"]])
+    base = d.select("doc_id", word_array().alias("ws"))
+    anchors = base.select(
+        "doc_id", F.explode(token_gram_hashes("ws", 8)).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    a = anchors.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gh")
+    b = anchors.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gh")
+    pr = (
+        a.join(b, "gh")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "pa")
+    )
+    total = pr.count()
+    assert total > 0  # the fixture exercises the anchor path
+    assert total == pr.distinct().count()
+
+
 def test_dup_span_model_agrees_with_quadratic_dp():
     # tiny crafted corpus: the unigram-run model itself is checked a
     # THIRD way against the O(n*m) common-substring DP
