@@ -574,7 +574,17 @@ def contamination_hits(docs: DataFrame, bench_doc_max: int, k: int = 10) -> Data
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.lower(F.col("text").substr(i, F.lit(k))),
     )
-    g = docs.select("doc_id", F.explode(grams).alias("g"))
+    # Spread the char-gram explode across cores before computing it: a
+    # small corpus file is ONE input split, so both the bench-gram build
+    # and the training-side probe would serialize on a single task
+    # (guide §2.5; the q_jaccard_ppjoin hazard).  The shuffle moves only
+    # (doc_id, text) rows once; the doc_id filters on both consumers still
+    # push below the exchange.  Pinned count: AQE would coalesce the
+    # few-MB local shuffle back to one partition.
+    spark = docs.sparkSession
+    g = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select("doc_id", F.explode(grams).alias("g"))
     bench = F.broadcast(
         g.filter(F.col("doc_id") < bench_doc_max).select("g").distinct()
     )

@@ -648,7 +648,12 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
-    hashed = d.select(
+    # pinned keyed repartition: the tokenize + shingle-hash explode is
+    # CPU-bound and a small corpus file is ONE input split (guide §2.5;
+    # same device as q_jaccard_ppjoin, measured there and here)
+    hashed = d.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select(
         "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
     ).filter(F.size("th") >= 3)
     keys = F.transform(
@@ -959,7 +964,18 @@ def q_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= PP_T_NUM * F.greatest("sa", "sb")
         )
         .select("id_a", "id_b")
-        .distinct()
+        # pinned pair-keyed repartition, then dedup IN that partitioning
+        # (one exchange — dropDuplicates reuses it): the verify stage's
+        # array_intersect CPU runs over these partitions, and AQE would
+        # otherwise coalesce the few-MB pair shuffle down to 1-2 tasks
+        # and serialize verification (measured 2.0 → 0.4 s at sf0.1).
+        # Pairs are the "small rows" of guide §8 — spreading them is
+        # cheap at any scale; the array side rides in via broadcast
+        # below the 64 MB threshold, shuffle-join above it.
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("id_a"), F.col("id_b")
+        )
+        .dropDuplicates()
     )
     va = ordered.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
     vb = ordered.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))

@@ -507,11 +507,23 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the 1 irreducible dot product
     from bifrost_spark.operators.vectors import dot, norm2
 
-    test = e.filter(F.col("vec_id") >= TRAIN_MAX).select(
-        F.col("vec_id").alias("test_id"),
-        F.col("label").alias("true_label"),
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(norm2(F.col("embedding"))).alias("q_nrm"),
+    test = (
+        e.filter(F.col("vec_id") >= TRAIN_MAX)
+        .select(
+            F.col("vec_id").alias("test_id"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("q_emb"),
+            F.sqrt(norm2(F.col("embedding"))).alias("q_nrm"),
+        )
+        # pinned keyed repartition: the BLAS prefilter AND the per-pair
+        # decimal rescore below both live in the test scan's stage (the
+        # rescore join is broadcast), and a small corpus file is ONE input
+        # split — without the spread the whole pipeline until the final
+        # groupBy serializes on a single task (guide §2.5).  The shuffle
+        # moves each test embedding exactly once.
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("test_id")
+        )
     )
 
     def gen(batches):

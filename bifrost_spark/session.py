@@ -31,6 +31,13 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path (vectorized transfer).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Broadcast threshold: 64 MB instead of the 10 MB default (guide §3.1 —
+    # "a few hundred MB is usually fine"; executors here and on the 100 TB
+    # posture have multi-GB heaps).  Lets the planner keep doc-level side
+    # tables (e.g. the PPJoin verify arrays, dimension tables after filters)
+    # on the broadcast path; sides that outgrow it still fall back to
+    # sort-merge automatically, so the setting stays scale-adaptive.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
     # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright;
     # read the raw int64 nanos and convert in the loader (tables.py) — the
     # same µs truncation DuckDB applies, so oracle values line up.
