@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bifrost_spark.operators.dedup import token_gram_hashes, word_array
+from bifrost_spark.queries._util import spread
 from bifrost_spark.queries.llm_text import VOCAB_GROWTH_SQL
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
@@ -230,7 +231,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: distinct-gram counts are exact integers; the fraction
     is one int/int division rounded at 9 dp."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base = d.select("doc_id", word_array().alias("ws"))
+    # _util.spread: parallelize the gram-hash explode off the one input
+    # split before checkpointing it (guide §2.5)
+    base = spread(d, "doc_id").select("doc_id", word_array().alias("ws"))
     grams = base.select(
         "doc_id",
         F.explode(token_gram_hashes("ws", _NOV_K)).alias("g"),

@@ -380,7 +380,15 @@ def dsir_weights(
     hashed-feature space size (power of two; production default 8192, the
     nearest power of two to the paper's 10k)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # pinned keyed repartition + checkpoint: the md5-per-token bucket
+    # derivation is the dominant CPU and feeds BOTH the model-fit pass and
+    # the per-doc pass — without this it ran twice, single-task on the one
+    # input split (guide §2.5/§5 caching-for-reuse; measured 1.1 → 0.35 s
+    # at sf0.1).  The checkpoint holds only (doc_id, source, bucket) —
+    # ~17 bytes per token, never the text.
+    toks = d.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select(
         "doc_id",
         "source",
         F.explode(
@@ -392,7 +400,7 @@ def dsir_weights(
     # ascii(c2) alone (256 ≡ 0 mod 64) — 16 effective buckets, not 64
     tok = toks.select(
         "doc_id", "source", hash_bucket("t", n_buckets).alias("bucket")
-    )
+    ).localCheckpoint(eager=True)
     is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
     # model fit: ONE bounded collect of 2·B longs (the sample_rows /
     # train_kmeans discipline — hashed features exist so the model fits

@@ -32,6 +32,7 @@ from bifrost_spark.operators.vectors import (
     norm2_fast,
     scale_by,
 )
+from bifrost_spark.queries._util import spread
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -327,7 +328,11 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = DUP_SPAN_K
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", word_array().alias("ws")).filter(F.size("ws") >= k)
+    # _util.spread: the gram-hash explode below is the dominant CPU and a
+    # small corpus file is ONE input split (guide §2.5)
+    base = spread(d, "doc_id").select(
+        "doc_id", word_array().alias("ws")
+    ).filter(F.size("ws") >= k)
     # grams come from the SHARED token_gram_hashes builder (one spelling
     # with q_dup_span_ladder and q_ngram_novelty — VERDICT r8 item 4):
     # the token-array-slice xxhash64, no gram string ever materialized,
@@ -1074,7 +1079,9 @@ def q_dup_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bifrost_spark.operators.dedup import token_gram_hashes, word_array
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base = d.select("doc_id", word_array().alias("ws"))
+    # _util.spread: all four rungs' gram hashing happens in one explode
+    # over the single input split without it (guide §2.5)
+    base = spread(d, "doc_id").select("doc_id", word_array().alias("ws"))
 
     def _level_grams(lvl):
         # each level's grams come from the SHARED token_gram_hashes

@@ -494,15 +494,20 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, avg_neg_log2_p) — the shared surprisal frame
     behind q_lm_score and llm_clean.q_ccnet_bucket; see q_lm_score for
     the determinism contract."""
+    from bifrost_spark.queries._util import spread
+
     toks = F.filter(F.split(F.col("text"), " ", -1), lambda t: t != "")
-    tok = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(toks).alias("tok")
+    # _util.spread + checkpoint: the token explode feeds the dictionary
+    # build AND the probe join — one spread materialization instead of two
+    # single-split derivations (guide §2.5/§5)
+    tok = (
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", F.explode(toks).alias("tok"))
+        .localCheckpoint(eager=True)
     )
     # the term dictionary is Zipf-bounded (≪ corpus size) — checkpoint it
-    # so the token explode runs ONCE for the dictionary and once for the
-    # probe, instead of a third full pass for the corpus total (which is
-    # just Σc over the dictionary); measured 1.39 → 1.21 s at sf0.1 on
-    # q_ccnet_bucket
+    # so the corpus total below is just Σc over the dictionary, not a
+    # third full pass; measured 1.39 → 1.21 s at sf0.1 on q_ccnet_bucket
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
         eager=True
     )

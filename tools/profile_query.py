@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--plans", default=None, help="directory to write <name>_<suffix>.txt explains")
     ap.add_argument("--suffix", default="before")
+    ap.add_argument(
+        "--full",
+        action="store_true",
+        help="time plan build + execution together (bench.py times only the "
+        "noop action; use --full to account eager checkpoints honestly)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("bifrost-profile")
@@ -51,9 +57,12 @@ def main() -> None:
                     df._jdf.queryExecution(), "formatted"))
         runs = []
         for _ in range(args.runs):
-            df = fn(spark, args.sf_dir)
             spark.sparkContext.setJobDescription(f"profile:{name}")
             t0 = time.perf_counter()
+            df = fn(spark, args.sf_dir)
+            if not args.full:
+                # bench.py methodology: build untimed, noop timed
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
             spark.sparkContext.setJobDescription(None)
