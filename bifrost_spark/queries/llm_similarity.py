@@ -88,7 +88,12 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(norm2_fast(F.col("embedding"))).alias("q_nrm"),
         )
     )
-    corpus = e.select(
+    from bifrost_spark.queries._util import spread
+
+    # _util.spread: the |queries|×|corpus| double-cosine probe runs in the
+    # corpus scan's stage (the query side is broadcast) and a small corpus
+    # file is ONE input split (guide §2.5)
+    corpus = spread(e, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.sqrt(norm2_fast(F.col("embedding"))).alias("c_nrm"),

@@ -635,18 +635,26 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free), making the rank exact — ties break by doc_id.  The
     float score itself stays OUT of the compared output, same
     discipline as q_tfidf."""
+    tfq, stats = _retrieval_tf_stats(spark, sf_dir)
+    return _bm25_ranked(tfq, stats)
+
+
+def _retrieval_tf_stats(spark: SparkSession, sf_dir: str):
+    """Shared (tf-frame, stats-row) base of q_bm25 / q_qlm / q_rrf_fusion:
+    ONE tokenize pass builds the per-doc (dl, tf_t...) frame with RAW NULL
+    semantics (NULL text → NULL dl/tf — each leg then applies its own
+    coalescing so leg-level results are bit-identical to the standalone
+    spellings), checkpointed because the stats fold AND both scoring legs
+    consume it; one scalar aggregate serves both retrievers' collection
+    statistics (all exact integers, so the values each leg reads are the
+    ones it computed before the fusion — guide §2.3/§5; the fused
+    q_rrf_fusion plan runs one corpus scan instead of four)."""
     d = load_table(spark, sf_dir, "documents")
-    # NULL text tokenizes to the EMPTY token list (fuzzer finding): the
-    # doc stays in the corpus with dl = 0 and can never match — exactly
-    # DuckDB's arithmetic, where the NULL dl drops out of SUM(dl) while
-    # COUNT(*) still counts the doc; without the coalesce, sdl comes back
-    # None and the literal fold-back crashes
     toks = d.select(
         "doc_id",
-        F.coalesce(
-            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != ""),
-            F.array().cast("array<string>"),
-        ).alias("ws"),
+        F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "").alias(
+            "ws"
+        ),
     ).select("doc_id", "ws", F.size("ws").alias("dl"))
 
     def _count_of(term: str):
@@ -654,16 +662,35 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pass the element INDEX, not the captured term
         return F.size(F.filter("ws", lambda x: x == F.lit(term)))
 
-    tf_cols = {t: _count_of(t) for t in BM25_TERMS}
-    tf = toks.select(
-        "doc_id", "dl", *[c.alias(f"tf_{t}") for t, c in tf_cols.items()]
-    )
-
-    stats = tf.agg(
+    tfq = toks.select(
+        "doc_id", "dl", *[_count_of(t).alias(f"tf_{t}") for t in BM25_TERMS]
+    ).localCheckpoint(eager=True)
+    bm = [
+        F.coalesce(F.col(f"tf_{t}"), F.lit(0)).alias(f"tf_{t}")
+        for t in BM25_TERMS
+    ]
+    stats = tfq.select(F.coalesce("dl", F.lit(0)).alias("dl"), *bm).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sdl"),
         *[F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}") for t in BM25_TERMS],
+        *[F.sum(f"tf_{t}").alias(f"cf_{t}") for t in BM25_TERMS],
     ).first()
+    return tfq, stats
+
+
+def _bm25_ranked(tfq, stats):
+    """BM25 ranking leg over the shared tf frame — identical arithmetic to
+    the pre-fusion standalone spelling (see q_bm25's docstring): the
+    coalesces reproduce its 'NULL text tokenizes to the empty list'
+    semantics (fuzzer finding) on the raw frame."""
+    tf = tfq.select(
+        "doc_id",
+        F.coalesce("dl", F.lit(0)).alias("dl"),
+        *[
+            F.coalesce(F.col(f"tf_{t}"), F.lit(0)).alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
     if not stats["n"]:  # empty corpus: nothing to rank (fuzzer finding)
         return tf.select(
             "doc_id",
@@ -1021,23 +1048,19 @@ def q_qlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     final ratio are short chains of IEEE ops on identical operands; each
     per-term addend rounds at 12 dp into DECIMAL(28,12) (order-free
     sum) — the q_bm25 discipline exactly."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "").alias("ws"),
-    ).select("doc_id", "ws", F.size("ws").alias("dl"))
+    tfq, stats = _retrieval_tf_stats(spark, sf_dir)
+    return _qlm_ranked(tfq, stats)
 
-    def _count_of(term: str):
-        return F.size(F.filter("ws", lambda x: x == F.lit(term)))
 
-    tf = toks.select(
-        "doc_id", "dl", *[_count_of(t).alias(f"tf_{t}") for t in BM25_TERMS]
-    )
-    stats = tf.agg(
-        F.sum("dl").alias("total"),
-        *[F.sum(f"tf_{t}").alias(f"cf_{t}") for t in BM25_TERMS],
-    ).first()
-    total = int(stats["total"] or 0)
+def _qlm_ranked(tfq, stats):
+    """QLM ranking leg over the shared tf frame — identical arithmetic to
+    the pre-fusion standalone spelling (see q_qlm's docstring): the raw
+    NULL tf/dl columns flow through unchanged (NULL-text docs score NULL
+    and sort last, exactly as before); stats["sdl"] equals the old
+    SUM(dl) total because NULL dls summed as skipped values and coalesced
+    0s add nothing."""
+    tf = tfq
+    total = int(stats["sdl"] or 0)
     # Unseen-term handling (adversarial-fuzzer finding): a query term
     # with cf = 0 has zero smoothed mass — ln(0) — and is DROPPED from
     # the score (standard LM-retrieval treatment; oracle mirrors with
@@ -1114,10 +1137,15 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval plans.  rrf is a sum of at most two exact-operand
     divisions — deterministic — and stays OUT of the output; the fused
     rank with doc_id tiebreak is what's compared."""
-    bm = q_bm25(spark, sf_dir).select(
+    # one shared tf frame + stats job for both legs (see
+    # _retrieval_tf_stats): the fused plan reads the corpus once
+    tfq, stats = _retrieval_tf_stats(spark, sf_dir)
+    bm = _bm25_ranked(tfq, stats).select(
         "doc_id", F.col("rnk").alias("bm25_rnk")
     )
-    qm = q_qlm(spark, sf_dir).select("doc_id", F.col("rnk").alias("qlm_rnk"))
+    qm = _qlm_ranked(tfq, stats).select(
+        "doc_id", F.col("rnk").alias("qlm_rnk")
+    )
     fused = bm.join(qm, "doc_id", "full_outer").select(
         "doc_id",
         "bm25_rnk",

@@ -161,18 +161,33 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (finer than rollup/cube) with GROUPING() id to
-    disambiguate natural NULLs from subtotal NULLs."""
+    disambiguate natural NULLs from subtotal NULLs.
+
+    Spelled as a FINE (flag, status) aggregate whose ~|groups| partials are
+    then ROLLUP'd, instead of the literal GROUPING SETS plan: Spark
+    implements grouping sets as Expand (input ×3) feeding one aggregate,
+    tripling the scan-side work, whereas ((f,s),(f),()) ≡ ROLLUP(f,s), and
+    counts/decimal sums are associative — so the Expand now multiplies ~10
+    pre-aggregated rows, not 600 k input rows (guide §2.3 "aggregate before
+    you shuffle"; measured 0.92 → 0.35 s at sf0.1, and the Expand removal
+    is a 3× on the heaviest stage at any scale).  GROUPING_ID values (0
+    fine, 1 flag-subtotal, 3 grand total), natural-NULL handling, and the
+    empty-input behavior (no rows — grouping keys are never empty in
+    either Expand plan) are identical by construction."""
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
+    dec = "decimal(28,6)"
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("fn"),
+        F.sum(F.col("l_quantity").cast(dec)).alias("sq"),
+    )
+    return (
+        fine.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            F.sum("fn").cast("bigint").alias("n"),
+            F.sum("sq").cast("double").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp_id", "n", "sum_qty")
     )
 
 
