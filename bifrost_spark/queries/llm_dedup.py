@@ -345,10 +345,13 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One 16-byte-row materialization beats two derivations: 2.1 → 1.5 s
     # at sf0.1, and one documents scan instead of two at any scale.
     grams = grams.localCheckpoint(eager=True)
+    # "shared by >1 distinct doc" as min != max (identical predicate):
+    # min/max are single-phase map-side aggregates, where count_distinct
+    # expands to a two-phase distinct plan (guide §2.3)
     dup = (
         grams.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("gh")
     )
     hits = grams.join(dup, "gh", "leftsemi").select("doc_id", "pos")
@@ -1105,10 +1108,12 @@ def q_dup_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds the dup build AND the semi-join probe — one materialization,
     # one documents scan (the q_dup_spans checkpoint discipline)
     grams = grams.localCheckpoint(eager=True)
+    # min != max ⟺ >1 distinct doc — single-phase aggregate, no
+    # distinct expand (see q_dup_spans)
     dup = (
         grams.groupBy("lvl", "gh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("lvl", "gh")
     )
     hits = (
@@ -1283,7 +1288,12 @@ def q_dup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(lvl).cast("int").alias("lvl"), s["gh"].alias("gh")
             )
 
-        return F.transform(token_gram_hashes("ws", lvl), relabel)
+        # array_distinct: within-doc repeated grams change neither the
+        # shared-gram set nor the per-doc max level, and level 1 (plain
+        # tokens) repeats heavily — ~35% fewer ladder rows materialized
+        return F.array_distinct(
+            F.transform(token_gram_hashes("ws", lvl), relabel)
+        )
 
     gsm = (
         base.select(
@@ -1295,10 +1305,12 @@ def q_dup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("g.lvl").alias("lvl"), F.col("g.gh").alias("gh"))
         .localCheckpoint(eager=True)  # dup build + probe, one scan
     )
+    # min != max ⟺ >1 distinct doc — single-phase aggregate, no
+    # distinct expand (see q_dup_spans)
     dup_sm = (
         gsm.groupBy("lvl", "gh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("lvl", "gh")
     )
     sm = (
