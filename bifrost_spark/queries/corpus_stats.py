@@ -612,7 +612,7 @@ def _bpe_train_oracle(k: int) -> str:
 @query("q_bpe_train", oracle=_bpe_train_oracle(_BPE_TRAIN_K))
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-iteration BPE trainer (Sennrich, Haddow & Birch 2016;
-    VERDICT r9 item 2): learn the first {K} merges — at each step, count
+    VERDICT r9 item 2): learn the first 5 merges — at each step, count
     adjacent symbol pairs over the word-frequency table, take the most
     frequent pair (freq DESC, p1, p2 total order), and rewrite every
     word's symbol sequence with the merged symbol applied GREEDILY

@@ -1250,7 +1250,7 @@ _RDV_SHARDS = 8
 def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
     shard assignment with a balance report: every document hashes
-    against each of {S} shard ids and lands on the shard with the
+    against each of 8 shard ids and lands on the shard with the
     lexicographically-largest md5(doc_id:shard) weight.  Rendezvous
     beats `hash(doc) % S` for corpus management because resizing to
     S+1 shards moves only ~1/(S+1) of documents (only those whose NEW
@@ -1260,14 +1260,14 @@ def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit: per shard, document count, byte load, and share.
 
     Determinism: md5 is the engine-portable hash (the q_sample_mixture
-    device); the per-document argmax is a max over {S} (weight, shard)
-    structs — md5 collisions across the {S} candidates would need a
+    device); the per-document argmax is a max over 8 (weight, shard)
+    structs — md5 collisions across the 8 candidates would need a
     128-bit collision, so the winner is total.  Counts exact; the share
     is one int/int division rounded at 9 dp.
 
-    Scale shape: the argmax is an in-row fold over a {S}-element array
+    Scale shape: the argmax is an in-row fold over a 8-element array
     (scan-local, no explode reaches the shuffle); ONE hash aggregate to
-    ≤{S} shard rows; the share fold broadcasts a 1-row total."""
+    ≤8 shard rows; the share fold broadcasts a 1-row total."""
     d = load_table(spark, sf_dir, "documents")
     cand = F.transform(
         F.sequence(F.lit(0), F.lit(_RDV_SHARDS - 1)),

@@ -593,7 +593,7 @@ _RMST_TAU = 14  # days: the restriction horizon (a plan literal)
     """,
 )
 def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Restricted mean survival time (RMST) to τ = {T} days: the area
+    """Restricted mean survival time (RMST) to τ = 14 days: the area
     under the Kaplan-Meier curve on [0, τ] — "how many conversion-free
     days does an average user spend in their first τ days?", the
     censoring-correct summary the clinical literature recommends over
@@ -616,9 +616,7 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: s is the ROUNDED 9-dp KM value (one spelling with
     q_kaplan_meier); segments and variance terms round at 12 dp into
-    DECIMAL(28,12) (order-free); finals round at 9 dp with +0.0.""".replace(
-        "{T}", str(_RMST_TAU)
-    )
+    DECIMAL(28,12) (order-free); finals round at 9 dp with +0.0."""
     users = _surv_users(spark, sf_dir)
     users = users.localCheckpoint(eager=True)  # risk frame + user count
     tau = F.lit(float(_RMST_TAU))

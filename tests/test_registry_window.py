@@ -13,7 +13,7 @@ WINDOW = 50
 # Round-10 hard targets (VERDICT r9 "Next round" item 1): the 9
 # round-4 ids deferred from the round-9 window, every round-10 addition
 # (a new id must land in its own round's window so the driver-unchecked
-# backlog never re-grows), and the 29 stalest round-5 standing rows.
+# backlog never re-grows), and the 27 stalest round-5 standing rows.
 ROUND10_MUST_COVER = {
     "q_zscore",
     "q_feature_hash",
