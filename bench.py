@@ -142,8 +142,15 @@ def main() -> None:
     # Warm the JVM/codegen path AND the Arrow/Python-worker path once on the
     # smallest SF so per-query numbers measure the operator, not first-query
     # JIT or worker spin-up (workers are reused: spark.python.worker.reuse).
-    qs["q_agg_hash"](spark, "/root/testdata/sf0.001").count()
-    qs["q_dedup_embedding"](spark, "/root/testdata/sf0.001").count()
+    # r11: warm through the SAME noop sink the timed region uses (guide
+    # §1.4) so the first timed query doesn't pay one-time noop-writer
+    # class-loading; the timed methodology below is unchanged.
+    qs["q_agg_hash"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    qs["q_dedup_embedding"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Two runs per query, report the min: the warm run measures operator
     # throughput (what scales with data volume) rather than one-time plan

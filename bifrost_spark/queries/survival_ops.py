@@ -412,9 +412,11 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPEED as arm B?", the survival-analysis twin of q_mantel_haenszel
     (each conversion time is its own 2×2 stratum).
 
-    Determinism: at-risk and death counts are exact integers on the full
-    lifetime × group spine (a group absent at a time contributes exact
-    zeros); per-time E and V are integer-ratio doubles rounded at 12 dp,
+    Determinism: at-risk and death counts are exact integers from one
+    per-lifetime conditional aggregate (a group absent at a time
+    contributes exact zeros via the conditional count/sum, identical to
+    the old explicit spine's coalesced zeros — suffix sums commute with
+    the group split); per-time E and V are integer-ratio doubles rounded at 12 dp,
     summed order-free in DECIMAL(28,12); the final χ² is one identical
     IEEE tree rounded at 9 dp.  V's integer products are formed in
     DOUBLE (never BIGINT — the q_anderson_darling overflow lesson);
@@ -422,45 +424,38 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus with no deaths yields no row (HAVING over the death-time
     frame on both engines)."""
     users = _surv_users(spark, sf_dir)
-    per_tg = users.groupBy("t", "grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_t"),
-        F.sum("ev").cast("bigint").alias("d"),
+    # Fused spine (r11 opt, guide §2.4): the old spelling materialized a
+    # (t × {A,B}) spine (distinct ⋈ 2-row literal ⋈ per-(t,grp) counts),
+    # ran a per-group suffix-sum window, then re-aggregated per t — four
+    # extra operators whose only effect was zero-filling absent groups.
+    # The per-t conditional aggregate below produces the identical exact
+    # integers directly: n_a(t) = |A users with lifetime t| is 0 when no A
+    # row exists (what the spine's coalesce manufactured), and the suffix
+    # sums over the distinct-lifetime frame commute with the group split
+    # (Σ_g suffix = suffix of Σ_g).  One aggregate + one bounded
+    # single-partition window (the audited q_kaplan_meier shape) replace
+    # aggregate + distinct + crossJoin + join + 2-partition window +
+    # re-aggregate.
+    per_t = users.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("ev").cast("bigint").alias("d_all"),
+        F.count(F.when(F.col("grp") == "A", F.lit(1)))
+        .cast("bigint")
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("grp") == "A", F.col("ev"))), F.lit(0))
+        .cast("bigint")
+        .alias("d_a"),
     )
-    grps = users.sparkSession.createDataFrame([("A",), ("B",)], ["grp"])
-    spine = (
-        users.select("t")
-        .distinct()
-        .crossJoin(F.broadcast(grps))
-        .join(per_tg, ["t", "grp"], "left")
-        .select(
-            "t",
-            "grp",
-            F.coalesce("n_t", F.lit(0)).alias("n_t"),
-            F.coalesce("d", F.lit(0)).alias("d"),
-        )
-    )
-    wdesc = (
-        Window.partitionBy("grp")
-        .orderBy(F.desc("t"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    riskg = spine.select(
-        "t",
-        "grp",
-        F.sum("n_t").over(wdesc).cast("bigint").alias("n_risk"),
-        "d",
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
     )
     times = (
-        riskg.groupBy("t")
-        .agg(
-            F.sum("n_risk").cast("bigint").alias("n"),
-            F.sum("d").cast("bigint").alias("dd"),
-            F.sum(F.when(F.col("grp") == "A", F.col("n_risk")))
-            .cast("bigint")
-            .alias("n1"),
-            F.sum(F.when(F.col("grp") == "A", F.col("d")))
-            .cast("bigint")
-            .alias("d1"),
+        per_t.select(
+            "t",
+            F.sum("n_all").over(wdesc).cast("bigint").alias("n"),
+            F.col("d_all").alias("dd"),
+            F.sum("n_a").over(wdesc).cast("bigint").alias("n1"),
+            F.col("d_a").alias("d1"),
         )
         .filter(F.col("dd") > 0)
     )

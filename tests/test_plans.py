@@ -217,9 +217,9 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         # totals, the MH psi, the MSW fold) onto bounded frames (<=10
         # bins, <=8 shards, <=|strata| rows, k groups); q_tukey_hsd
         # additionally pairs its k-row group frame (inequality join on
-        # a bounded frame, the q_kendall_tau shape); q_logrank_test
-        # crosses the distinct-lifetime frame with a 2-row group
-        # literal (calendar-bounded x 2)
+        # a bounded frame, the q_kendall_tau shape); q_logrank_test's
+        # 1-row summary fold broadcasts onto nothing further (its old
+        # 2-row group-literal cross was fused away in r11)
         "q_logrank_test",
         "q_tukey_hsd",
         "q_breslow_day",
@@ -285,11 +285,28 @@ def test_llm_queries_prune_document_columns(spark, sf_dir):
     read = [l for l in split_plan.splitlines() if "ReadSchema" in l]
     assert read and "text" not in read[0], "q_dataset_split must not read text"
 
-    lm_plan = _plan(spark, sf_dir, "q_lm_score")
+    # q_lm_score's final plan reads the r11 spread token checkpoint, not
+    # the parquet scan (the scan happened once at checkpoint build) — the
+    # pruning guarantee lives in the checkpoint's schema: only doc_id+tok,
+    # never text or metadata.
+    lm_df = registry.queries()["q_lm_score"](spark, sf_dir)
+    lm_plan = lm_df._sc._jvm.PythonSQLUtils.explainString(
+        lm_df._jdf.queryExecution(), "formatted"
+    )
     reads = [l for l in lm_plan.splitlines() if "ReadSchema" in l]
-    assert reads and all("source" not in l and "lang" not in l for l in reads), (
+    assert all("source" not in l and "lang" not in l for l in reads), (
         "q_lm_score reads only doc_id+text"
     )
+    scans = [
+        l
+        for l in lm_plan.splitlines()
+        if "Scan" in l and "ExistingRDD" not in l
+    ]
+    if not reads:
+        # checkpoint-fed plan: the narrow (doc_id, tok) frame replaced the
+        # scans entirely — no un-pruned parquet scan may remain
+        assert not scans, f"unexpected un-pruned scan in: {scans}"
+        assert set(lm_df.columns) == {"doc_id", "n_tokens", "avg_neg_log2_p"}
 
     pipe_plan = _plan(spark, sf_dir, "q_pipeline_e2e")
     reads = [l for l in pipe_plan.splitlines() if "ReadSchema" in l]
@@ -533,7 +550,7 @@ SINGLE_PARTITION_BUDGET = {
     # bins, <=8 shards, <=|strata| rows, 10-row decile curve)
     "q_kaplan_meier": 1,  # lifetime-frame cum windows + risk suffix sum
     "q_nelson_aalen": 1,  # same bounded lifetime windows
-    "q_logrank_test": 1,  # lifetime spine windows + 1-row summary fold
+    "q_logrank_test": 2,  # lifetime-frame suffix-sum window + 1-row summary fold
     "q_tukey_hsd": 1,  # k-row MSW fold
     "q_poisson_rate": 1,  # 2-arm fold
     "q_breslow_day": 1,  # 1-row psi fold onto |strata| rows

@@ -119,7 +119,7 @@ FULL_SURFACE_SCANS = {
     # Round-10 additions (measured executed plans):
     "q_kaplan_meier": 1,  # one events scan through the lifetime frame
     "q_nelson_aalen": 1,
-    "q_logrank_test": 2,  # lifetime frame feeds spine + per-group cells
+    "q_logrank_test": 1,  # one events scan through the fused per-t aggregate (r11)
     "q_tukey_hsd": 0,  # group moments checkpointed; MSW + pairs reuse
     "q_poisson_rate": 1,  # one (user, day) exposure aggregate
     "q_breslow_day": 0,  # strata checkpointed; psi fold + solve reuse
