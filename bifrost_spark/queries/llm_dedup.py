@@ -683,20 +683,19 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    # Pair generation WITHOUT the self-join (r11 opt, guide §2.3/§2.4): the
-    # df ≤ CONT_MAX_DF hub cap bounds every gram's doc list, so grouping the
-    # capped shingle frame by gram and double-exploding the (≤50)-element
-    # lists yields exactly the join's ordered-pair multiset — (doc_id, s)
-    # rows are distinct, so each gram contributes each ordered pair once,
-    # and n_common = |shared grams| as before.  One scan of sh instead of
-    # two, no join build/probe; the Σdf² pair stream is unchanged and is
-    # partially aggregated before its one exchange.  Aggregation state is
-    # bounded (≤50 ids/gram) BECAUSE the cap filter runs first — the
-    # unbounded-hub window+filter discipline above is what makes this safe.
-    byg = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+    # Self-join pair generation, deliberately kept (r11): a join-free
+    # spelling (groupBy(s) + collect_list + double explode — the hub cap
+    # bounds every list at CONT_MAX_DF, so state is bounded) was
+    # implemented, oracle-verified at all three SFs, and A/B-measured
+    # 2-3x SLOWER isolated (0.79→1.72 s here, 0.98→3.28 s through
+    # q_dup_flow_matrix): the double explode copies the doc array per
+    # pair row and collect_list forces an ObjectHashAggregate, while this
+    # join probes a broadcast hash table at bench scale and sort-merges
+    # at cluster scale.  See OPTIMIZATION_r11.md.
+    a = sh.select(F.col("doc_id").alias("inner_id"), "s")
+    b = sh.select(F.col("doc_id").alias("outer_id"), "s")
     common = (
-        byg.select(F.explode("ds").alias("inner_id"), "ds")
-        .select("inner_id", F.explode("ds").alias("outer_id"))
+        a.join(b, "s")
         .filter(F.col("inner_id") != F.col("outer_id"))
         .groupBy("inner_id", "outer_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))

@@ -483,6 +483,14 @@ def q_composite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r11 note: a per-order pre-aggregation of lineitem revenue (guide
+    # §2.3 "aggregate before you shuffle", removing the COUNT(DISTINCT)
+    # expand) was implemented, oracle-verified at all three SFs, and
+    # A/B-measured SLOWER isolated (0.86→1.37 s; 0.94 s with a pinned
+    # keyed spread): the existing plan's map-side distinct partial over
+    # (priority, month, orderkey) already folds the 600 k join rows
+    # before the one small exchange, so the extra pre-agg exchange buys
+    # nothing here.  Kept as-is; see OPTIMIZATION_r11.md.
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
