@@ -73,8 +73,16 @@ def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 10) -> Dat
     """Distinct character k-grams per document: (id, shingle).
 
     Distinct is applied per doc before the explode so join fan-out is
-    bounded.
+    bounded.  The input is spread across cores first (pinned keyed
+    repartition, the ``contamination_hits`` device — guide §2.5): the
+    per-position substr + array_distinct set-build is the dominant CPU of
+    every consumer, and a small corpus file is ONE input split, so without
+    the exchange the whole shingle derivation serializes on a single task.
+    The shuffle moves only the narrow (id, text) rows once, pre-explosion.
     """
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     return df.select(
         F.col(id_col),
         F.explode(char_shingle_array(text_col, k)).alias("shingle"),
@@ -203,6 +211,15 @@ def minhash_signatures(
     (string set-building, the priciest part of shingling) is pure waste
     here.  The winnow filter also runs array-side, before the explode.
     """
+    # Spread the signature derivation across cores before computing it
+    # (pinned keyed repartition, the contamination_hits device — guide
+    # §2.5): gram hashing + the 64 min-hash aggregates are the dominant
+    # CPU, and a small corpus file is ONE input split.  The groupBy below
+    # re-keys on the same id, so the partial aggregation still combines
+    # map-side and the second exchange carries num_hashes longs per doc.
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     # Docs with NO content (NULL text, empty text, whitespace-only) have no
     # fuzzy identity and are EXCLUDED from signatures entirely.  Without
     # this, every such doc grams to the same degenerate shingle
@@ -472,6 +489,14 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     h_arr = F.transform(
         F.filter(F.split(F.lower(text_col), " ", -1), lambda x: x != ""),
         lambda x: F.xxhash64(x),
+    )
+    # Spread the token-hash explode + 63-way bit-sum aggregation across
+    # cores (pinned keyed repartition, guide §2.5): the interpreted
+    # 63-buffer aggregate is the dominant CPU and a small corpus file is
+    # ONE input split.  groupBy(id) below re-keys on the same column, so
+    # partials still combine map-side.
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
     tok = df.select(F.col(id_col), F.explode(h_arr).alias("h"))
     bit_sums = [

@@ -282,7 +282,12 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "q_emb", "tb.table_id", "tb.bucket")
     )
-    c = e.select(
+    from bifrost_spark.queries._util import spread
+
+    # _util.spread: the 8-table SRP bucket derivation (n_tables·n_bits dot
+    # folds per row) runs in the corpus scan's stage — single input split
+    # otherwise (guide §2.5; the q_sim_topk device)
+    c = spread(e, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.posexplode(buckets).alias("table_id", "bucket"),
@@ -345,7 +350,11 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF pays off (nprobe ≪ k at the same recall).
     """
     k, nprobe = 16, 10
-    e = load_table(spark, sf_dir, "embeddings")
+    from bifrost_spark.queries._util import spread
+
+    # _util.spread: normalization + the k-way cell-assignment folds all run
+    # in the corpus scan's stage — single input split otherwise (guide §2.5)
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     nrm = e.select(
         "vec_id", "embedding", F.sqrt(norm2_fast(F.col("embedding"))).alias("nrm")
     ).filter(F.col("nrm") > 0)
@@ -620,6 +629,10 @@ def q_sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate in tests/test_sketch_quality.py."""
     from bifrost_spark.operators.cells import opq_fit, sample_rows
 
+    # No spread here (A/B-measured): this frame exists only to be
+    # sample-collected for opq_fit — a repartition would shuffle the whole
+    # corpus to feed a bounded driver sample.  _ivfpq_core spreads its own
+    # corpus-wide derivation.
     e = load_table(spark, sf_dir, "embeddings")
     nrm = e.select(
         "vec_id", F.sqrt(norm2_fast(F.col("embedding"))).alias("nrm"), "embedding"
@@ -676,8 +689,12 @@ def _ivfpq_core(
     # different width degrades to fewer/wider subspaces instead of
     # slicing past the vector (fuzzer finding).
     m_sub, k_pq, refine = 8, 16, 150
+    from bifrost_spark.queries._util import spread
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # _util.spread: normalization, cell assignment, the residual zip AND the
+    # downstream PQ encode (which inherits the checkpoint's partitioning)
+    # all run in the corpus scan's single input split otherwise (guide §2.5)
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     nrm = e.select(
         "vec_id", "embedding", F.sqrt(norm2_fast(F.col("embedding"))).alias("nrm")
     ).filter(F.col("nrm") > 0)

@@ -791,7 +791,11 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer counts → log₂ rounded at 12 dp, accumulated in
     DECIMAL(28,12) (order-free), output rounded at 9 dp — the exact
     q_lm_score/DSIR device."""
-    d = load_table(spark, sf_dir, "documents")
+    from bifrost_spark.queries._util import spread
+
+    # _util.spread: the bigram explode runs twice (model build + probe) and
+    # lives in the scan's single input split otherwise (guide §2.5)
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
     t = d.select("doc_id", toks.alias("w")).filter(F.size("w") >= 2)
     pairs = t.select(

@@ -807,7 +807,13 @@ def feature_hash(
     any power-of-two count; one shuffle on (doc, bucket) with map-side
     combine.  At 100 TB this replaces a vocabulary broadcast that
     wouldn't fit."""
-    d = load_table(spark, sf_dir, "documents")
+    from bifrost_spark.queries._util import spread
+
+    # _util.spread: the md5-per-token bucket derivation is the dominant
+    # CPU and runs in the scan's single input split otherwise (guide §2.5;
+    # the q_dsir_weights device — same md5 chain).  The groupBy keys on
+    # (doc_id, bucket) so partials still combine map-side after the spread.
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "doc_id",
         F.explode(
@@ -1040,7 +1046,18 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking-key shape as q_fuzzy_join.  At 100 TB the pair aggregation is
     the heavy shuffle; the HAVING support floor is what keeps the output
     (and any downstream broadcast) sparse."""
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from bifrost_spark.queries._util import spread
+
+    # _util.spread: the join's pair fan-out (|lines per order|² rows) plus
+    # the pair-count partial aggregation run in the probe scan's stage —
+    # single input split otherwise (guide §2.5).  Spreading the narrow
+    # (orderkey, partkey) projection BEFORE the self-join moves ~16 bytes/row
+    # once and parallelizes the quadratic part; both sides read the one
+    # checkpointed frame instead of scanning lineitem twice.
+    l = spread(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    ).localCheckpoint(eager=True)
     a = l.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = l.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     return (
