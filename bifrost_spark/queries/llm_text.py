@@ -807,6 +807,10 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # NOT checkpointed (A/B-measured ~0.07 s): materializing the raw
+    # (w1, w2) STRING stream to save the second explode trades against the
+    # hashes-not-payloads checkpoint discipline at 100 TB; the spread
+    # re-derivation is the right shape.
     bg = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cbg"))

@@ -375,7 +375,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins stay key-equi (shuffle-hash-able, AQE skew-splittable); each
     triangle is found exactly once (at its minimum-degree vertex), and
     per-node credit flows through one in-row explode."""
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from bifrost_spark.queries._util import spread
+
+    # _util.spread + one checkpointed frame for both self-join sides: the
+    # pair fan-out + count partials otherwise run in the scan's single
+    # input split (guide §2.5; the q_copurchase device — same edge shape)
+    l = spread(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    ).localCheckpoint(eager=True)
     a = l.select("l_orderkey", F.col("l_partkey").alias("a"))
     b = l.select("l_orderkey", F.col("l_partkey").alias("b"))
     edges = (

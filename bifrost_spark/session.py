@@ -38,6 +38,11 @@ _RUNTIME_CONFS = {
     # on the broadcast path; sides that outgrow it still fall back to
     # sort-merge automatically, so the setting stays scale-adaptive.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # spark.sql.join.preferSortMergeJoin=false (guide §9) was A/B-measured
+    # in round 11 and NOT adopted: isolated min-of-3 showed the shuffled
+    # hash path slower on the heaviest self-joins (q_dup_span_exact
+    # 0.83→1.23 s, q_dup_flow_matrix 1.03→1.16 s) for ~0.1 s wins
+    # elsewhere (q_fuzzy_join, q_url_dedup) — net negative.
     # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright;
     # read the raw int64 nanos and convert in the loader (tables.py) — the
     # same µs truncation DuckDB applies, so oracle values line up.
