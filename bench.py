@@ -4,10 +4,19 @@
 ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Timing is end-to-end per query: plan build + execution + a count-style
-consume (``df.write.format("noop")`` would skip result materialization;
-we use a cheap aggregate action over all columns instead of collect so the
-driver isn't the bottleneck).
+Timing is end-to-end per query: plan build + execution, consumed through
+the noop sink (guide §1.4) so every column of every row materializes
+without a driver collect.
+
+r12 measurement fix (per the r11 verdict): the clock now starts BEFORE the
+query constructor runs, so driver-side build work — eager localCheckpoints,
+sample collects, k-means/OPQ fits — is inside the timed region, matching
+this docstring's long-standing "plan build + execution" promise.  Through
+r11 the clock started after the constructor returned, which hid roughly
+half the engine's real cost (SWEEP_r11: 87.4 s build vs 76.7 s exec across
+all 273 ids).  Expect r12 numbers to be HIGHER than r11's for build-heavy
+ids — the clock got honest, the engine got faster (old-protocol numbers
+are preserved in OPTIMIZATION_r12.md for continuity).
 """
 
 from __future__ import annotations
@@ -160,8 +169,8 @@ def main() -> None:
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
+            t0 = time.perf_counter()  # r12: clock starts BEFORE build
             df = qs[name](spark, sf_dir)
-            t0 = time.perf_counter()
             # noop action: materializes every row without driver collect
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
