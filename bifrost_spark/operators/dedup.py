@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bifrost_spark.operators.partitioning import spread as _spread
+
 
 def char_shingle_array(text_col: str, k: int = 10) -> Column:
     """Distinct character k-grams of a text column as ``array<string>``.
@@ -78,11 +80,11 @@ def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 10) -> Dat
     per-position substr + array_distinct set-build is the dominant CPU of
     every consumer, and a small corpus file is ONE input split, so without
     the exchange the whole shingle derivation serializes on a single task.
-    The shuffle moves only the narrow (id, text) rows once, pre-explosion.
+    The shuffle moves only the narrow (id, text) rows once, pre-explosion
+    (and is skipped entirely when the input is already parallel — the r12
+    partition-count gate in operators/partitioning.py).
     """
-    df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    df = _spread(df, id_col)
     return df.select(
         F.col(id_col),
         F.explode(char_shingle_array(text_col, k)).alias("shingle"),
@@ -172,6 +174,7 @@ def exact_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 10, num_hashes: int = 64,
     winnow_mod: int = 4, shingle: str = "char", word_ngram: int = 3,
+    spread_input: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature: column ``signature array<bigint>``.
 
@@ -217,9 +220,11 @@ def minhash_signatures(
     # CPU, and a small corpus file is ONE input split.  The groupBy below
     # re-keys on the same id, so the partial aggregation still combines
     # map-side and the second exchange carries num_hashes longs per doc.
-    df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # ``spread_input=False`` lets per-micro-batch streaming probes skip
+    # the exchange (ADVICE r11); the r12 gate also skips it whenever the
+    # input is already parallel.
+    if spread_input:
+        df = _spread(df, id_col)
     # Docs with NO content (NULL text, empty text, whitespace-only) have no
     # fuzzy identity and are EXCLUDED from signatures entirely.  Without
     # this, every such doc grams to the same degenerate shingle
@@ -495,9 +500,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # 63-buffer aggregate is the dominant CPU and a small corpus file is
     # ONE input split.  groupBy(id) below re-keys on the same column, so
     # partials still combine map-side.
-    df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    df = _spread(df, id_col)
     tok = df.select(F.col(id_col), F.explode(h_arr).alias("h"))
     bit_sums = [
         F.sum(
@@ -606,10 +609,7 @@ def contamination_hits(docs: DataFrame, bench_doc_max: int, k: int = 10) -> Data
     # (doc_id, text) rows once; the doc_id filters on both consumers still
     # push below the exchange.  Pinned count: AQE would coalesce the
     # few-MB local shuffle back to one partition.
-    spark = docs.sparkSession
-    g = docs.repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    ).select("doc_id", F.explode(grams).alias("g"))
+    g = _spread(docs, "doc_id").select("doc_id", F.explode(grams).alias("g"))
     bench = F.broadcast(
         g.filter(F.col("doc_id") < bench_doc_max).select("g").distinct()
     )

@@ -127,21 +127,6 @@ def sql_hash_bucket(expr: str, n_buckets: int) -> str:
     return f"CAST(({val}) % {n_buckets} AS INT)"
 
 
-def spread(df, *keys: str):
-    """Pinned keyed repartition to the cluster's core budget: spread a
-    CPU-bound derivation (gram/token explode, md5 decode, per-pair
-    verification) across cores BEFORE computing it.
-
-    Why pinned and keyed (guide §2.5):
-
-    * a small corpus file arrives as ONE input split, so everything up to
-      the first exchange otherwise serializes on a single task;
-    * AQE's partition coalescing is byte-based and would fold a few-MB
-      local shuffle back to 1-2 partitions, blind to the CPU per row —
-      an explicit partition count opts the exchange out of coalescing;
-    * ``defaultParallelism`` tracks the core budget on any master, so the
-      device is scale-adaptive, and the shuffle moves only the narrow
-      pre-explosion rows once.
-    """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *[F.col(k) for k in keys])
+# Re-exported for the query layer; the implementation (and the r12
+# partition-count gate that keeps it scale-safe) lives with the operators.
+from bifrost_spark.operators.partitioning import spread  # noqa: E402,F401

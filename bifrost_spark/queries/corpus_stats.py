@@ -47,7 +47,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bifrost_spark.operators.dedup import token_gram_hashes, word_array
-from bifrost_spark.queries._util import spread
 from bifrost_spark.queries.llm_text import VOCAB_GROWTH_SQL
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
@@ -231,9 +230,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: distinct-gram counts are exact integers; the fraction
     is one int/int division rounded at 9 dp."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # _util.spread: parallelize the gram-hash explode off the one input
-    # split before checkpointing it (guide §2.5)
-    base = spread(d, "doc_id").select("doc_id", word_array().alias("ws"))
+    # r12: the r11 spread here was A/B-neutral on the builder's machine and
+    # the driver measured it 25% SLOWER (VERDICT r11 item 6) — the gram
+    # explode below is cheap enough that the extra exchange never paid.
+    # Reverted; the checkpoint below still collapses the 3 consumers to
+    # one derivation.
+    base = d.select("doc_id", word_array().alias("ws"))
     grams = base.select(
         "doc_id",
         F.explode(token_gram_hashes("ws", _NOV_K)).alias("g"),

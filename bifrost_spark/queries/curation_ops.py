@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bifrost_spark.operators.dedup import contamination_hits, contamination_hits_sql
+from bifrost_spark.queries._util import spread
 from bifrost_spark.queries.llm_text import (
     _BM25_SQL,
     _QLM_SQL,
@@ -1117,9 +1118,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition count is pinned (defaultParallelism, i.e. the cluster's
     # core budget) because AQE would coalesce a few-MB shuffle back to one
     # partition and re-serialize the compute (guide §2.5).
-    base = e.select("event_type", "event_id", "value").repartition(
-        spark.sparkContext.defaultParallelism, F.col("event_id")
-    )
+    base = spread(e.select("event_type", "event_id", "value"), "event_id")
     # all 32 UNIFORMS built as COLUMNS, 8 per md5 (4 md5 calls per row,
     # CSE'd by codegen); column r = group*8 + slot matches the oracle's
     # (r // 8, r % 8) decomposition.  The Poisson CASE applies in a SECOND

@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bifrost_spark.queries._util import HASH_BUCKETS_PROD, hash_bucket, sql_hash_bucket
+from bifrost_spark.queries._util import (
+    HASH_BUCKETS_PROD,
+    hash_bucket,
+    spread,
+    sql_hash_bucket,
+)
 from bifrost_spark.registry import query
 from bifrost_spark.tables import load_table
 
@@ -386,9 +391,7 @@ def dsir_weights(
     # input split (guide §2.5/§5 caching-for-reuse; measured 1.1 → 0.35 s
     # at sf0.1).  The checkpoint holds only (doc_id, source, bucket) —
     # ~17 bytes per token, never the text.
-    toks = d.repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    ).select(
+    toks = spread(d, "doc_id").select(
         "doc_id",
         "source",
         F.explode(

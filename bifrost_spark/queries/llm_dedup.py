@@ -659,9 +659,7 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned keyed repartition: the tokenize + shingle-hash explode is
     # CPU-bound and a small corpus file is ONE input split (guide §2.5;
     # same device as q_jaccard_ppjoin, measured there and here)
-    hashed = d.repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    ).select(
+    hashed = spread(d, "doc_id").select(
         "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
     ).filter(F.size("th") >= 3)
     keys = F.transform(
@@ -989,9 +987,7 @@ def q_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Pairs are the "small rows" of guide §8 — spreading them is
         # cheap at any scale; the array side rides in via broadcast
         # below the 64 MB threshold, shuffle-join above it.
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.col("id_a"), F.col("id_b")
-        )
+        .transform(lambda p: spread(p, "id_a", "id_b"))
         .dropDuplicates()
     )
     va = ordered.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
@@ -1246,11 +1242,9 @@ def q_dup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task (q_jaccard_ppjoin's measured hazard; guide §2.5).  The checkpoint
     # makes the token arrays the shared input of all three consumers
     # (anchors, ladder, final doc list) instead of three text scans.
-    base = (
-        d.select("doc_id", word_array().alias("ws"))
-        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
+    base = spread(
+        d.select("doc_id", word_array().alias("ws")), "doc_id"
+    ).localCheckpoint(eager=True)
     anchors = (
         base.select(
             "doc_id", F.explode(token_gram_hashes("ws", _SPAN_K)).alias("g")

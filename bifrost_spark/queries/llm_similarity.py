@@ -481,6 +481,8 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering struct (cos_sim, -neighbor_id) reproduces it exactly."""
     import numpy as np
 
+    from bifrost_spark.queries._util import spread as _spread
+
     # zero-norm exclusion (fuzzer finding) — matches the oracle's nrm2 > 0
     e = load_table(spark, sf_dir, "embeddings").filter(
         norm2_fast(F.col("embedding")) > 0
@@ -535,9 +537,7 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # split — without the spread the whole pipeline until the final
         # groupBy serializes on a single task (guide §2.5).  The shuffle
         # moves each test embedding exactly once.
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.col("test_id")
-        )
+        .transform(lambda t: _spread(t, "test_id"))
     )
 
     def gen(batches):

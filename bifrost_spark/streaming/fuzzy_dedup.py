@@ -89,6 +89,10 @@ def probe_batch(
     sig = minhash_signatures(
         batch, text_col, id_col, num_hashes=MINHASH_HASHES, winnow_mod=2,
         shingle="word",
+        # r12 (ADVICE r11): a micro-batch is small by construction; the
+        # kernel's keyed spread would pay a cluster-wide exchange per
+        # batch for compute that fits the batch's own partitions.
+        spread_input=False,
     ).localCheckpoint(eager=True)  # feeds the probe join once per batch
     probes = explode_band_buckets(
         sig, id_col, id_col, "sig_p", LSH_BANDS, LSH_ROWS_PER_BAND
