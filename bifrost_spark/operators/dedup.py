@@ -269,15 +269,18 @@ def minhash_signatures(
         winnowed = F.filter(gram_hashes, lambda b: F.pmod(b, F.lit(winnow_mod)) == 0)
         gram_hashes = F.when(F.size(winnowed) > 0, winnowed).otherwise(gram_hashes)
     bases = base_df.select(F.col(id_col), F.explode(gram_hashes).alias("base"))
+    # r12: the num_hashes min-aggregates and the signature array are built
+    # as SQL strings (one parse each) — the Column-API spelling cost ~500
+    # py4j round-trips per kernel call, pure driver-side build latency.
+    # Integer seed literals parse to the same IntegerType as F.lit(i), so
+    # the xxhash64 family is bit-identical.
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"h{i}")
+        F.expr(f"min(xxhash64({i}, base)) AS h{i}")
         for i in range(num_hashes)
     ]
     sig = bases.groupBy(id_col).agg(*mins)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
-    )
+    arr = "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
+    return sig.select(F.col(id_col), F.expr(arr).alias("signature"))
 
 
 # Canonical MinHash/LSH family parameters — the single source every batch

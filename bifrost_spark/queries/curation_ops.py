@@ -1132,55 +1132,60 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # removes the 32× row stream, the (event_type, r) shuffle, the second
     # collect_list shuffle, and the stats join outright (guide §2.3/§2.4;
     # measured 6.7 → ~2.5 s at sf0.1).
+    #
+    # r12: every repeated expression block is built as a SQL STRING and
+    # parsed in one JVM call (selectExpr / F.expr) instead of thousands of
+    # nested Column constructor calls — cProfile showed 2.4 s of the 3.4 s
+    # build was py4j socket round-trips (13,845 commands).  Same
+    # expressions, same analyzed plan; only the construction path changed
+    # (double literals carry the explicit D suffix so nothing parses as
+    # DECIMAL).
     ucols = []
     for g in range(_BOOT_REPS // 8):
-        h = F.md5(
-            F.concat(F.col("event_id").cast("string"), F.lit(f":{g}"))
-        )
+        h = f"md5(concat(CAST(event_id AS STRING), ':{g}'))"
         for s in range(8):
-            ucols.append(_u4_col(h, s).alias(f"u{g * 8 + s}"))
-    unif = base.select("event_type", "value", *ucols)
-    wtd = unif.select(
+            u = (
+                f"(CAST(CAST(conv(substring({h}, {s * 4 + 1}, 4), 16, 10)"
+                f" AS INT) AS DOUBLE) / 65536.0D)"
+            )
+            ucols.append(f"{u} AS u{g * 8 + s}")
+    unif = base.selectExpr("event_type", "value", *ucols)
+
+    def _pois_case(u: str) -> str:
+        cases = " ".join(
+            f"WHEN {u} < {c}D THEN {k}" for k, c in enumerate(_POIS_CDF)
+        )
+        return f"(CASE {cases} ELSE 6 END)"
+
+    wtd = unif.selectExpr(
         "event_type",
         "value",
-        *[
-            _pois_col(F.col(f"u{r}")).alias(f"w{r}")
-            for r in range(_BOOT_REPS)
-        ],
+        *[f"{_pois_case(f'u{r}')} AS w{r}" for r in range(_BOOT_REPS)],
     )
     aggs = [
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.col("value").cast("decimal(28,6)")).alias("sv"),
+        F.expr("CAST(COUNT(1) AS BIGINT) AS n_rows"),
+        F.expr("SUM(CAST(value AS DECIMAL(28,6))) AS sv"),
     ]
     for r in range(_BOOT_REPS):
         aggs.append(
-            F.sum(
-                (F.col(f"w{r}") * F.col("value")).cast("decimal(28,6)")
-            ).alias(f"s{r}")
+            F.expr(f"SUM(CAST((w{r} * value) AS DECIMAL(28,6))) AS s{r}")
         )
-        aggs.append(F.sum(F.col(f"w{r}")).alias(f"c{r}"))
+        aggs.append(F.expr(f"SUM(w{r}) AS c{r}"))
     g = wtd.groupBy("event_type").agg(*aggs)
     # replicate means: identical arithmetic to the exploded spelling —
     # SUM(decimal)::double / SUM(int w), replicates with zero total weight
     # excluded (the HAVING SUM(w) > 0 twin); sorted ascending as before.
-    reps = F.array(
-        *[
-            F.struct(
-                F.col(f"s{r}").alias("s"), F.col(f"c{r}").alias("c")
-            )
-            for r in range(_BOOT_REPS)
-        ]
-    )
-    surv = F.filter(reps, lambda x: x["c"] > 0)
-    arr = F.sort_array(
-        F.transform(surv, lambda x: x["s"].cast("double") / x["c"])
-    )
-    shaped = g.select(
+    reps = "array(" + ", ".join(
+        f"named_struct('s', s{r}, 'c', c{r})" for r in range(_BOOT_REPS)
+    ) + ")"
+    surv = f"filter({reps}, x -> x.c > 0)"
+    arr = f"sort_array(transform({surv}, x -> CAST(x.s AS DOUBLE) / x.c))"
+    shaped = g.selectExpr(
         "event_type",
         "n_rows",
-        (F.col("sv").cast("double") / F.col("n_rows")).alias("mean"),
-        F.size(surv).cast("bigint").alias("n_replicates"),
-        arr.alias("arr"),
+        "(CAST(sv AS DOUBLE) / n_rows) AS mean",
+        f"CAST(size({surv}) AS BIGINT) AS n_replicates",
+        f"{arr} AS arr",
         # groups whose 32 replicates ALL zeroed out dropped via the old
         # inner stats⋈ci join; the filter below keeps that behavior
     ).filter(F.col("n_replicates") > 0)
@@ -1188,17 +1193,18 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # least/greatest clamps alone invert the interval at n = 2 (review
     # finding; reachable only when 30 of 32 deterministic weights zero
     # out, i.e. near-singleton groups at extreme scale)
-    lo_idx = F.when(F.col("n_replicates") >= 4, F.lit(2)).otherwise(F.lit(1))
-    hi_idx = F.when(
-        F.col("n_replicates") >= 4, F.col("n_replicates") - 1
-    ).otherwise(F.col("n_replicates"))
-    return shaped.select(
+    lo_idx = "(CASE WHEN n_replicates >= 4 THEN 2 ELSE 1 END)"
+    hi_idx = (
+        "(CASE WHEN n_replicates >= 4 THEN n_replicates - 1"
+        " ELSE n_replicates END)"
+    )
+    return shaped.selectExpr(
         "event_type",
         "n_rows",
-        F.round("mean", 9).alias("mean"),
+        "ROUND(mean, 9) AS mean",
         "n_replicates",
-        F.round(F.element_at("arr", lo_idx.cast("int")), 9).alias("ci_lo"),
-        F.round(F.element_at("arr", hi_idx.cast("int")), 9).alias("ci_hi"),
+        f"ROUND(element_at(arr, CAST({lo_idx} AS INT)), 9) AS ci_lo",
+        f"ROUND(element_at(arr, CAST({hi_idx} AS INT)), 9) AS ci_hi",
     )
 
 

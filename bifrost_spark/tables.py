@@ -2,13 +2,26 @@
 
 One parquet file per table under ``{sf_dir}/{name}.parquet``.  Loading is a
 plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown + column
-pruning; no caching here — queries decide what (if anything) to persist.
+pruning; no DATA caching here — queries decide what (if anything) to
+persist.
+
+r12: the loader memoizes PLAN METADATA, never rows or results — every
+action still computes from the parquet files:
+
+* the inferred parquet schema, per (sf_dir, table) for the process (schema
+  inference re-read the footer per call);
+* the built DataFrame object, per live session (attached to the session
+  object so it dies with it).  A DataFrame is an immutable lazy plan;
+  rebuilding it per call re-paid file listing + the eager withColumn
+  analysis — measured ~85 ms of driver time per ``load_table`` call,
+  ~300 calls per bench run.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -28,11 +41,25 @@ TABLES = (
 BROADCASTABLE = {"region", "nation"}
 
 
+_SCHEMA_CACHE: dict[tuple[str, str], StructType] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    key = (sf_dir, name)
+    df_cache = spark.__dict__.setdefault("_bifrost_table_plans", {})
+    cached = df_cache.get(key)
+    if cached is not None:
+        return cached
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
+    fields = {f.name: f.dataType for f in schema.fields}
+    if name == "events" and isinstance(fields.get("ts"), LongType):
         # ts as int64 nanos (spark.sql.legacy.parquet.nanosAsLong, session.py);
         # integer `div` keeps full precision (ns epoch exceeds double's 2^53)
         # and floors to µs exactly like DuckDB's ns→µs read.
@@ -41,7 +68,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Spark 4; with the session TZ pinned to UTC (session.py) the cast to
     # session-TZ TIMESTAMP is wall-clock-preserving and keeps every query /
     # oracle comparison on the single timestamp type they were written for.
-    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    for c, t in fields.items():
+        if isinstance(t, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    df_cache[key] = df
     return df
