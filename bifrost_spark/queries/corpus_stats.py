@@ -712,6 +712,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.concat(acc, F.array(s))),
             )
 
+        # r12 A/B (honest clock, min-of-5 at sf0.1): dropping this per-step
+        # checkpoint made the query 2.98 → 4.42 s — the nested merge-fold
+        # lineage blows up Catalyst analysis/codegen long before the
+        # recompute cost matters.  KEPT.
         vocab = vocab.select(
             "wc", apply_merge(F.col("syms")).alias("syms")
         ).localCheckpoint(eager=True)
