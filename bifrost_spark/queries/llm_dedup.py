@@ -671,8 +671,14 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sh = (
-        hashed.select("doc_id", F.explode(keys).alias("s"))
-        .distinct()
+        # r12: per-doc distinct IN-ROW (array_distinct before the explode)
+        # replaces the post-explode .distinct(): Catalyst had fused the
+        # distinct's exchange with the window's, so the exchange count is
+        # unchanged, but the two HashAggregates that deduped the exploded
+        # gram stream in operator state are gone — the set they built is
+        # exactly the per-doc distinct gram set, computable at scan speed
+        # (the char_shingles device; plans/r12/containment_sh_subtree_*).
+        hashed.select("doc_id", F.explode(F.array_distinct(keys)).alias("s"))
         .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
         .filter(F.col("df") <= CONT_MAX_DF)
         .drop("df")
@@ -1104,7 +1110,13 @@ def q_dup_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(lvl).cast("int").alias("lvl"), s["gh"].alias("gh")
             )
 
-        return F.transform(token_gram_hashes("ws", lvl), relabel)
+        # r12: within-doc repeated grams change neither the cross-doc dup
+        # set (min/max over docs) nor the per-doc hit levels, and they
+        # WERE being materialized into the checkpoint — dedup in-row
+        # before the explode (the q_dup_span_exact ladder device).
+        return F.array_distinct(
+            F.transform(token_gram_hashes("ws", lvl), relabel)
+        )
 
     per_level = [_level_grams(lvl) for lvl in _LADDER_LEVELS]
     grams = base.select(
