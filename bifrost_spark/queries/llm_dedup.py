@@ -1110,13 +1110,12 @@ def q_dup_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(lvl).cast("int").alias("lvl"), s["gh"].alias("gh")
             )
 
-        # r12: within-doc repeated grams change neither the cross-doc dup
-        # set (min/max over docs) nor the per-doc hit levels, and they
-        # WERE being materialized into the checkpoint — dedup in-row
-        # before the explode (the q_dup_span_exact ladder device).
-        return F.array_distinct(
-            F.transform(token_gram_hashes("ws", lvl), relabel)
-        )
+        # r12 note: per-level array_distinct (the q_dup_span_exact ladder
+        # device) was tried and REVERTED — measured on the fixture, levels
+        # 8-64 have ZERO within-doc repeated grams (596,230 rows with and
+        # without), so the in-row set build is pure cost here; the exact
+        # query keeps it because its levels 1-7 DO repeat (~35% fewer rows).
+        return F.transform(token_gram_hashes("ws", lvl), relabel)
 
     per_level = [_level_grams(lvl) for lvl in _LADDER_LEVELS]
     grams = base.select(
