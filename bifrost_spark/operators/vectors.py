@@ -129,13 +129,47 @@ def lit_bigint_vector(row: list[int]) -> Column:
     return F.expr("array(" + ",".join(f"{int(v)}L" for v in row) + ")")
 
 
-def lit_matrix(rows: list[list[float]]) -> Column:
-    """array<array<double>> literal as ONE parsed SQL expression (see
-    lit_vector for why)."""
-    return F.expr(
+def sql_matrix(rows: list[list[float]]) -> str:
+    """The SQL-string body of :func:`lit_matrix` — for embedding a literal
+    matrix inside a LARGER single-parse expression (r12: the IVF-PQ
+    encode/ADC trees are built as one SQL string each; splicing the
+    codebook literals in keeps the whole tree at one py4j round-trip)."""
+    return (
         "array("
         + ",".join(
             "array(" + ",".join(_sql_double(v) for v in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
+def lit_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal as ONE parsed SQL expression (see
+    lit_vector for why)."""
+    return F.expr(sql_matrix(rows))
+
+
+def sql_dot_fast(a: str, b: str) -> str:
+    """SQL-string twin of :func:`dot_fast` — identical expression tree
+    (the CASTs and the 0.0D seed match the Column spelling), for use
+    inside single-parse composite expressions."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+        f" * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def sql_struct_table(
+    rows: list[list[float]], id_field: str, vec_field: str
+) -> str:
+    """SQL-string body of :func:`lit_struct_table` (see sql_matrix)."""
+    return (
+        "array("
+        + ",".join(
+            f"named_struct('{id_field}', {i}, '{vec_field}', array("
+            + ",".join(_sql_double(v) for v in r)
+            + "))"
+            for i, r in enumerate(rows)
         )
         + ")"
     )
@@ -147,16 +181,7 @@ def lit_struct_table(
     """array<struct<id_field int, vec_field array<double>>> literal — the
     (id, centroid) lookup table shape consumed by transform-based argmin
     scans — as ONE parsed SQL expression (see lit_vector for why)."""
-    return F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('{id_field}', {i}, '{vec_field}', array("
-            + ",".join(_sql_double(v) for v in r)
-            + "))"
-            for i, r in enumerate(rows)
-        )
-        + ")"
-    )
+    return F.expr(sql_struct_table(rows, id_field, vec_field))
 
 
 def cosine_pair_candidates(

@@ -738,7 +738,7 @@ def _ivfpq_core(
     # F.lit spelling cost one py4j round-trip per float — 48k gateway calls
     # ≈ 13 s of pure PLAN CONSTRUCTION for this query's codebook tables,
     # measured before execution even started
-    from bifrost_spark.operators.vectors import lit_matrix, lit_struct_table
+    from bifrost_spark.operators.vectors import lit_matrix
 
     centers_lit = lit_matrix(centers)
 
@@ -764,26 +764,29 @@ def _ivfpq_core(
         for m in range(m_sub)
     ]  # codebooks[m][code] = list of d_sub floats
 
-    def sub_argmin(m):
-        sl = F.slice("res", m * d_sub + 1, d_sub)
-        cb_tab = lit_struct_table(codebooks[m], "code", "c")
-        scored = F.transform(
-            cb_tab,
-            lambda s: F.struct(
-                F.aggregate(
-                    F.zip_with(sl, s.c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                s.code.alias("code"),
-            ),
-        )
-        return F.element_at(F.sort_array(scored), 1).code
+    # r12: the whole per-subspace argmin encode is ONE parsed SQL string
+    # (the codebook literal tables splice in via sql_struct_table) — the
+    # Column spelling cost ~30 py4j round-trips per subspace of pure
+    # plan-construction latency; the expression tree is identical.
+    from bifrost_spark.operators.vectors import sql_struct_table
 
+    def sub_argmin_sql(m: int) -> str:
+        sl = f"slice(res, {m * d_sub + 1}, {d_sub})"
+        tab = sql_struct_table(codebooks[m], "code", "c")
+        return (
+            f"element_at(sort_array(transform({tab}, s -> named_struct("
+            f"'d2', aggregate(zip_with({sl}, s.c,"
+            f" (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x),"
+            f" 'code', s.code))), 1).code"
+        )
+
+    codes_sql = (
+        "array(" + ",".join(sub_argmin_sql(m) for m in range(m_sub)) + ")"
+    )
     corpus = with_res.select(
         F.col("vec_id").alias("neighbor_id"),
         "cell",
-        F.array(*[sub_argmin(m) for m in range(m_sub)]).alias("codes"),
+        F.expr(codes_sql).alias("codes"),
     )
 
     probes = F.broadcast(
@@ -796,17 +799,23 @@ def _ivfpq_core(
     )
 
     # ADC: approx cos = q·center[cell] + Σ_m q_m · codebook_m[code_m]
-    sub_lits = [lit_matrix(codebooks[m]) for m in range(m_sub)]
-    adc = dot_fast(F.col("q_unit"), F.element_at(centers_lit, F.col("cell") + 1))
+    # — also ONE parsed SQL string (sql_dot_fast is the exact twin of the
+    # dot_fast Column spelling, casts and 0.0D seed included)
+    from bifrost_spark.operators.vectors import sql_dot_fast, sql_matrix
+
+    adc_sql = sql_dot_fast(
+        "q_unit", f"element_at({sql_matrix(centers)}, cell + 1)"
+    )
     for m in range(m_sub):
-        adc = adc + dot_fast(
-            F.slice("q_unit", m * d_sub + 1, d_sub),
-            F.element_at(sub_lits[m], F.element_at("codes", m + 1) + 1),
+        adc_sql += " + " + sql_dot_fast(
+            f"slice(q_unit, {m * d_sub + 1}, {d_sub})",
+            f"element_at({sql_matrix(codebooks[m])},"
+            f" element_at(codes, {m + 1}) + 1)",
         )
     cand = (
         corpus.join(probes, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc"))
+        .select("query_id", "neighbor_id", F.expr(adc_sql).alias("adc"))
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     shortlist = cand.select(

@@ -5,23 +5,25 @@ plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown + column
 pruning; no DATA caching here — queries decide what (if anything) to
 persist.
 
-r12: the loader memoizes PLAN METADATA, never rows or results — every
-action still computes from the parquet files:
+r12: the loader memoizes the built DataFrame object per live session
+(attached to the session object so it dies with it) — PLAN metadata, never
+rows or results; every action still computes from the parquet files.  A
+DataFrame is an immutable lazy plan; rebuilding it per call re-paid schema
+inference + file listing + the eager withColumn analysis — measured ~85 ms
+of driver time per ``load_table`` call, ~300 calls per bench run.
 
-* the inferred parquet schema, per (sf_dir, table) for the process (schema
-  inference re-read the footer per call);
-* the built DataFrame object, per live session (attached to the session
-  object so it dies with it).  A DataFrame is an immutable lazy plan;
-  rebuilding it per call re-paid file listing + the eager withColumn
-  analysis — measured ~85 ms of driver time per ``load_table`` call,
-  ~300 calls per bench run.
+An explicit-schema read (``spark.read.schema(inferred).parquet``) was also
+tried and REVERTED: it made q_sim_ann_ivfpq's probe⋈corpus candidate set
+flip between the first and later runs of a session (bisected to exactly
+this read path; plain inference reads are stable).  Cache the plan, not
+the schema.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType, TimestampNTZType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -41,9 +43,6 @@ TABLES = (
 BROADCASTABLE = {"region", "nation"}
 
 
-_SCHEMA_CACHE: dict[tuple[str, str], StructType] = {}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
@@ -52,13 +51,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = df_cache.get(key)
     if cached is not None:
         return cached
-    path = f"{sf_dir}/{name}.parquet"
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[key] = schema
-    df = spark.read.schema(schema).parquet(path)
-    fields = {f.name: f.dataType for f in schema.fields}
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    fields = {f.name: f.dataType for f in df.schema.fields}
     if name == "events" and isinstance(fields.get("ts"), LongType):
         # ts as int64 nanos (spark.sql.legacy.parquet.nanosAsLong, session.py);
         # integer `div` keeps full precision (ns epoch exceeds double's 2^53)
