@@ -26,6 +26,10 @@ from conftest import SF_DIR
 
 # Generated events straddle (or miss) the 2024-01-16 cohort split used by
 # the drift queries; values include 0, negatives, and bin-edge magnitudes.
+# r12: adversarial fuzz / audit suite — excluded from the default
+# (driver-window) run via pytest.ini; run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
+
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 
 # Telemetry props payloads: valid integer k, string/NULL/missing k,

@@ -37,6 +37,10 @@ from bifrost_spark.streaming.curate import (
 # Text pool: two gate-passing docs, a contaminated doc (also gate-passing,
 # so only decontamination can drop it), a short junk doc, a stopword-free
 # doc (fails stopword-kinds), an empty string, and NULL.
+# r12: adversarial fuzz / audit suite — excluded from the default
+# (driver-window) run via pytest.ini; run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
+
 GOOD = (
     "the quick brown fox jumps over a lazy dog and runs to the hills in "
     "the morning light with a steady pace and a clear goal in mind today"

@@ -10,6 +10,10 @@ import pytest
 from bifrost_spark import registry
 from tests.oracle_harness import compare, duckdb_connection
 
+# r12: adversarial fuzz / audit suite — excluded from the default
+# (driver-window) run via pytest.ini; run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
+
 ALL = sorted(registry.queries().keys())
 WITH_ORACLE = sorted(registry.oracles().keys())
 ROWS_ONLY = sorted(set(ALL) - set(WITH_ORACLE))

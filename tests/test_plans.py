@@ -140,6 +140,7 @@ def test_merge_upsert_single_shuffle_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow  # full-surface audit (~100 s) — r12 driver-window default excludes it
 def test_no_cartesian_product_anywhere(spark, sf_dir):
     """Global plan hygiene: NO registered query may plan a CartesianProduct,
     and the only BroadcastNestedLoopJoin allowed is the intentional

@@ -6,6 +6,7 @@ and the first 50 iteration entries must be exactly CHECK_PRIORITY so the
 driver checks the queries this round targets.
 """
 
+import pytest
 from bifrost_spark import registry
 
 WINDOW = 50
@@ -89,6 +90,7 @@ def test_round10_targets_inside_window():
     assert ROUND10_MUST_COVER <= window
 
 
+@pytest.mark.slow  # full-surface audit (~100 s) — r12 driver-window default excludes it
 def test_registered_outputs_are_scalar_only(spark, sf_dir):
     """The driver canonicalizes EVERY checked result with pandas
     sort_values/hash — array/map/struct cells crash it with 'unhashable

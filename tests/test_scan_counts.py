@@ -354,6 +354,7 @@ FULL_SURFACE_SCANS = {
 }
 
 
+@pytest.mark.slow  # full-surface audit (~100 s) — r12 driver-window default excludes it
 def test_full_surface_scan_counts(spark, sf_dir):
     """Sweep EVERY registered query not in the curated table and compare
     its executed-plan parquet-scan count against the frozen baseline —

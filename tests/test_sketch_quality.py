@@ -22,6 +22,10 @@ import pytest
 
 from bifrost_spark import registry
 
+# r12: adversarial fuzz / audit suite — excluded from the default
+# (driver-window) run via pytest.ini; run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("BIFROST_QUALITY_SF_DIR", "/root/testdata/sf0.01")
 
 
